@@ -1,0 +1,122 @@
+"""FASTA / FASTQ (.gz) reading.
+
+The reference streams records with klib's ``kseq.h`` (vendored,
+src/kseq.h:176-219) over zlib. Here the pure-Python reader is the portable
+fallback; a native C++ parser (``kmer_hasher_tpu.io.native``) provides the
+fast path and is used automatically when its shared library is available.
+
+Records are surfaced two ways:
+
+* :func:`read_fastx` — list of (name, seq_bytes, qual_bytes|None), matching
+  kseq record semantics (FASTA records have no qualities).
+* :func:`read_fastx_padded` — device-ready dense batch: uint8 ASCII matrices
+  ``seq[n_reads, max_len]`` and ``qual`` (0 where absent) plus a length
+  vector. Padding uses base 'N' / quality 0 so padded tails can never form
+  valid windows on any filtering path.
+"""
+from __future__ import annotations
+
+import gzip
+import io
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+Record = Tuple[str, bytes, Optional[bytes]]
+
+
+def _open(path: str):
+    f = open(path, "rb")
+    magic = f.read(2)
+    f.seek(0)
+    if magic == b"\x1f\x8b":
+        return gzip.open(f, "rb")
+    return f
+
+
+def read_fastx(path: str, max_records: Optional[int] = None) -> List[Record]:
+    """Parse FASTA or FASTQ, optionally gzipped. Auto-detects format from the
+    first byte ('>' FASTA, '@' FASTQ), like kseq (src/kseq.h:178-190)."""
+    try:
+        from . import native
+
+        if native.available():
+            return native.read_fastx(path, max_records)
+    except Exception:
+        pass
+    return read_fastx_py(path, max_records)
+
+
+def read_fastx_py(path: str, max_records: Optional[int] = None) -> List[Record]:
+    out: List[Record] = []
+    with _open(path) as f:
+        buf = io.BufferedReader(f) if not isinstance(f, io.BufferedReader) else f
+        first = buf.peek(1)[:1]
+        if first == b">":
+            name = None
+            chunks: List[bytes] = []
+            for line in buf:
+                line = line.rstrip(b"\r\n")
+                if line.startswith(b">"):
+                    if name is not None:
+                        out.append((name, b"".join(chunks), None))
+                        if max_records is not None and len(out) >= max_records:
+                            return out
+                    name = line[1:].split()[0].decode() if len(line) > 1 else ""
+                    chunks = []
+                else:
+                    chunks.append(line)
+            if name is not None:
+                out.append((name, b"".join(chunks), None))
+        elif first == b"@":
+            while True:
+                hdr = buf.readline()
+                if not hdr:
+                    break
+                seq = buf.readline().rstrip(b"\r\n")
+                buf.readline()  # '+'
+                qual = buf.readline().rstrip(b"\r\n")
+                name = hdr[1:].rstrip(b"\r\n").split()[0].decode() if len(hdr) > 1 else ""
+                out.append((name, seq, qual if len(qual) == len(seq) else None))
+                if max_records is not None and len(out) >= max_records:
+                    return out
+        elif first:
+            raise ValueError(f"unrecognised fastx leader byte {first!r} in {path}")
+    return out
+
+
+@dataclass
+class PaddedReads:
+    """Dense, device-friendly batch of variable-length reads."""
+
+    seq: np.ndarray   # uint8 [n, max_len] ASCII codes, padded with ord('N')
+    qual: np.ndarray  # uint8 [n, max_len], 0 where absent/padded
+    lengths: np.ndarray  # int32 [n]
+    has_qual: np.ndarray  # bool [n]
+
+    @property
+    def n_reads(self) -> int:
+        return int(self.seq.shape[0])
+
+
+def pad_records(records: List[Record], pad_to_multiple: int = 8) -> PaddedReads:
+    n = len(records)
+    max_len = max((len(r[1]) for r in records), default=1)
+    max_len = max(1, -(-max_len // pad_to_multiple) * pad_to_multiple)
+    seq = np.full((n, max_len), ord("N"), dtype=np.uint8)
+    qual = np.zeros((n, max_len), dtype=np.uint8)
+    lengths = np.zeros(n, dtype=np.int32)
+    has_qual = np.zeros(n, dtype=bool)
+    for i, (_name, s, q) in enumerate(records):
+        ln = len(s)
+        lengths[i] = ln
+        seq[i, :ln] = np.frombuffer(s, dtype=np.uint8)
+        if q is not None:
+            qual[i, :ln] = np.frombuffer(q, dtype=np.uint8)
+            has_qual[i] = True
+    return PaddedReads(seq=seq, qual=qual, lengths=lengths, has_qual=has_qual)
+
+
+def read_fastx_padded(path: str, max_records: Optional[int] = None) -> PaddedReads:
+    return pad_records(read_fastx(path, max_records))
