@@ -1,0 +1,132 @@
+"""Sort-based segmented grouping — the TPU replacement for khash.
+
+The reference's hot loop is one open-addressing hash probe + growable-vector
+push per base (src/kmer_pos.c:36-50, khash.h:230-360): pointer chasing that
+cannot vectorise. Here the index is a *sorted* (kmer, pos) array: grouping,
+counting, membership and range queries all become data-parallel primitives
+(lexicographic sort, segment boundary flags, prefix sums, binary search)
+that XLA maps well onto TPU. The khash prefix/suffix split survives only as
+the multi-chip routing key (see kmer_hasher_tpu.parallel).
+
+Keys are (hi, lo) uint32 pairs, unsigned-lexicographic. All shapes static:
+invalid entries carry a leading 1 sort key so they sink to the tail, and a
+separate ``n_valid`` scalar bounds the live prefix.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+I32 = jnp.int32
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def sort_windows(
+    hi: jax.Array, lo: jax.Array, pos: jax.Array, valid: jax.Array, k: int
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Sort windows by (validity, kmer, position): valid entries first,
+    keys ascending, positions ascending within a key — the reference's
+    insertion order (positions are pushed in stream order,
+    src/kmer_pos.c:84). Returns (s_hi, s_lo, s_pos).
+
+    For k <= 31 the 2k-bit kmer fits a single uint64 with all-ones left as
+    an invalid sentinel, and a stable single-key sort preserves the
+    position-ascending input order — the cheapest XLA sort form. k == 32
+    occupies all 64 bits, so it takes a two-key path with the invalid flag
+    packed beside ``hi`` and the position beside ``lo``.
+    """
+    u64 = jnp.uint64
+    if k <= 31:
+        key = (hi.astype(u64) << jnp.uint64(32)) | lo.astype(u64)
+        key = jnp.where(valid, key, jnp.uint64(0xFFFFFFFFFFFFFFFF))
+        key_s, pos_s = jax.lax.sort(
+            (key, pos), dimension=-1, is_stable=True, num_keys=1
+        )
+        s_hi = (key_s >> jnp.uint64(32)).astype(jnp.uint32)
+        s_lo = key_s.astype(jnp.uint32)
+        return s_hi, s_lo, pos_s
+    k1 = ((~valid).astype(u64) << jnp.uint64(32)) | hi.astype(u64)
+    k2 = (lo.astype(u64) << jnp.uint64(32)) | pos.astype(u64)
+    k1_s, k2_s = jax.lax.sort((k1, k2), dimension=-1, num_keys=2)
+    s_hi = k1_s.astype(jnp.uint32)
+    s_lo = (k2_s >> jnp.uint64(32)).astype(jnp.uint32)
+    s_pos = k2_s.astype(jnp.uint32).astype(I32)
+    return s_hi, s_lo, s_pos
+
+
+@jax.jit
+def segment_starts(hi: jax.Array, lo: jax.Array, valid: jax.Array) -> jax.Array:
+    """True at the first element of each distinct-key run (valid entries
+    only; the invalid tail is all False)."""
+    first = jnp.zeros(hi.shape, bool).at[..., 0].set(True)
+    prev_hi = jnp.roll(hi, 1, axis=-1)
+    prev_lo = jnp.roll(lo, 1, axis=-1)
+    changed = (hi != prev_hi) | (lo != prev_lo)
+    return (first | changed) & valid
+
+
+@jax.jit
+def segment_ids(starts: jax.Array) -> jax.Array:
+    """0-based segment id per element (meaningless in the invalid tail)."""
+    return jnp.cumsum(starts.astype(I32), axis=-1) - 1
+
+
+@functools.partial(jax.jit, static_argnames=("side",))
+def searchsorted2(
+    s_hi: jax.Array, s_lo: jax.Array, n_valid, q_hi: jax.Array,
+    q_lo: jax.Array, side: str = "left",
+) -> jax.Array:
+    """Vectorised binary search over the sorted (hi, lo) pairs.
+
+    Returns, per query, the left/right insertion point within the live
+    prefix ``[0, n_valid)``. ~log2(N) gather+compare rounds, all queries in
+    parallel — this replaces ``kh_get`` point lookups (khash.h:230-243).
+    """
+    n = s_hi.shape[0]
+    lo_b = jnp.zeros(q_hi.shape, I32)
+    hi_b = jnp.broadcast_to(jnp.asarray(n_valid, I32), q_hi.shape)
+    iters = max(1, (n + 1).bit_length())
+
+    def body(_, state):
+        lo_i, hi_i = state
+        active = lo_i < hi_i
+        mid = (lo_i + hi_i) // 2
+        mh = s_hi[mid]
+        ml = s_lo[mid]
+        if side == "left":
+            go_right = (mh < q_hi) | ((mh == q_hi) & (ml < q_lo))
+        else:
+            go_right = (mh < q_hi) | ((mh == q_hi) & (ml <= q_lo))
+        lo_i = jnp.where(active & go_right, mid + 1, lo_i)
+        hi_i = jnp.where(active & ~go_right, mid, hi_i)
+        return lo_i, hi_i
+
+    lo_b, _ = jax.lax.fori_loop(0, iters, body, (lo_b, hi_b))
+    return lo_b
+
+
+@functools.partial(jax.jit, static_argnames=("side",))
+def searchsorted_i64(sorted_vals: jax.Array, q: jax.Array, n_valid,
+                     side: str = "right") -> jax.Array:
+    """Binary search over a sorted int64 array (used for cumulative-offset
+    -> source-element mapping in chunked expansions)."""
+    n = sorted_vals.shape[0]
+    lo_b = jnp.zeros(q.shape, I32)
+    hi_b = jnp.broadcast_to(jnp.asarray(n_valid, I32), q.shape)
+    iters = max(1, (n + 1).bit_length())
+
+    def body(_, state):
+        lo_i, hi_i = state
+        active = lo_i < hi_i
+        mid = (lo_i + hi_i) // 2
+        mv = sorted_vals[mid]
+        go_right = (mv < q) if side == "left" else (mv <= q)
+        lo_i = jnp.where(active & go_right, mid + 1, lo_i)
+        hi_i = jnp.where(active & ~go_right, mid, hi_i)
+        return lo_i, hi_i
+
+    lo_b, _ = jax.lax.fori_loop(0, iters, body, (lo_b, hi_b))
+    return lo_b

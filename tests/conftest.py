@@ -12,11 +12,8 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-# The host CPU here is heavily throttled; persist XLA compilations so test
-# reruns skip recompilation.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+# Persistent compilation cache is configured by the package itself
+# (kmer_hasher_tpu/__init__.py); shared across test and dev processes.
 
 import pathlib
 

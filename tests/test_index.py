@@ -1,0 +1,95 @@
+"""KmerIndex (device path) vs the refsem oracle — the BASELINE config
+'make.kmer.hash(test.fa, k=8) + kmer.pos opt.flag=15' and edge cases."""
+import numpy as np
+import pytest
+
+from kmer_hasher_tpu import refsem as rs
+from kmer_hasher_tpu.index import KmerIndex
+
+
+def canonical_tables_from_oracle(h: rs.RefKmerHash, opt_flag: int):
+    """Oracle tables are already emitted in canonical sorted-key order."""
+    return rs.kmer_positions(h, opt_flag)
+
+
+def test_small_index_exact():
+    seq = "ACGTACGTTTACGT"
+    k = 4
+    idx = KmerIndex(seq, k)
+    h = rs.make_kmer_hash(seq, k)
+    t = canonical_tables_from_oracle(h, 15)
+    assert idx.kmer_strings() == t["kmer"]
+    np.testing.assert_array_equal(idx.counts(), t["count"])
+    np.testing.assert_array_equal(idx.pos_table(), t["pos"])
+    np.testing.assert_array_equal(idx.pair_table(), t["pair.pos"])
+
+
+def test_index_with_ns_and_trailing_quirk():
+    seq = "ACGTANNACGTNNNGGGGGNACG"
+    k = 4
+    idx = KmerIndex(seq, k)
+    h = rs.make_kmer_hash(seq, k)
+    t = canonical_tables_from_oracle(h, 15)
+    assert idx.kmer_strings() == t["kmer"]
+    np.testing.assert_array_equal(idx.pos_table(), t["pos"])
+    np.testing.assert_array_equal(idx.counts(), t["count"])
+    np.testing.assert_array_equal(idx.pair_table(), t["pair.pos"])
+
+
+@pytest.mark.parametrize("k", [1, 8, 16, 17, 32])
+def test_random_sequence_parity(k):
+    rng = np.random.default_rng(k)
+    seq = "".join(rng.choice(list("ACGTacgtN"), size=400,
+                             p=[.12, .12, .12, .12, .12, .12, .12, .12, .04]))
+    if len(seq) <= k:
+        return
+    idx = KmerIndex(seq, k)
+    h = rs.make_kmer_hash(seq, k)
+    t = canonical_tables_from_oracle(h, 15)
+    assert idx.kmer_strings() == t["kmer"]
+    np.testing.assert_array_equal(idx.pos_table(), t["pos"])
+    np.testing.assert_array_equal(idx.counts(), t["count"])
+    np.testing.assert_array_equal(idx.pair_table(), t["pair.pos"])
+
+
+def test_baseline_config_test_fa_k8(test_fa):
+    """BASELINE config 1 on the bundled data, full tables (pairs on a slice
+    -- full-table pair count asserted exactly, content spot-checked by
+    chunk)."""
+    k = 8
+    idx = KmerIndex(test_fa, k)
+    h = rs.make_kmer_hash(test_fa, k)
+    t = rs.kmer_positions(h, 1 | 2 | 8)
+    assert idx.kmer_strings() == t["kmer"]
+    np.testing.assert_array_equal(idx.counts(), t["count"])
+    np.testing.assert_array_equal(idx.pos_table(), t["pos"])
+    assert idx.n_kmers == 8536
+    assert idx.total_pairs == 17805793
+    # stream the first chunk and verify against the oracle's leading rows
+    t_pairs = rs.kmer_positions(rs.make_kmer_hash(test_fa[:4000], k), 4)
+    idx2 = KmerIndex(test_fa[:4000], k)
+    np.testing.assert_array_equal(idx2.pair_table(), t_pairs["pair.pos"])
+
+
+def test_pair_chunking_matches_monolithic():
+    seq = "ACGT" * 50 + "TTGCA" * 10
+    idx = KmerIndex(seq, 3)
+    whole = idx.pair_table()
+    chunks = np.concatenate(list(idx.iter_pair_chunks(capacity=64)), axis=0)
+    np.testing.assert_array_equal(whole, chunks)
+    assert len(whole) == idx.total_pairs
+
+
+def test_pair_table_guard():
+    idx = KmerIndex("A" * 100, 4)
+    with pytest.raises(MemoryError):
+        idx.pair_table(max_pairs=10)
+
+
+def test_validation_errors():
+    with pytest.raises(ValueError):
+        KmerIndex("ACGT", 0)
+    with pytest.raises(ValueError):
+        KmerIndex("ACGT", 33)
+    with pytest.raises(ValueError):
+        KmerIndex("ACGT", 4)
