@@ -20,16 +20,32 @@ from typing import Dict, Optional, Sequence
 
 import numpy as np
 
+from .counting import (
+    count_kmers,
+    count_kmers_fq,
+    count_kmers_fq_sh,
+    count_kmers_fq_sh_rp,
+    seq_kmer_depth,
+)
 from .index import KmerIndex
+from .index.count_store import CountStore
 from .index.query import iter_seq_kmer_pos_chunks, kmer_pairs, seq_kmer_pos
 
 __all__ = [
     "KmerIndex",
+    "CountStore",
     "make_kmer_hash",
     "kmer_pos",
     "seq_kmer_pos",
     "iter_seq_kmer_pos_chunks",
     "kmer_pairs",
+    "count_kmers",
+    "count_kmers_fq",
+    "count_kmers_fq_sh",
+    "count_kmers_fq_sh_rp",
+    "seq_kmer_depth",
+    "kmer_spectrum",
+    "kmer_spectrum_n",
 ]
 
 
@@ -46,3 +62,16 @@ def kmer_pos(index: KmerIndex, opt_flag: int,
     src/kmer_hash.c:1054-1147). Set ``max_pairs`` to guard against pair
     blow-ups, or use ``index.iter_pair_chunks()`` to stream."""
     return index.tables(opt_flag, max_pairs=max_pairs)
+
+
+def kmer_spectrum(store: CountStore, max_count: int) -> np.ndarray:
+    """``kmer.spec.kt`` / ``kmer.spec.sh`` (src/kmer_hash.c:975-1008):
+    counts histogram clamped into the last bin; kmer_tree-mode stores
+    include the zero cells of allocated prefix blocks."""
+    return store.spectrum(max_count)
+
+
+def kmer_spectrum_n(store: CountStore, max_count: int, comb, comb_inner,
+                    source_min) -> np.ndarray:
+    """``kmer.spec.sh.n`` (src/kmer_hash.c:1010-1038)."""
+    return store.spectrum_n(max_count, comb, comb_inner, source_min)

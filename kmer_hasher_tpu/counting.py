@@ -1,0 +1,237 @@
+"""High-level counting entries — analogues of the reference's
+``count.kmers*`` R surface (kmer_hash.R:43-96, src/kmer_hash.c:548-857).
+
+Reads stream through the batched FSM iterators (quality paths) or the
+position-parallel encoder (no-quality paths), are canonicalised where the
+reference canonicalises, and merge into a :class:`CountStore`. The
+reference's thread count (its prefix-sharded reader pool,
+src/kmer_reader.c:28-39) has no analogue here — single-chip batches are
+data-parallel already, and multi-chip sharding lives in
+``kmer_hasher_tpu.parallel`` keyed on the same prefix notion.
+"""
+from __future__ import annotations
+
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .index.count_store import CountStore
+from .io import pad_records, read_fastx
+from .io.fastx import Record
+from .ops import encode as enc
+from .ops import scan_iter as si
+from .qll import Q_TO_LL
+
+MAX_K = 32
+
+
+def derive_prefix_suffix_bits(k: int, prefix_bits: int) -> Tuple[int, int]:
+    """Reader-pool bit split (src/kmer_reader.c:86-95), clamped sanely."""
+    total = 2 * k
+    prefix_bits = min(prefix_bits, 36, total)
+    suffix_bits = total - prefix_bits
+    if suffix_bits > 32:
+        suffix_bits = 32
+        prefix_bits = total - 32
+    return prefix_bits, suffix_bits
+
+
+def _pad_pow2(records: List[Record]):
+    """Pad a record batch to power-of-two rows and length so XLA programs
+    are reused across batches."""
+    pr = pad_records(records, pad_to_multiple=1)
+    B, L = pr.seq.shape
+    Bp = 1 << max(3, (B - 1).bit_length())
+    Lp = 1 << max(5, (L - 1).bit_length())
+    seq = np.full((Bp, Lp), ord("N"), np.uint8)
+    qual = np.zeros((Bp, Lp), np.uint8)
+    seq[:B, :L] = pr.seq
+    qual[:B, :L] = pr.qual
+    lengths = np.zeros(Bp, np.int32)
+    lengths[:B] = pr.lengths
+    has_qual = np.zeros(Bp, bool)
+    has_qual[:B] = pr.has_qual
+    return seq, qual, lengths, has_qual
+
+
+def _iter_batches(path: str, max_reads: Optional[int],
+                  batch_rows: int = 512) -> Iterator[List[Record]]:
+    if max_reads is not None and max_reads < 0:
+        max_reads = None
+    records = read_fastx(path, max_records=max_reads)
+    for i in range(0, len(records), batch_rows):
+        yield records[i:i + batch_rows]
+
+
+def _add_canonical_fsm(store: CountStore, emit, fhi, flo, rhi, rlo,
+                       source: int):
+    chi, clo = enc.canonical_windows(fhi, flo, rhi, rlo)
+    store.add_kmers(chi, clo, emit, source=source)
+
+
+def count_kmers(seqs: Sequence[str], k: int, source: int = 0,
+                source_n: int = 1,
+                store: Optional[CountStore] = None) -> CountStore:
+    """In-memory multi-source counting (``count.kmers``,
+    src/kmer_hash.c:548-591): forward strand only (no canonicalisation), no
+    quality, N-delimited windows with the trailing exactly-k drop;
+    sequences of length <= k skipped."""
+    if not 1 <= k <= MAX_K:
+        raise ValueError("k must be a positive integer less than 1+MAX_K")
+    if source_n < 1 or source >= source_n:
+        raise ValueError("source_n must be larger than 1 and larger than source")
+    if store is None:
+        store = CountStore(k, counts_n=source_n, mode="khash")
+    if store.k != k:
+        raise ValueError(
+            "mismatch between specified k and that given in the store"
+        )
+    if isinstance(seqs, (str, bytes)):
+        seqs = [seqs]
+    todo = [s for s in seqs if len(s) > k]
+    if not todo:
+        return store
+    recs = [("", s.encode() if isinstance(s, str) else bytes(s), None)
+            for s in todo]
+    seq, _qual, lengths, _hq = _pad_pow2(recs)
+    hi, lo, valid = enc.encode_stream(
+        seq, k, lengths, canonical=False, drop_trailing_exact_k=True
+    )
+    store.add_kmers(hi, lo, valid, source=source)
+    return store
+
+
+def _count_fastq_threshold(path: str, k: int, min_q: int,
+                           store: CountStore, max_reads: Optional[int]):
+    """Shared body of count.kmers.fq / count.kmers.fq.sh: per-base-threshold
+    iterator, canonical min(fwd, rc) (src/kmer_hash.c:618-806)."""
+    min_q_char = 33 + int(min_q)  # '!' + q, src/kmer_hash.c:633
+    for recs in _iter_batches(path, max_reads):
+        seq, qual, lengths, has_qual = _pad_pow2(recs)
+        if has_qual.any():
+            rows = np.where(has_qual)[0]
+            out = si.threshold_scan(
+                seq[rows], qual[rows], lengths[rows], k,
+                jnp.asarray(min_q_char), has_qual=True,
+            )
+            _add_canonical_fsm(store, *out, source=0)
+        if (~has_qual[: len(recs)]).any():
+            rows = np.where(~has_qual[: len(recs)])[0]
+            out = si.threshold_scan(
+                seq[rows], qual[rows], lengths[rows], k,
+                jnp.asarray(min_q_char), has_qual=False,
+            )
+            _add_canonical_fsm(store, *out, source=0)
+    return store
+
+
+def count_kmers_fq(path: str, k: int, min_q: int = 0, prefix_bits: int = 16,
+                   max_mem_gb: Optional[int] = None,
+                   max_reads: Optional[int] = None,
+                   store: Optional[CountStore] = None) -> CountStore:
+    """``count.kmers.fq`` (src/kmer_hash.c:618-711): kmer_tree-backed
+    canonical counting — spectra include zero cells of allocated prefix
+    blocks; optional soft memory budget (src/kmer_tree.c:57-67)."""
+    if not 1 <= k <= MAX_K:
+        raise ValueError("k must be a positive integer less than 1+MAX_K")
+    if store is None:
+        store = CountStore(
+            k, counts_n=1, prefix_bits=prefix_bits, mode="ktree",
+            max_size_bytes=(max_mem_gb << 30) if max_mem_gb else None,
+        )
+    return _count_fastq_threshold(path, k, min_q, store, max_reads)
+
+
+def count_kmers_fq_sh(path: str, k: int, min_q: int = 0,
+                      prefix_bits: int = 16,
+                      max_mem_gb: Optional[int] = None,
+                      max_reads: Optional[int] = None,
+                      store: Optional[CountStore] = None) -> CountStore:
+    """``count.kmers.fq.sh`` (src/kmer_hash.c:715-806): suffix_hash-backed
+    variant — spectra over present k-mers only."""
+    if not 1 <= k <= MAX_K:
+        raise ValueError("k must be a positive integer less than 1+MAX_K")
+    if store is None:
+        store = CountStore(k, counts_n=1, prefix_bits=prefix_bits, mode="sh")
+    return _count_fastq_threshold(path, k, min_q, store, max_reads)
+
+
+def count_kmers_fq_sh_rp(path: str, k: int, prefix_bits: int = 20,
+                         min_q: int = 20, n_shards: int = 1,
+                         max_reads: Optional[int] = None,
+                         max_mem_gb: Optional[int] = None,
+                         source_n: int = 1, source: int = 0,
+                         store: Optional[CountStore] = None) -> CountStore:
+    """The flagship path ``count.kmers.fq.sh.rp`` (src/kmer_hash.c:810-857):
+    quality-likelihood filtered, canonical, multi-source counting.
+
+    ``n_shards`` mirrors the reference's thread_n parameter; it does not
+    change results (the reference's threads shard disjoint prefixes of one
+    shared store, src/kmer_reader.c:28-39) and is accepted for API parity.
+    """
+    if not 1 <= k <= MAX_K:
+        raise ValueError("k must be a positive integer less than 1+MAX_K")
+    if not 1 <= source_n <= 4:
+        raise ValueError("Source_n must be in the range 1 - 4")
+    if source >= source_n:
+        raise ValueError("source_i must be less than source_n")
+    if store is None:
+        pb, sb = derive_prefix_suffix_bits(k, prefix_bits)
+        store = CountStore(k, counts_n=source_n, prefix_bits=pb,
+                           suffix_bits=sb, mode="sh")
+    if store.k != k:
+        raise ValueError("Incompatible arguments: k does not match the store")
+    if source >= store.counts_n:
+        raise ValueError("Value of source is too large")
+    min_ll = jnp.asarray(float(Q_TO_LL[33 + int(min_q)]))
+    for recs in _iter_batches(path, max_reads):
+        seq, qual, lengths, has_qual = _pad_pow2(recs)
+        if has_qual.any():
+            rows = np.where(has_qual)[0]
+            out = si.ll_scan(seq[rows], qual[rows], lengths[rows], k, min_ll)
+            _add_canonical_fsm(store, *out, source=source)
+        if (~has_qual[: len(recs)]).any():
+            # FASTA records go through the no-quality iterator: N-delimited
+            # windows, no trailing drop (src/kmer_util.c:68-93) — equivalent
+            # to plain canonical window enumeration, but reads of length
+            # <= k are skipped by the caller loop (src/kmer_reader.c:54-55)
+            rows = np.where(~has_qual[: len(recs)])[0]
+            lens = lengths[rows]
+            hi, lo, valid = enc.encode_stream(
+                seq[rows], k, lens, canonical=True,
+                drop_trailing_exact_k=False,
+            )
+            valid &= jnp.asarray(lens > k)[:, None]
+            store.add_kmers(hi, lo, valid, source=source)
+    return store
+
+
+def seq_kmer_depth(store: CountStore, seq, k: int) -> np.ndarray:
+    """``seq.kmer.depth.sh`` (src/kmer_reader.c:155-194): per-position
+    canonical k-mer counts, shape (counts_n, len(seq)), NA (INT_MIN) where
+    no valid window exists.
+
+    Deliberate deviation from the reference: windows overlapping N are NA
+    (the C rolls a stale register across N gaps after exactly-k regions and
+    looks up a partial window at end-of-sequence — see PARITY.md)."""
+    if store.k != k:
+        raise ValueError("Receieved error from seq_kmer_counts: k mismatch")
+    if isinstance(seq, str):
+        seq = np.frombuffer(seq.encode(), np.uint8)
+    elif isinstance(seq, (bytes, bytearray)):
+        seq = np.frombuffer(bytes(seq), np.uint8)
+    seq = np.asarray(seq, np.uint8)
+    L = int(seq.shape[0])
+    Lp = 1 << max(5, (L - 1).bit_length())
+    if Lp != L:
+        seq = np.concatenate([seq, np.full(Lp - L, ord("N"), np.uint8)])
+    hi, lo, valid = enc.encode_stream(
+        seq, k, L, canonical=True, drop_trailing_exact_k=False
+    )
+    rows = store.lookup(hi, lo)  # [Lp, counts_n]
+    valid_np = np.asarray(valid)
+    out = np.full((store.counts_n, L), np.int32(-(2 ** 31)), np.int32)
+    sel = np.where(valid_np[:L])[0]
+    out[:, sel] = rows[:L][sel].T
+    return out

@@ -1,0 +1,213 @@
+"""Streaming k-mer iterators as batched finite-state scans.
+
+The reference's FASTQ counting paths walk each read with a stateful iterator
+whose accept/reject decisions depend on data-dependent restarts
+(src/kmer_util.c:95-161 for the quality-likelihood iterator;
+src/kmer_hash.c:296-332 for the per-base-threshold loops). Those recurrences
+cannot be window-parallelised without changing semantics, so here they run
+as a ``lax.scan`` over base positions whose tiny per-read state is
+vectorised across the whole read batch — each scan step is elementwise VPU
+work over thousands of reads at once.
+
+Two FSMs:
+
+* :func:`ll_scan` — the flagship reader-pool filter: a window is accepted
+  iff its running log-likelihood beats ``min_ll``. Reproduces bit-for-bit
+  (float64) the reference's two quirks: the (k+1)-th base's ll polluting
+  the window sum during builds (the assignment inside the while condition,
+  src/kmer_util.c:104), and the rolling update subtracting the previous
+  *new* base rather than the base leaving the window, telescoping the sum
+  to ``ll(first k-1 of last build) + ll(newest)`` (src/kmer_util.c:150).
+  N is not checked on this path (src/kmer_util.c:104-108).
+
+* :func:`threshold_scan` — per-base quality gates with the reference's
+  init/roll asymmetry: window build requires ``qual >= min_q``
+  (src/kmer_util.c:42) while rolling requires strictly ``qual > min_q``
+  (src/kmer_hash.c:317), N always breaks; a window completed by a fresh
+  build at the exact end of the read is suppressed (``if(!seq[i]) break``
+  before the add, src/kmer_hash.c:309-313).
+
+Both emit, per position p: (accepted, fwd_hi, fwd_lo, rc_hi, rc_lo) for the
+window ending at p (1-based end = p+1). The RC register is kept
+bottom-aligned (new complement base inserted at bit 2k-2), equivalent to
+the reference's top-aligned register after its ``>> (64-2k)`` extraction.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..qll import Q_TO_LL
+
+U32 = jnp.uint32
+F64 = jnp.float64
+
+
+def _roll_regs(state_regs, c: jax.Array, k: int):
+    """One rolling step of the forward and (bottom-aligned) RC registers."""
+    fhi, flo, rhi, rlo = state_regs
+    cc = c ^ U32(2)  # complement: (code+2)%4 == code^2
+    if k <= 16:
+        flo = ((flo << 2) | c) & U32((1 << (2 * k)) - 1 if k < 16 else 0xFFFFFFFF)
+        fhi = jnp.zeros_like(fhi)
+        rlo = (rlo >> 2) | (cc << (2 * k - 2))
+        if k < 16:
+            rlo &= U32((1 << (2 * k)) - 1)
+        rhi = jnp.zeros_like(rhi)
+    else:
+        hi_mask = U32((1 << (2 * (k - 16))) - 1) if k < 32 else U32(0xFFFFFFFF)
+        fhi = ((fhi << 2) | (flo >> 30)) & hi_mask
+        flo = (flo << 2) | c
+        rlo = (rlo >> 2) | ((rhi & 3) << 30)
+        rhi = ((rhi >> 2) | (cc << (2 * k - 34))) & hi_mask
+    return fhi, flo, rhi, rlo
+
+
+def _zero_regs(shape):
+    z = jnp.zeros(shape, U32)
+    return z, z, z, z
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def ll_scan(
+    ascii_u8: jax.Array, qual_u8: jax.Array, lengths: jax.Array, k: int,
+    min_ll: jax.Array,
+) -> Tuple[jax.Array, ...]:
+    """Quality-likelihood iterator over a padded read batch.
+
+    ascii_u8/qual_u8: [B, L]; lengths: [B]. Returns (accept[B, L],
+    fhi, flo, rhi, rlo each [B, L]) where column p describes the window
+    ending at position p. Reads with length <= k emit nothing (the caller
+    loop skips them, src/kmer_reader.c:54-55).
+    """
+    B, L = ascii_u8.shape
+    codes = (ascii_u8.astype(U32) >> 1) & 3
+    ll = jnp.asarray(Q_TO_LL)[qual_u8.astype(jnp.int32)]
+    # pollution term: ll of the base after the window, 0 past the read end
+    ll_next = jnp.concatenate([ll[:, 1:], jnp.zeros((B, 1), F64)], axis=1)
+    ll_next = jnp.where(
+        (jnp.arange(L) + 1)[None, :] < lengths[:, None], ll_next, 0.0
+    )
+    in_read = jnp.arange(L)[None, :] < lengths[:, None]
+    row_on = (lengths > k)[:, None] & in_read
+
+    def step(state, xs):
+        rolling, j, regs, acc, emitC = state
+        c, llv, llnext, on = xs
+
+        # --- rolling mode (kmer_iterator_next, src/kmer_util.c:145-161) ---
+        v = emitC + llv
+        roll_ok = rolling & ~(v < min_ll)
+        roll_fail = rolling & (v < min_ll)  # consume base, restart at p+1
+
+        # --- building mode (kmer_iterator_begin, src/kmer_util.c:95-128) --
+        building = ~rolling
+        ok1 = building & ((acc + llv) > min_ll)
+        # failure resets the attempt and retries this base fresh
+        ok2 = building & ~ok1 & (llv > min_ll)
+        b_ok = ok1 | ok2
+        j_base = jnp.where(ok1, j, 0)
+        acc_base = jnp.where(ok1, acc, 0.0)
+
+        take = (roll_ok | b_ok) & on
+        src_regs = tuple(
+            jnp.where(ok1 | roll_ok, r, z)
+            for r, z in zip(regs, _zero_regs(j.shape))
+        )
+        new_regs = _roll_regs(src_regs, c, k)
+        regs = tuple(
+            jnp.where(take, nr, r) for nr, r in zip(new_regs, regs)
+        )
+
+        j_new = jnp.where(b_ok, j_base + 1, jnp.where(building, 0, j))
+        acc_new = jnp.where(b_ok, acc_base + llv, jnp.where(building, 0.0, acc))
+        completed = building & b_ok & (j_new == k) & on
+        emit = (completed | (roll_ok & rolling)) & on
+
+        rolling_new = jnp.where(
+            on, (rolling & ~roll_fail) | completed, rolling
+        )
+        j_new = jnp.where(on, jnp.where(roll_fail, 0, j_new), j)
+        acc_new = jnp.where(on, jnp.where(roll_fail, 0.0, acc_new), acc)
+        emitC_new = jnp.where(
+            completed, acc_new - llv + llnext, jnp.where(roll_fail, 0.0, emitC)
+        )
+        out = (emit,) + regs
+        return (rolling_new, j_new, regs, acc_new, emitC_new), out
+
+    init = (
+        jnp.zeros(B, bool), jnp.zeros(B, jnp.int32), _zero_regs(B),
+        jnp.zeros(B, F64), jnp.zeros(B, F64),
+    )
+    xs = (
+        codes.T, ll.T, ll_next.T, row_on.T,
+    )
+    _, outs = jax.lax.scan(step, init, xs)
+    emit, fhi, flo, rhi, rlo = (o.T for o in outs)
+    return emit, fhi, flo, rhi, rlo
+
+
+@functools.partial(jax.jit, static_argnames=("k", "has_qual"))
+def threshold_scan(
+    ascii_u8: jax.Array, qual_u8: jax.Array, lengths: jax.Array, k: int,
+    min_q: jax.Array, has_qual: bool = True,
+) -> Tuple[jax.Array, ...]:
+    """Per-base-threshold iterator (seq_to_counts_kt / seq_to_counts_sh,
+    src/kmer_hash.c:257-332) over a padded read batch.
+
+    Build gate: not-N and qual >= min_q; roll gate: not-N and qual > min_q.
+    A window completed by a build at the exact end of the read is dropped.
+    """
+    B, L = ascii_u8.shape
+    codes = (ascii_u8.astype(U32) >> 1) & 3
+    is_n = (ascii_u8 | jnp.uint8(0x20)) == jnp.uint8(ord("n"))
+    if has_qual:
+        q = qual_u8.astype(jnp.int32)
+        build_gate = ~is_n & (q >= min_q)
+        roll_gate = ~is_n & (q > min_q)
+    else:
+        build_gate = ~is_n
+        roll_gate = ~is_n
+    pos_idx = jnp.arange(L)[None, :]
+    in_read = pos_idx < lengths[:, None]
+    row_on = (lengths > k)[:, None] & in_read
+    last_pos = (lengths - 1)[:, None] == pos_idx  # exact end of read
+
+    def step(state, xs):
+        rolling, j, regs = state
+        c, bg, rg, on, at_end = xs
+
+        roll_ok = rolling & rg
+        # on roll failure the base is REPROCESSED as a fresh build start
+        # (the outer while re-enters init_kmer_qual_2 at i,
+        #  src/kmer_hash.c:306-308)
+        building = ~rolling | (rolling & ~rg)
+        b_ok = building & bg
+        j_base = jnp.where(~rolling, j, 0)  # fresh attempt after roll fail
+
+        take = (roll_ok | b_ok) & on
+        src_regs = tuple(
+            jnp.where((b_ok & (j_base > 0)) | roll_ok, r, z)
+            for r, z in zip(regs, _zero_regs(j.shape))
+        )
+        new_regs = _roll_regs(src_regs, c, k)
+        regs = tuple(jnp.where(take, nr, r) for nr, r in zip(new_regs, regs))
+
+        j_new = jnp.where(b_ok, j_base + 1, 0)
+        completed = b_ok & (j_new == k) & on
+        # suppression: build completing on the read's last base is dropped,
+        # but the FSM still enters rolling (moot — the read is over)
+        emit = ((completed & ~at_end) | roll_ok) & on
+        rolling_new = jnp.where(on, roll_ok | completed, rolling)
+        j_new = jnp.where(on, jnp.where(rolling_new, 0, j_new), j)
+        out = (emit,) + regs
+        return (rolling_new, j_new, regs), out
+
+    init = (jnp.zeros(B, bool), jnp.zeros(B, jnp.int32), _zero_regs(B))
+    xs = (codes.T, build_gate.T, roll_gate.T, row_on.T, last_pos.T)
+    _, outs = jax.lax.scan(step, init, xs)
+    emit, fhi, flo, rhi, rlo = (o.T for o in outs)
+    return emit, fhi, flo, rhi, rlo

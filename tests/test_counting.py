@@ -1,0 +1,182 @@
+"""Counting paths (device) vs the oracle — BASELINE config 3 (fastq
+counting on test_10.fastq + repeat_40.fq, k=21) and the full entry family."""
+import numpy as np
+import pytest
+
+from kmer_hasher_tpu import refsem as rs
+from kmer_hasher_tpu.api import (
+    count_kmers,
+    count_kmers_fq,
+    count_kmers_fq_sh,
+    count_kmers_fq_sh_rp,
+    kmer_spectrum,
+    kmer_spectrum_n,
+    seq_kmer_depth,
+)
+from kmer_hasher_tpu.index.count_store import CountStore
+
+REF = "/root/reference"
+
+
+def store_dict(store):
+    return {k: v for k, v in store.counts_dict().items()}
+
+
+def oracle_dict(st: rs.RefCountStore):
+    return {k: list(v) for k, v in st.counts.items()}
+
+
+# ---------------------------------------------------------------------------
+# count.kmers (in-memory, forward-only, multi-source)
+# ---------------------------------------------------------------------------
+
+def test_count_kmers_matches_oracle():
+    seqs = ["ACGTACGTA", "ggttacNgtACA", "TTTT", "ACGTANNACGT"]
+    got = count_kmers(seqs, k=4, source=0, source_n=2)
+    got = count_kmers(["ACACACACAC"], k=4, source=1, source_n=2, store=got)
+    want = rs.count_kmers_seqs(seqs, 4, 0, 2)
+    want = rs.count_kmers_seqs(["ACACACACAC"], 4, 1, 2, store=want)
+    assert store_dict(got) == oracle_dict(want)
+
+
+def test_count_kmers_validation():
+    with pytest.raises(ValueError):
+        count_kmers(["ACGT"], k=4, source=2, source_n=2)
+    st = count_kmers(["ACGTACGT"], k=4, source=0, source_n=1)
+    with pytest.raises(ValueError):
+        count_kmers(["ACGTACGT"], k=5, source=0, source_n=1, store=st)
+
+
+# ---------------------------------------------------------------------------
+# fastq counting — threshold paths (count.kmers.fq / .sh)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("k,min_q", [(5, 20), (21, 2)])
+def test_count_fq_sh_matches_oracle(k, min_q, repeat_40_fq):
+    got = count_kmers_fq_sh(f"{REF}/repeat_40.fq", k=k, min_q=min_q,
+                            prefix_bits=2)
+    reads = [(s, q) for (_n, s, q) in repeat_40_fq]
+    want = rs.count_kmers_reads_threshold(reads, k=k, min_q_phred=min_q,
+                                          prefix_bits=2)
+    assert store_dict(got) == oracle_dict(want)
+
+
+def test_count_fq_ktree_spectrum_zero_cells(repeat_40_fq):
+    # kmer_tree mode: spectrum bin 0 counts the zero cells of allocated
+    # dense blocks (the reference's table(spc.0) structure, test.R:409-417)
+    k = 5
+    got = count_kmers_fq(f"{REF}/repeat_40.fq", k=k, min_q=0, prefix_bits=1)
+    spec = kmer_spectrum(got, 10000)
+    reads = [(s, q) for (_n, s, q) in repeat_40_fq]
+    want = rs.count_kmers_reads_threshold(
+        reads, k=k, min_q_phred=0, prefix_bits=1)
+    want.suffix_bits = 2 * k - 1
+    want_spec = rs.kmer_spectrum(want, 10000, include_allocated_zeros=True)
+    np.testing.assert_array_equal(spec, want_spec)
+    assert spec[0] > 0  # zero cells present
+
+
+# ---------------------------------------------------------------------------
+# flagship: count.kmers.fq.sh.rp (BASELINE config 3)
+# ---------------------------------------------------------------------------
+
+def test_rp_test10_and_repeat40_k21(test_10_fastq, repeat_40_fq):
+    k, min_q = 21, 20
+    st = count_kmers_fq_sh_rp(f"{REF}/test_10.fastq", k=k, min_q=min_q,
+                              source_n=2, source=0)
+    st = count_kmers_fq_sh_rp(f"{REF}/repeat_40.fq", k=k, min_q=min_q,
+                              source_n=2, source=1, store=st)
+    reads10 = [(s, q) for (_n, s, q) in test_10_fastq]
+    reads40 = [(s, q) for (_n, s, q) in repeat_40_fq]
+    want = rs.count_kmers_reads_ll(reads10, k=k, min_q_phred=min_q,
+                                   source=0, source_n=2)
+    want = rs.count_kmers_reads_ll(reads40, k=k, min_q_phred=min_q,
+                                   source=1, source_n=2, store=want)
+    assert store_dict(st) == oracle_dict(want)
+
+
+def test_rp_gz_subset(test_fastq_gz):
+    k, min_q = 21, 20
+    st = count_kmers_fq_sh_rp(f"{REF}/test.fastq.gz", k=k, min_q=min_q,
+                              max_reads=400)
+    reads = [(s, q) for (_n, s, q) in test_fastq_gz[:400]]
+    want = rs.count_kmers_reads_ll(reads, k=k, min_q_phred=min_q)
+    assert store_dict(st) == oracle_dict(want)
+
+
+def test_rp_incremental_doubles(repeat_40_fq):
+    st = count_kmers_fq_sh_rp(f"{REF}/repeat_40.fq", k=5, min_q=0)
+    once = store_dict(st)
+    st = count_kmers_fq_sh_rp(f"{REF}/repeat_40.fq", k=5, min_q=0, store=st)
+    twice = store_dict(st)
+    assert set(once) == set(twice)
+    for kk, v in once.items():
+        assert twice[kk][0] == 2 * v[0]
+
+
+def test_rp_validation():
+    with pytest.raises(ValueError):
+        count_kmers_fq_sh_rp(f"{REF}/repeat_40.fq", k=5, source_n=5)
+    with pytest.raises(ValueError):
+        count_kmers_fq_sh_rp(f"{REF}/repeat_40.fq", k=5, source_n=2, source=2)
+
+
+# ---------------------------------------------------------------------------
+# depth track + spectra
+# ---------------------------------------------------------------------------
+
+def test_depth_track_matches_oracle(repeat_40_fq):
+    k = 5
+    st = count_kmers_fq_sh_rp(f"{REF}/repeat_40.fq", k=k, min_q=0,
+                              source_n=2, source=0)
+    reads = [(s, q) for (_n, s, q) in repeat_40_fq]
+    want_st = rs.count_kmers_reads_ll(reads, k=k, min_q_phred=0,
+                                      source=0, source_n=2)
+    seq = repeat_40_fq[0][1].decode()
+    got = seq_kmer_depth(st, seq, k)
+    want = rs.seq_kmer_depth(want_st, seq, k)
+    np.testing.assert_array_equal(got, want.astype(np.int64))
+    # and a sequence with Ns + novel kmers (no stale-register degenerate
+    # regions: valid regions around the N are longer than k)
+    seq2 = seq[:40] + "N" + "TTTTTTTTCCCC" + seq[40:80]
+    got2 = seq_kmer_depth(st, seq2, k)
+    want2 = rs.seq_kmer_depth(want_st, seq2, k)
+    np.testing.assert_array_equal(got2, want2.astype(np.int64))
+
+
+def test_depth_k_mismatch(repeat_40_fq):
+    st = count_kmers_fq_sh_rp(f"{REF}/repeat_40.fq", k=5, min_q=0)
+    with pytest.raises(ValueError):
+        seq_kmer_depth(st, "ACGTACGTAA", 6)
+
+
+def test_spectrum_matches_oracle(test_fastq_gz):
+    k, min_q = 16, 10
+    st = count_kmers_fq_sh_rp(f"{REF}/test.fastq.gz", k=k, min_q=min_q,
+                              max_reads=300)
+    reads = [(s, q) for (_n, s, q) in test_fastq_gz[:300]]
+    want_st = rs.count_kmers_reads_ll(reads, k=k, min_q_phred=min_q)
+    np.testing.assert_array_equal(kmer_spectrum(st, 50),
+                                  rs.kmer_spectrum(want_st, 50))
+
+
+def test_spectrum_n_matches_oracle(test_10_fastq, repeat_40_fq):
+    k = 7
+    st = count_kmers_fq_sh_rp(f"{REF}/test_10.fastq", k=k, min_q=0,
+                              source_n=2, source=0)
+    st = count_kmers_fq_sh_rp(f"{REF}/repeat_40.fq", k=k, min_q=0,
+                              source_n=2, source=1, store=st)
+    want = rs.count_kmers_reads_ll(
+        [(s, q) for (_n, s, q) in test_10_fastq], k=k, min_q_phred=0,
+        source=0, source_n=2)
+    want = rs.count_kmers_reads_ll(
+        [(s, q) for (_n, s, q) in repeat_40_fq], k=k, min_q_phred=0,
+        source=1, source_n=2, store=want)
+    comb, inner, smin = [3, 1, 2], [1, 0, 0], [1, 1]
+    got = kmer_spectrum_n(st, 30, comb, inner, smin)
+    exp = rs.kmer_spectrum_n(want, 30, comb, inner, smin)
+    np.testing.assert_array_equal(got, exp)
+    with pytest.raises(ValueError):
+        kmer_spectrum_n(st, 30, [4], [1], smin)  # comb >= 2^counts_n
+    with pytest.raises(ValueError):
+        kmer_spectrum_n(st, 30, [1], [2], smin)  # bad inner
