@@ -32,9 +32,18 @@ import os as _os
 
 _cache = _os.environ.get("KMH_XLA_CACHE")
 if _cache != "0":
+    # separate dirs per platform: CPU executables compiled inside a TPU
+    # -plugin process can target the remote host's CPU features and SIGILL
+    # if reloaded into a plain local-CPU process
+    _platform = (
+        _jax.config.jax_platforms
+        or _os.environ.get("JAX_PLATFORMS")
+        or "default"
+    )
     _jax.config.update(
         "jax_compilation_cache_dir",
-        _cache or _os.path.expanduser("~/.cache/kmer_hasher_tpu/xla"),
+        _cache
+        or _os.path.expanduser(f"~/.cache/kmer_hasher_tpu/xla-{_platform}"),
     )
     _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)

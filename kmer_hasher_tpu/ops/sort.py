@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 I32 = jnp.int32
+U32_ZERO = jnp.uint32(0)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -86,8 +87,11 @@ def searchsorted2(
     parallel — this replaces ``kh_get`` point lookups (khash.h:230-243).
     """
     n = s_hi.shape[0]
-    lo_b = jnp.zeros(q_hi.shape, I32)
-    hi_b = jnp.broadcast_to(jnp.asarray(n_valid, I32), q_hi.shape)
+    # derive the init carry from BOTH operands so its "varying" status under
+    # shard_map matches the loop body's (constants are unvarying; the body
+    # mixes in the per-shard s_hi/s_lo)
+    lo_b = ((q_hi | s_hi[0]) & U32_ZERO).astype(I32)
+    hi_b = lo_b + jnp.asarray(n_valid, I32)
     iters = max(1, (n + 1).bit_length())
 
     def body(_, state):
@@ -114,8 +118,8 @@ def searchsorted_i64(sorted_vals: jax.Array, q: jax.Array, n_valid,
     """Binary search over a sorted int64 array (used for cumulative-offset
     -> source-element mapping in chunked expansions)."""
     n = sorted_vals.shape[0]
-    lo_b = jnp.zeros(q.shape, I32)
-    hi_b = jnp.broadcast_to(jnp.asarray(n_valid, I32), q.shape)
+    lo_b = ((q | sorted_vals[0]) & jnp.asarray(0, q.dtype)).astype(I32)
+    hi_b = lo_b + jnp.asarray(n_valid, I32)
     iters = max(1, (n + 1).bit_length())
 
     def body(_, state):

@@ -14,6 +14,11 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 # Persistent compilation cache is configured by the package itself
 # (kmer_hasher_tpu/__init__.py); shared across test and dev processes.
+# The env var alone does not override an installed platform plugin (axon
+# TPU) — force the CPU platform through the config API.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 

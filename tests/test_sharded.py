@@ -1,0 +1,96 @@
+"""Multi-device sharding on the 8-device virtual CPU mesh: sharded build +
+routed counting must agree with the single-chip paths."""
+import jax
+import numpy as np
+import pytest
+
+from kmer_hasher_tpu import refsem as rs
+from kmer_hasher_tpu.index import KmerIndex
+from kmer_hasher_tpu.index.count_store import CountStore
+from kmer_hasher_tpu.ops import encode as enc
+from kmer_hasher_tpu.parallel import (
+    ShardedCountStore,
+    ShardedKmerIndex,
+    make_mesh,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must force 8 CPU devices"
+    return make_mesh(8)
+
+
+def test_sharded_index_matches_single_chip(mesh, test_fa):
+    seq = test_fa[:3000]
+    k = 11
+    sh = ShardedKmerIndex(seq, k, mesh)
+    single = KmerIndex(seq, k)
+    assert sh.total_kmers == single.n_valid
+    # per-key counts agree for a sample of kmers (query counts via psum)
+    h = rs.make_kmer_hash(seq, k)
+    keys = sorted(h.pos)[:200]
+    qhi = np.array([kk >> 32 for kk in keys], np.uint32)
+    qlo = np.array([kk & 0xFFFFFFFF for kk in keys], np.uint32)
+    got = sh.lookup_counts(qhi, qlo)
+    want = np.array([len(h.pos[kk]) for kk in keys])
+    np.testing.assert_array_equal(got, want)
+    # absent kmer -> 0
+    assert sh.lookup_counts(np.array([0xFFFFFFFF], np.uint32),
+                            np.array([0xFFFFFFFF], np.uint32))[0] == 0
+
+
+def test_sharded_positions(mesh, test_fa):
+    seq = test_fa[:2000]
+    k = 9
+    sh = ShardedKmerIndex(seq, k, mesh)
+    h = rs.make_kmer_hash(seq, k)
+    for kk in list(sorted(h.pos))[:20]:
+        got = sh.positions_of(
+            np.array([kk >> 32], np.uint32),
+            np.array([kk & 0xFFFFFFFF], np.uint32),
+            max_hits_per_shard=1 << 12,
+        )
+        np.testing.assert_array_equal(got, np.asarray(h.pos[kk]))
+
+
+def test_sharded_index_with_ns_and_quirk(mesh):
+    seq = "ACGTANNACGT" * 30 + "NN" + "ACGT"  # trailing exactly-k region
+    k = 4
+    sh = ShardedKmerIndex(seq, k, mesh)
+    single = KmerIndex(seq, k)
+    assert sh.total_kmers == single.n_valid
+
+
+def test_sharded_count_store_matches_single(mesh, repeat_40_fq):
+    k = 7
+    reads = [(s, q) for (_n, s, q) in repeat_40_fq]
+    # canonical windows of all reads, no filtering
+    from kmer_hasher_tpu.io import pad_records
+
+    pr = pad_records([("r", s, q) for s, q in reads])
+    hi, lo, valid = enc.encode_stream(pr.seq, k, pr.lengths, canonical=True)
+    # shard the batch rows across devices: 10 reads -> pad to 16 rows
+    B, L = hi.shape
+    D = mesh.size
+    Bp = -(-B // D) * D
+    pad = Bp - B
+    hi = np.pad(np.asarray(hi), ((0, pad), (0, 0)))
+    lo = np.pad(np.asarray(lo), ((0, pad), (0, 0)))
+    valid = np.pad(np.asarray(valid), ((0, pad), (0, 0)))
+    hi = hi.reshape(D, -1)
+    lo = lo.reshape(D, -1)
+    valid = valid.reshape(D, -1)
+    shc = ShardedCountStore(k, mesh, counts_n=1)
+    shc.add_batch(hi, lo, valid, source=0)
+    single = CountStore(k, counts_n=1)
+    single.add_kmers(*enc.encode_stream(pr.seq, k, pr.lengths,
+                                        canonical=True))
+    np.testing.assert_array_equal(shc.spectrum(600), single.spectrum(600))
+    assert int(shc.n_unique.sum()) == single.n_unique
+    # lookups agree
+    u_hi = np.asarray(single.u_hi)[: single.n_unique]
+    u_lo = np.asarray(single.u_lo)[: single.n_unique]
+    np.testing.assert_array_equal(
+        shc.lookup(u_hi, u_lo), single.lookup(u_hi, u_lo)
+    )
