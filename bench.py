@@ -1,0 +1,77 @@
+"""Headline benchmark: k-mers indexed per second per chip at k=32.
+
+Builds the flagship position index (position-parallel encode -> sort ->
+segment group, kmer_hasher_tpu.index.build_index_arrays) over a random
+sequence resident on-device, and reports steady-state throughput.
+
+Reference baseline: ~4e6 k-mers/s inserted single-core (32-mer index of a
+40 Mbp sequence in ~10 s, reference README.md:136-139; BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BASELINE_KMERS_PER_S = 4.0e6  # reference single-core insert rate
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kmer_hasher_tpu.index.position_index import build_index_arrays
+
+    K = int(os.environ.get("BENCH_K", "32"))
+    log_l = int(os.environ.get("BENCH_LOG_L", "25"))
+    platform = jax.default_backend()
+    L = 1 << log_l
+    if platform == "cpu":  # keep CI-sized when no accelerator
+        L = min(L, 1 << 20)
+
+    NUC = jnp.asarray(np.frombuffer(b"ACGT", np.uint8))
+
+    @jax.jit
+    def gen(key):
+        return NUC[jax.random.randint(key, (L,), 0, 4)]
+
+    seq = jax.block_until_ready(gen(jax.random.PRNGKey(0)))
+
+    def run():
+        out = build_index_arrays(seq, K, L)
+        jax.block_until_ready(out)
+        return out
+
+    run()  # compile
+    times = []
+    for _ in range(int(os.environ.get("BENCH_ITERS", "5"))):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    kmers_per_s = L / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"kmers indexed/s/chip (k={K}, L=2^{log_l}, "
+                          f"{platform})",
+                "value": round(kmers_per_s, 1),
+                "unit": "kmers/s",
+                "vs_baseline": round(kmers_per_s / BASELINE_KMERS_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    try:
+        main()
+    except Exception as e:  # emit a parseable failure record
+        print(json.dumps({"metric": "bench_error", "value": 0, "unit": str(e),
+                          "vs_baseline": 0}))
+        sys.exit(1)

@@ -1,0 +1,108 @@
+"""ctypes bindings for the native FASTA/FASTQ parser.
+
+Builds ``fastx.cpp`` on first use with g++ (cached under
+~/.cache/kmer_hasher_tpu) and exposes :func:`read_fastx` with the same
+record format as the pure-Python reader. Falls back silently if no
+compiler/zlib is available — callers check :func:`available`.
+"""
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import pathlib
+import subprocess
+from typing import List, Optional, Tuple
+
+_SRC = pathlib.Path(__file__).parent / "native" / "fastx.cpp"
+_lib = None
+_tried = False
+
+
+class _FastxResult(ctypes.Structure):
+    _fields_ = [
+        ("seq", ctypes.POINTER(ctypes.c_uint8)),
+        ("qual", ctypes.POINTER(ctypes.c_uint8)),
+        ("offsets", ctypes.POINTER(ctypes.c_int64)),
+        ("qual_present", ctypes.POINTER(ctypes.c_uint8)),
+        ("names", ctypes.c_char_p),
+        ("n_records", ctypes.c_int64),
+        ("names_len", ctypes.c_int64),
+        ("error", ctypes.c_int),
+    ]
+
+
+def _build() -> Optional[ctypes.CDLL]:
+    cache = pathlib.Path(
+        os.environ.get(
+            "KMH_NATIVE_CACHE",
+            os.path.expanduser("~/.cache/kmer_hasher_tpu"),
+        )
+    )
+    cache.mkdir(parents=True, exist_ok=True)
+    src = _SRC.read_bytes()
+    tag = hashlib.sha256(src).hexdigest()[:16]
+    so = cache / f"fastx_{tag}.so"
+    if not so.exists():
+        tmp = so.with_suffix(".so.tmp")
+        cmd = [
+            "g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+            str(_SRC), "-o", str(tmp), "-lz",
+        ]
+        r = subprocess.run(cmd, capture_output=True, timeout=300)
+        if r.returncode != 0:
+            return None
+        tmp.rename(so)
+    lib = ctypes.CDLL(str(so))
+    lib.fastx_read.restype = ctypes.POINTER(_FastxResult)
+    lib.fastx_read.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+    lib.fastx_free.argtypes = [ctypes.POINTER(_FastxResult)]
+    return lib
+
+
+def available() -> bool:
+    global _lib, _tried
+    if not _tried:
+        _tried = True
+        if os.environ.get("KMH_NATIVE_IO", "1") != "0":
+            try:
+                _lib = _build()
+            except Exception:
+                _lib = None
+    return _lib is not None
+
+
+def read_fastx(
+    path: str, max_records: Optional[int] = None
+) -> List[Tuple[str, bytes, Optional[bytes]]]:
+    if not available():
+        raise RuntimeError("native fastx parser unavailable")
+    res = _lib.fastx_read(
+        os.fsencode(path), -1 if max_records is None else int(max_records)
+    )
+    try:
+        r = res.contents
+        if r.error == 1:
+            raise FileNotFoundError(path)
+        if r.error == 2:
+            raise ValueError(f"unrecognised fastx content in {path}")
+        n = int(r.n_records)
+        if n == 0:
+            return []
+        offsets = [r.offsets[i] for i in range(n + 1)]
+        names = (
+            ctypes.string_at(r.names, r.names_len).decode().split("\n")[:n]
+            if r.names_len
+            else [""] * n
+        )
+        total = offsets[-1]
+        seq_all = ctypes.string_at(r.seq, total) if total else b""
+        qual_all = ctypes.string_at(r.qual, total) if total else b""
+        out: List[Tuple[str, bytes, Optional[bytes]]] = []
+        for i in range(n):
+            a, b = offsets[i], offsets[i + 1]
+            q = qual_all[a:b] if r.qual_present[i] else None
+            out.append((names[i], seq_all[a:b], q))
+        return out
+    finally:
+        _lib.fastx_free(res)
