@@ -35,25 +35,42 @@ def main() -> None:
         L = min(L, 1 << 20)
 
     NUC = jnp.asarray(np.frombuffer(b"ACGT", np.uint8))
+    CHAIN = int(os.environ.get("BENCH_CHAIN", "8"))
 
     @jax.jit
     def gen(key):
         return NUC[jax.random.randint(key, (L,), 0, 4)]
 
-    seq = jax.block_until_ready(gen(jax.random.PRNGKey(0)))
+    seq = gen(jax.random.PRNGKey(0))
+
+    # Chain several builds inside one jit so per-dispatch host latency
+    # (large over a tunneled chip) amortises out of the steady-state rate;
+    # each iteration mutates one base so no build can be CSE'd away.
+    @jax.jit
+    def run_chain(seq):
+        def body(i, carry):
+            seq, acc = carry
+            seq = seq.at[i].set(NUC[i % 4])
+            s_hi, _s_lo, _s_pos, n_valid, _st, _sg = build_index_arrays(
+                seq, K, L
+            )
+            return seq, acc + n_valid + s_hi[0].astype(jnp.int32)
+        _, acc = jax.lax.fori_loop(0, CHAIN, body, (seq, jnp.int32(0)))
+        return acc
 
     def run():
-        out = build_index_arrays(seq, K, L)
-        jax.block_until_ready(out)
+        out = run_chain(seq)
+        np.asarray(out)  # force completion (block_until_ready is not
+        # reliable on the tunneled platform)
         return out
 
     run()  # compile
     times = []
-    for _ in range(int(os.environ.get("BENCH_ITERS", "5"))):
+    for _ in range(int(os.environ.get("BENCH_ITERS", "3"))):
         t0 = time.perf_counter()
         run()
         times.append(time.perf_counter() - t0)
-    dt = min(times)
+    dt = min(times) / CHAIN
     kmers_per_s = L / dt
     print(
         json.dumps(

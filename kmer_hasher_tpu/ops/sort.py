@@ -49,12 +49,18 @@ def sort_windows(
         s_hi = (key_s >> jnp.uint64(32)).astype(jnp.uint32)
         s_lo = key_s.astype(jnp.uint32)
         return s_hi, s_lo, pos_s
-    k1 = ((~valid).astype(u64) << jnp.uint64(32)) | hi.astype(u64)
-    k2 = (lo.astype(u64) << jnp.uint64(32)) | pos.astype(u64)
+    # k == 32: the kmer needs all 64 bits, so invalid entries share the
+    # all-ones sentinel with genuine all-G kmers; a compact u32 second key
+    # (invalid flag above the 31-bit position) breaks that tie — valid
+    # entries first, positions ascending — keeping the comparator at
+    # u64+u32 instead of two u64s.
+    key = (hi.astype(u64) << jnp.uint64(32)) | lo.astype(u64)
+    k1 = jnp.where(valid, key, jnp.uint64(0xFFFFFFFFFFFFFFFF))
+    k2 = ((~valid).astype(jnp.uint32) << 31) | pos.astype(jnp.uint32)
     k1_s, k2_s = jax.lax.sort((k1, k2), dimension=-1, num_keys=2)
-    s_hi = k1_s.astype(jnp.uint32)
-    s_lo = (k2_s >> jnp.uint64(32)).astype(jnp.uint32)
-    s_pos = k2_s.astype(jnp.uint32).astype(I32)
+    s_hi = (k1_s >> jnp.uint64(32)).astype(jnp.uint32)
+    s_lo = k1_s.astype(jnp.uint32)
+    s_pos = (k2_s & jnp.uint32(0x7FFFFFFF)).astype(I32)
     return s_hi, s_lo, s_pos
 
 
