@@ -225,6 +225,72 @@ class ShardedKmerIndex:
                      jnp.ravel(q_hi), jnp.ravel(q_lo))
         )
 
+    def seq_kmer_pos(self, query, k: int,
+                     max_hits_per_shard: int = 1 << 20) -> np.ndarray:
+        """Sharded ``seq.kmer.pos``: replicate the encoded query, let every
+        shard emit (i, j) rows for the k-mers it owns, merge on host.
+
+        Because the index is key-sharded, all hits of one query window live
+        on exactly one shard, so sorting the gathered rows by (i, j)
+        reproduces the single-chip (reference) row order exactly.
+        """
+        if isinstance(query, str):
+            query = np.frombuffer(query.encode(), np.uint8)
+        query = np.asarray(query, np.uint8)
+        if query.shape[-1] <= k or k > 31:
+            raise ValueError(
+                "the sequence should be longer than k and k should not be"
+                " longer than 31"
+            )
+        from ..ops import encode as enc
+
+        tl = query.shape[0]
+        Lp = 1 << max(6, (tl - 1).bit_length())
+        if Lp != tl:
+            query = np.concatenate(
+                [query, np.full(Lp - tl, ord("N"), np.uint8)]
+            )
+        q_hi, q_lo, q_valid = enc.encode_stream(
+            jnp.asarray(query), k, tl, drop_trailing_exact_k=True
+        )
+        axis = self.axis
+        n_valid = jnp.asarray(self.n_valid, I32)
+        C = max_hits_per_shard
+
+        def fn(s_hi, s_lo, s_pos, nv, qh, ql, qv):
+            s_hi, s_lo = s_hi.reshape(-1), s_lo.reshape(-1)
+            s_pos = s_pos.reshape(-1)
+            lb = srt.searchsorted2(s_hi, s_lo, nv[0], qh, ql, "left")
+            ub = srt.searchsorted2(s_hi, s_lo, nv[0], qh, ql, "right")
+            cnt = jnp.where(qv, ub - lb, 0)
+            cum = jnp.cumsum(cnt.astype(I64))
+            g = jnp.arange(C, dtype=I64)
+            w = srt.searchsorted_i64(cum, g, qh.shape[0], "right")
+            t = (g - (cum - cnt.astype(I64))[w]).astype(I32)
+            i_col = (w + k).astype(I32)
+            j_col = s_pos[jnp.clip(lb[w] + t, 0, s_pos.shape[0] - 1)]
+            ok = g < cum[-1]
+            rows = jnp.stack([jnp.where(ok, i_col, 0),
+                              jnp.where(ok, j_col, 0)], axis=1)
+            return rows[None], ok.sum(dtype=I32)[None]
+
+        shard_fn = jax.jit(
+            jax.shard_map(
+                fn, mesh=self.mesh,
+                in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P(), P()),
+                out_specs=(P(axis), P(axis)),
+            )
+        )
+        rows, n = shard_fn(self.s_hi, self.s_lo, self.s_pos, n_valid,
+                           q_hi, q_lo, q_valid)
+        rows = np.asarray(rows)
+        n = np.asarray(n)
+        out = np.concatenate(
+            [rows[d, : n[d]] for d in range(self.n_shards)], axis=0
+        )
+        order = np.lexsort((out[:, 1], out[:, 0]))
+        return out[order].astype(np.int32)
+
     def positions_of(self, q_hi, q_lo, max_hits_per_shard: int = 1 << 16
                      ) -> np.ndarray:
         """All 1-based positions of the queried k-mers, gathered from every

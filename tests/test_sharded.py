@@ -54,6 +54,17 @@ def test_sharded_positions(mesh, test_fa):
         np.testing.assert_array_equal(got, np.asarray(h.pos[kk]))
 
 
+def test_sharded_seq_kmer_pos_matches_single(mesh, test_fa):
+    seq = test_fa[:2500]
+    k = 12
+    sh = ShardedKmerIndex(seq, k, mesh)
+    h = rs.make_kmer_hash(seq, k)
+    query = seq[400:700] + "N" + seq[1200:1300]
+    got = sh.seq_kmer_pos(query, k)
+    want = rs.seq_kmer_positions(h, query, k)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_sharded_index_with_ns_and_quirk(mesh):
     seq = "ACGTANNACGT" * 30 + "NN" + "ACGT"  # trailing exactly-k region
     k = 4
