@@ -219,6 +219,16 @@ def window_valid(
     return valid
 
 
+def _use_pallas(ascii_u8) -> bool:
+    import os
+
+    return (
+        os.environ.get("KMH_PALLAS", "1") != "0"
+        and ascii_u8.ndim == 1
+        and jax.default_backend() == "tpu"
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "canonical", "drop_trailing_exact_k")
 )
@@ -226,13 +236,35 @@ def encode_stream(
     ascii_u8: jax.Array, k: int, true_len, canonical: bool = False,
     drop_trailing_exact_k: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Full encode: ASCII -> (hi, lo, valid) over window start positions."""
-    codes = base_codes(ascii_u8)
-    hi, lo = encode_windows(codes, k)
+    """Full encode: ASCII -> (hi, lo, valid) over window start positions.
+
+    On TPU, 1-D inputs take the fused Pallas kernel
+    (ops.pallas_encode, bit-identical); batched inputs and other backends
+    take the XLA doubling graph. KMH_PALLAS=0 forces the XLA path.
+    """
+    if _use_pallas(ascii_u8):
+        from .pallas_encode import pallas_encode
+
+        hi, lo, valid = pallas_encode(ascii_u8, k, true_len)
+        if drop_trailing_exact_k:
+            # only the window ending exactly at true_len can be dropped,
+            # and only when it starts a fresh region (preceded by N/BOS)
+            L = ascii_u8.shape[-1]
+            tl = jnp.asarray(true_len, jnp.int32)
+            a = jnp.clip(tl - k, 0, L - 1)
+            prev = ascii_u8[jnp.clip(a - 1, 0, L - 1)]
+            prev_is_n = (a == 0) | ((prev | jnp.uint8(0x20))
+                                    == jnp.uint8(ord("n")))
+            valid &= ~(
+                (jnp.arange(L, dtype=jnp.int32) == a) & prev_is_n
+            )
+    else:
+        codes = base_codes(ascii_u8)
+        hi, lo = encode_windows(codes, k)
+        valid = window_valid(ascii_u8, k, true_len, drop_trailing_exact_k)
     if canonical:
         rhi, rlo = revcomp_windows(hi, lo, k)
         hi, lo = canonical_windows(hi, lo, rhi, rlo)
-    valid = window_valid(ascii_u8, k, true_len, drop_trailing_exact_k)
     return hi, lo, valid
 
 

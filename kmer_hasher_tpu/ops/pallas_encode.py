@@ -131,7 +131,9 @@ def pallas_encode(ascii_u8: jax.Array, k: int, true_len,
         grid=(blocks,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
-            pl.BlockSpec((R_BLK, LANES), lambda i: (i, 0),
+            # note: i*0 (not literal 0) keeps the index tuple uniformly i32
+            # under jax_enable_x64; Mosaic rejects a mixed (i32, i64) map
+            pl.BlockSpec((R_BLK, LANES), lambda i: (i, i * 0),
                          memory_space=pltpu.VMEM)
         ] * 3,
         out_shape=[out_shape] * 3,
