@@ -102,11 +102,21 @@ def count_kmers(seqs: Sequence[str], k: int, source: int = 0,
     return store
 
 
+def _progress(report_every: Optional[int], name: str):
+    if not report_every:
+        return None
+    from .utils.metrics import ProgressMeter
+
+    return ProgressMeter(name=name, report_every=report_every)
+
+
 def _count_fastq_threshold(path: str, k: int, min_q: int,
-                           store: CountStore, max_reads: Optional[int]):
+                           store: CountStore, max_reads: Optional[int],
+                           report_every: Optional[int] = None):
     """Shared body of count.kmers.fq / count.kmers.fq.sh: per-base-threshold
     iterator, canonical min(fwd, rc) (src/kmer_hash.c:618-806)."""
     min_q_char = 33 + int(min_q)  # '!' + q, src/kmer_hash.c:633
+    meter = _progress(report_every, f"count_fq[{path}]")
     for recs in _iter_batches(path, max_reads):
         seq, qual, lengths, has_qual = _pad_pow2(recs)
         if has_qual.any():
@@ -123,13 +133,16 @@ def _count_fastq_threshold(path: str, k: int, min_q: int,
                 jnp.asarray(min_q_char), has_qual=False,
             )
             _add_canonical_fsm(store, *out, source=0)
+        if meter:
+            meter.update(len(recs), distinct_kmers=store.n_unique)
     return store
 
 
 def count_kmers_fq(path: str, k: int, min_q: int = 0, prefix_bits: int = 16,
                    max_mem_gb: Optional[int] = None,
                    max_reads: Optional[int] = None,
-                   store: Optional[CountStore] = None) -> CountStore:
+                   store: Optional[CountStore] = None,
+                   report_every: Optional[int] = None) -> CountStore:
     """``count.kmers.fq`` (src/kmer_hash.c:618-711): kmer_tree-backed
     canonical counting — spectra include zero cells of allocated prefix
     blocks; optional soft memory budget (src/kmer_tree.c:57-67)."""
@@ -140,21 +153,24 @@ def count_kmers_fq(path: str, k: int, min_q: int = 0, prefix_bits: int = 16,
             k, counts_n=1, prefix_bits=prefix_bits, mode="ktree",
             max_size_bytes=(max_mem_gb << 30) if max_mem_gb else None,
         )
-    return _count_fastq_threshold(path, k, min_q, store, max_reads)
+    return _count_fastq_threshold(path, k, min_q, store, max_reads,
+                                  report_every)
 
 
 def count_kmers_fq_sh(path: str, k: int, min_q: int = 0,
                       prefix_bits: int = 16,
                       max_mem_gb: Optional[int] = None,
                       max_reads: Optional[int] = None,
-                      store: Optional[CountStore] = None) -> CountStore:
+                      store: Optional[CountStore] = None,
+                      report_every: Optional[int] = None) -> CountStore:
     """``count.kmers.fq.sh`` (src/kmer_hash.c:715-806): suffix_hash-backed
     variant — spectra over present k-mers only."""
     if not 1 <= k <= MAX_K:
         raise ValueError("k must be a positive integer less than 1+MAX_K")
     if store is None:
         store = CountStore(k, counts_n=1, prefix_bits=prefix_bits, mode="sh")
-    return _count_fastq_threshold(path, k, min_q, store, max_reads)
+    return _count_fastq_threshold(path, k, min_q, store, max_reads,
+                                  report_every)
 
 
 def count_kmers_fq_sh_rp(path: str, k: int, prefix_bits: int = 20,
@@ -162,7 +178,8 @@ def count_kmers_fq_sh_rp(path: str, k: int, prefix_bits: int = 20,
                          max_reads: Optional[int] = None,
                          max_mem_gb: Optional[int] = None,
                          source_n: int = 1, source: int = 0,
-                         store: Optional[CountStore] = None) -> CountStore:
+                         store: Optional[CountStore] = None,
+                         report_every: Optional[int] = None) -> CountStore:
     """The flagship path ``count.kmers.fq.sh.rp`` (src/kmer_hash.c:810-857):
     quality-likelihood filtered, canonical, multi-source counting.
 
@@ -185,6 +202,7 @@ def count_kmers_fq_sh_rp(path: str, k: int, prefix_bits: int = 20,
     if source >= store.counts_n:
         raise ValueError("Value of source is too large")
     min_ll = jnp.asarray(float(Q_TO_LL[33 + int(min_q)]))
+    meter = _progress(report_every, f"count_rp[{path}]")
     for recs in _iter_batches(path, max_reads):
         seq, qual, lengths, has_qual = _pad_pow2(recs)
         if has_qual.any():
@@ -204,6 +222,8 @@ def count_kmers_fq_sh_rp(path: str, k: int, prefix_bits: int = 20,
             )
             valid &= jnp.asarray(lens > k)[:, None]
             store.add_kmers(hi, lo, valid, source=source)
+        if meter:
+            meter.update(len(recs), distinct_kmers=store.n_unique)
     return store
 
 
