@@ -16,7 +16,7 @@ kmer.spec.sh.n(...)         -> kmer_spectrum_n(store, max_count, comb, ...)
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Dict, Optional
 
 import numpy as np
 

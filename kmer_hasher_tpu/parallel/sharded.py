@@ -22,13 +22,10 @@ Parallelism map (SURVEY.md §2.2 -> TPU):
 """
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import encode as enc
 from ..ops import sort as srt

@@ -13,7 +13,6 @@ restore onto any mesh of the same size.
 from __future__ import annotations
 
 import json
-import pathlib
 
 import jax.numpy as jnp
 import numpy as np

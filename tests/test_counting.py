@@ -13,7 +13,6 @@ from kmer_hasher_tpu.api import (
     kmer_spectrum_n,
     seq_kmer_depth,
 )
-from kmer_hasher_tpu.index.count_store import CountStore
 
 REF = "/root/reference"
 

@@ -1,6 +1,4 @@
-import numpy as np
-
-from kmer_hasher_tpu.io import pad_records, read_fastx
+from kmer_hasher_tpu.io import pad_records
 
 
 def test_read_fasta(test_fa):

@@ -1,5 +1,4 @@
 """Typed param shims and progress metrics."""
-import numpy as np
 import pytest
 
 from kmer_hasher_tpu.api import count_kmers_fq_sh_rp
