@@ -67,7 +67,7 @@ def _iter_batches(path: str, max_reads: Optional[int],
 def _add_canonical_fsm(store: CountStore, emit, fhi, flo, rhi, rlo,
                        source: int):
     chi, clo = enc.canonical_windows(fhi, flo, rhi, rlo)
-    store.add_kmers(chi, clo, emit, source=source)
+    store.add_kmers(chi, clo, emit, source=source, defer=True)
 
 
 def count_kmers(seqs: Sequence[str], k: int, source: int = 0,
@@ -135,7 +135,7 @@ def _count_fastq_threshold(path: str, k: int, min_q: int,
             _add_canonical_fsm(store, *out, source=0)
         if meter:
             meter.update(len(recs), distinct_kmers=store.n_unique)
-    return store
+    return store.flush()
 
 
 def count_kmers_fq(path: str, k: int, min_q: int = 0, prefix_bits: int = 16,
@@ -221,10 +221,10 @@ def count_kmers_fq_sh_rp(path: str, k: int, prefix_bits: int = 20,
                 drop_trailing_exact_k=False,
             )
             valid &= jnp.asarray(lens > k)[:, None]
-            store.add_kmers(hi, lo, valid, source=source)
+            store.add_kmers(hi, lo, valid, source=source, defer=True)
         if meter:
             meter.update(len(recs), distinct_kmers=store.n_unique)
-    return store
+    return store.flush()
 
 
 def seq_kmer_depth(store: CountStore, seq, k: int) -> np.ndarray:

@@ -156,19 +156,57 @@ class CountStore:
         self.cnt = jnp.zeros((cap, counts_n), U32)
         self.n_unique = 0
         self.total_added = np.zeros(counts_n, np.int64)
+        self._pending = []
+        self._pending_n = 0
 
     @property
     def capacity(self) -> int:
         return int(self.u_hi.shape[0])
 
-    def add_kmers(self, hi, lo, valid, source: int = 0) -> "CountStore":
+    def add_kmers(self, hi, lo, valid, source: int = 0,
+                  defer: bool = False) -> "CountStore":
         """Merge a batch of observed k-mers (device arrays, any shape;
-        flattened) into the store. ``valid`` masks real observations."""
+        flattened) into the store. ``valid`` masks real observations.
+
+        With ``defer=True`` the batch is queued and merged lazily (one sort
+        amortised over many batches — a log-structured merge replacing the
+        reference's per-k-mer ``kh_put``); any query/flush folds the
+        pending runs in first. Deferred adds also avoid the per-batch
+        host-device sync, letting input IO overlap device compute.
+        """
         if not 0 <= source < self.counts_n:
             raise ValueError("source out of range")
         hi = jnp.ravel(hi)
         lo = jnp.ravel(lo)
         valid = jnp.ravel(valid)
+        if defer:
+            self._pending.append((hi, lo, valid, source))
+            self._pending_n += int(hi.shape[0])
+            # flush when pending work rivals the store size, keeping the
+            # amortised cost of each element O(log) merges
+            if self._pending_n >= max(1 << 16, self.capacity):
+                self.flush()
+            return self
+        self._merge_batch(hi, lo, valid, source)
+        return self
+
+    def flush(self) -> "CountStore":
+        """Fold all deferred batches into the sorted store."""
+        if not self._pending:
+            return self
+        by_source: dict = {}
+        for hi, lo, valid, source in self._pending:
+            by_source.setdefault(source, []).append((hi, lo, valid))
+        self._pending = []
+        self._pending_n = 0
+        for source, runs in by_source.items():
+            hi = jnp.concatenate([r[0] for r in runs])
+            lo = jnp.concatenate([r[1] for r in runs])
+            valid = jnp.concatenate([r[2] for r in runs])
+            self._merge_batch(hi, lo, valid, source)
+        return self
+
+    def _merge_batch(self, hi, lo, valid, source: int) -> None:
         cap_b = _next_pow2(int(hi.shape[0]))
         if cap_b != hi.shape[0]:  # bucket batch shapes for compile reuse
             pad = cap_b - hi.shape[0]
@@ -207,6 +245,7 @@ class CountStore:
             )
 
     def n_alloc_blocks(self) -> int:
+        self.flush()
         return int(
             _distinct_prefixes(
                 self.u_hi, self.u_lo, jnp.asarray(self.n_unique, I32),
@@ -218,6 +257,7 @@ class CountStore:
     def lookup(self, q_hi, q_lo) -> np.ndarray:
         """Per-query count rows [n, counts_n]; zeros for absent k-mers
         (sh_kmer_count_n semantics, src/suffix_hash.c:283-332)."""
+        self.flush()
         rows = _lookup_counts(
             self.u_hi, self.u_lo, self.cnt, jnp.asarray(self.n_unique, I32),
             jnp.ravel(q_hi), jnp.ravel(q_lo),
@@ -226,6 +266,7 @@ class CountStore:
 
     def counts_dict(self) -> dict:
         """Host export: packed kmer -> count row (tests / small stores)."""
+        self.flush()
         u_hi = np.asarray(self.u_hi)[: self.n_unique].astype(np.uint64)
         u_lo = np.asarray(self.u_lo)[: self.n_unique].astype(np.uint64)
         keys = (u_hi << np.uint64(32)) | u_lo
@@ -238,6 +279,7 @@ class CountStore:
         of source-0 counts, clamped into the last bin."""
         if not 1 <= max_count <= (1 << 30):
             raise ValueError("Unsuitable value of max_count")
+        self.flush()
         include_zeros = self.mode == "ktree"
         n_alloc = (jnp.asarray(self.n_alloc_blocks(), I32) if include_zeros
                    else jnp.asarray(0, I32))
@@ -266,6 +308,7 @@ class CountStore:
             raise ValueError("comb_inner values must be 0 or 1")
         if (comb >= (1 << self.counts_n)).any():
             raise ValueError("comb values must be < 2^counts_n")
+        self.flush()
         live = jnp.arange(self.capacity, dtype=I32) < self.n_unique
         return np.asarray(
             _spectrum_nc(

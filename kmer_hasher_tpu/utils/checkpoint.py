@@ -25,6 +25,7 @@ _VERSION = 1
 
 
 def save_count_store(store: CountStore, path) -> None:
+    store.flush()
     meta = {
         "magic": _MAGIC, "version": _VERSION, "kind": "count_store",
         "k": store.k, "counts_n": store.counts_n,
