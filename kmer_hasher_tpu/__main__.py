@@ -1,0 +1,169 @@
+"""Command-line interface: ``python -m kmer_hasher_tpu <cmd> ...``
+
+The reference is callable only from an R session; this CLI makes the same
+capabilities (and the persistence layer) usable standalone:
+
+  index    build a position index from FASTA and save it
+  tables   dump kmer/pos/pair.pos/count tables from a saved index
+  query    cross-sequence dot-plot hits (seq.kmer.pos)
+  count    quality-filtered canonical counting over FASTQ/FASTA files
+  spectrum count histogram from a saved store
+  depth    per-position depth track of a sequence against a saved store
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _read_first_seq(path: str) -> str:
+    from .io import read_fastx
+
+    recs = read_fastx(path)
+    if not recs:
+        raise SystemExit(f"no sequences in {path}")
+    return recs[0][1].decode()
+
+
+def cmd_index(a):
+    from .api import make_kmer_hash
+    from .utils import checkpoint as ckpt
+
+    idx = make_kmer_hash(_read_first_seq(a.fasta), a.k)
+    ckpt.save_index(idx, a.out)
+    print(json.dumps({"k": idx.k, "seq_len": idx.seq_len,
+                      "positions": idx.n_valid, "distinct": idx.n_kmers,
+                      "pairs": idx.total_pairs, "out": a.out}))
+
+
+def cmd_tables(a):
+    from .utils import checkpoint as ckpt
+
+    idx = ckpt.load_index(a.index)
+    t = idx.tables(a.opt_flag, max_pairs=a.max_pairs)
+    for name, arr in t.items():
+        if arr is None:
+            continue
+        out = f"{a.out_prefix}.{name.replace('.', '_')}"
+        if name == "kmer":
+            with open(out + ".txt", "w") as f:
+                f.write("\n".join(arr) + "\n")
+        else:
+            np.save(out + ".npy", arr)
+        print(f"wrote {out}", file=sys.stderr)
+
+
+def cmd_query(a):
+    from .index.query import seq_kmer_pos
+    from .utils import checkpoint as ckpt
+
+    idx = ckpt.load_index(a.index)
+    m = seq_kmer_pos(idx, _read_first_seq(a.fasta), a.k)
+    np.save(a.out, m)
+    print(json.dumps({"hits": int(m.shape[0]), "out": a.out}))
+
+
+def cmd_count(a):
+    from .api import count_kmers_fq_sh_rp
+    from .utils import checkpoint as ckpt
+    from .utils.metrics import most_common_kmer
+
+    store = None
+    if a.resume:
+        store = ckpt.load_count_store(a.resume)
+    for i, path in enumerate(a.files):
+        source = a.source if a.source is not None else min(
+            i, a.source_n - 1
+        )
+        store = count_kmers_fq_sh_rp(
+            path, k=a.k, min_q=a.min_q, source_n=a.source_n, source=source,
+            max_reads=a.max_reads, store=store,
+            report_every=a.report_every,
+        )
+    ckpt.save_count_store(store, a.out)
+    mc = most_common_kmer(store)
+    print(json.dumps({"distinct": store.n_unique,
+                      "total_added": store.total_added.tolist(),
+                      "most_common": mc, "out": a.out}))
+
+
+def cmd_spectrum(a):
+    from .utils import checkpoint as ckpt
+
+    store = ckpt.load_count_store(a.store)
+    spec = store.spectrum(a.max_count)
+    for count, n in enumerate(spec):
+        if n:
+            print(f"{count}\t{int(n)}")
+
+
+def cmd_depth(a):
+    from .counting import seq_kmer_depth
+    from .utils import checkpoint as ckpt
+
+    store = ckpt.load_count_store(a.store)
+    d = seq_kmer_depth(store, _read_first_seq(a.fasta), a.k)
+    np.save(a.out, d)
+    print(json.dumps({"shape": list(d.shape), "out": a.out}))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="kmer_hasher_tpu",
+                                description=__doc__.split("\n")[0])
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("index", help="build + save a position index")
+    s.add_argument("fasta")
+    s.add_argument("-k", type=int, required=True)
+    s.add_argument("-o", "--out", required=True)
+    s.set_defaults(fn=cmd_index)
+
+    s = sub.add_parser("tables", help="dump kmer.pos tables")
+    s.add_argument("index")
+    s.add_argument("--opt-flag", type=int, default=15)
+    s.add_argument("--max-pairs", type=int, default=None)
+    s.add_argument("-o", "--out-prefix", required=True)
+    s.set_defaults(fn=cmd_tables)
+
+    s = sub.add_parser("query", help="seq.kmer.pos dot-plot hits")
+    s.add_argument("index")
+    s.add_argument("fasta")
+    s.add_argument("-k", type=int, required=True)
+    s.add_argument("-o", "--out", required=True)
+    s.set_defaults(fn=cmd_query)
+
+    s = sub.add_parser("count", help="canonical quality-filtered counting")
+    s.add_argument("files", nargs="+")
+    s.add_argument("-k", type=int, required=True)
+    s.add_argument("--min-q", type=int, default=20)
+    s.add_argument("--source-n", type=int, default=1)
+    s.add_argument("--source", type=int, default=None,
+                   help="fixed source index (default: file order)")
+    s.add_argument("--max-reads", type=int, default=None)
+    s.add_argument("--resume", default=None,
+                   help="existing store to keep accumulating into")
+    s.add_argument("--report-every", type=int, default=None)
+    s.add_argument("-o", "--out", required=True)
+    s.set_defaults(fn=cmd_count)
+
+    s = sub.add_parser("spectrum", help="count histogram of a saved store")
+    s.add_argument("store")
+    s.add_argument("--max-count", type=int, default=10000)
+    s.set_defaults(fn=cmd_spectrum)
+
+    s = sub.add_parser("depth", help="per-position depth track")
+    s.add_argument("store")
+    s.add_argument("fasta")
+    s.add_argument("-k", type=int, required=True)
+    s.add_argument("-o", "--out", required=True)
+    s.set_defaults(fn=cmd_depth)
+
+    a = p.parse_args(argv)
+    a.fn(a)
+
+
+if __name__ == "__main__":
+    main()

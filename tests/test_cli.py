@@ -1,0 +1,61 @@
+"""CLI smoke tests through the real argv surface."""
+import json
+
+import numpy as np
+import pytest
+
+from kmer_hasher_tpu.__main__ import main
+
+REF = "/root/reference"
+
+
+def test_cli_index_tables_query(tmp_path, capsys):
+    idx_path = str(tmp_path / "idx.npz")
+    main(["index", f"{REF}/test.fa", "-k", "10", "-o", idx_path])
+    info = json.loads(capsys.readouterr().out)
+    assert info["distinct"] > 0 and info["positions"] == 59931
+
+    main(["tables", idx_path, "--opt-flag", "11", "-o",
+          str(tmp_path / "t")])
+    kmers = (tmp_path / "t.kmer.txt").read_text().splitlines()
+    counts = np.load(tmp_path / "t.count.npy")
+    pos = np.load(tmp_path / "t.pos.npy")
+    assert len(kmers) == len(counts) == info["distinct"]
+    assert pos.shape == (info["positions"], 2)
+
+    main(["query", idx_path, f"{REF}/test.fa", "-k", "10", "-o",
+          str(tmp_path / "q.npy")])
+    q = json.loads(capsys.readouterr().out)
+    assert q["hits"] >= 59931  # self-query: at least the diagonal
+
+
+def test_cli_count_spectrum_depth(tmp_path, capsys):
+    store_path = str(tmp_path / "store.npz")
+    main(["count", f"{REF}/repeat_40.fq", "-k", "5", "--min-q", "0",
+          "-o", store_path])
+    info = json.loads(capsys.readouterr().out)
+    assert info["distinct"] == 5
+    assert len(info["most_common"]["kmer"]) == 5
+
+    main(["spectrum", store_path, "--max-count", "6000"])
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) >= 2  # a few occupied bins
+    total = sum(int(l.split("\t")[1]) for l in lines)
+    assert total == 5
+
+    main(["depth", store_path, f"{REF}/test.fa", "-k", "5", "-o",
+          str(tmp_path / "d.npy")])
+    capsys.readouterr()
+    d = np.load(tmp_path / "d.npy")
+    assert d.shape == (1, 59940)
+
+    # resume accumulation through the CLI
+    main(["count", f"{REF}/repeat_40.fq", "-k", "5", "--min-q", "0",
+          "--resume", store_path, "-o", store_path])
+    info2 = json.loads(capsys.readouterr().out)
+    assert info2["total_added"][0] == 2 * info["total_added"][0]
+
+
+def test_cli_bad_args(tmp_path):
+    with pytest.raises(SystemExit):
+        main(["index", "-k", "5"])  # missing positional/out
