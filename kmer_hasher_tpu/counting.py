@@ -56,7 +56,7 @@ def _pad_pow2(records: List[Record]):
 
 
 def _iter_batches(path: str, max_reads: Optional[int],
-                  batch_rows: int = 512) -> Iterator[List[Record]]:
+                  batch_rows: int = 4096) -> Iterator[List[Record]]:
     if max_reads is not None and max_reads < 0:
         max_reads = None
     records = read_fastx(path, max_records=max_reads)
@@ -179,13 +179,17 @@ def count_kmers_fq_sh_rp(path: str, k: int, prefix_bits: int = 20,
                          max_mem_gb: Optional[int] = None,
                          source_n: int = 1, source: int = 0,
                          store: Optional[CountStore] = None,
-                         report_every: Optional[int] = None) -> CountStore:
+                         report_every: Optional[int] = None,
+                         exact_ll: bool = True) -> CountStore:
     """The flagship path ``count.kmers.fq.sh.rp`` (src/kmer_hash.c:810-857):
     quality-likelihood filtered, canonical, multi-source counting.
 
     ``n_shards`` mirrors the reference's thread_n parameter; it does not
     change results (the reference's threads shard disjoint prefixes of one
     shared store, src/kmer_reader.c:28-39) and is accepted for API parity.
+
+    ``exact_ll=False`` runs the likelihood filter in float32 (~10x faster
+    on TPU, where float64 is emulated); see ops.scan_iter.ll_scan.
     """
     if not 1 <= k <= MAX_K:
         raise ValueError("k must be a positive integer less than 1+MAX_K")
@@ -207,7 +211,9 @@ def count_kmers_fq_sh_rp(path: str, k: int, prefix_bits: int = 20,
         seq, qual, lengths, has_qual = _pad_pow2(recs)
         if has_qual.any():
             rows = np.where(has_qual)[0]
-            out = si.ll_scan(seq[rows], qual[rows], lengths[rows], k, min_ll)
+            out = si.ll_scan(seq[rows], qual[rows], lengths[rows], k,
+                             min_ll,
+                             precision="exact" if exact_ll else "fast")
             _add_canonical_fsm(store, *out, source=source)
         if (~has_qual[: len(recs)]).any():
             # FASTA records go through the no-quality iterator: N-delimited

@@ -71,10 +71,10 @@ def _zero_regs(shape):
     return z, z, z, z
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
+@functools.partial(jax.jit, static_argnames=("k", "precision"))
 def ll_scan(
     ascii_u8: jax.Array, qual_u8: jax.Array, lengths: jax.Array, k: int,
-    min_ll: jax.Array,
+    min_ll: jax.Array, precision: str = "exact",
 ) -> Tuple[jax.Array, ...]:
     """Quality-likelihood iterator over a padded read batch.
 
@@ -82,12 +82,20 @@ def ll_scan(
     fhi, flo, rhi, rlo each [B, L]) where column p describes the window
     ending at position p. Reads with length <= k emit nothing (the caller
     loop skips them, src/kmer_reader.c:54-55).
+
+    precision: "exact" accumulates in float64, reproducing the C double
+    arithmetic bit-for-bit — but float64 is emulated (slow) on TPU.
+    "fast" accumulates in float32 (~10x on TPU); accept/reject decisions
+    can differ from the reference only when a window sum sits within
+    float32 rounding of the threshold.
     """
     B, L = ascii_u8.shape
+    fdt = F64 if precision == "exact" else jnp.float32
     codes = (ascii_u8.astype(U32) >> 1) & 3
-    ll = jnp.asarray(Q_TO_LL)[qual_u8.astype(jnp.int32)]
+    ll = jnp.asarray(Q_TO_LL)[qual_u8.astype(jnp.int32)].astype(fdt)
+    min_ll = min_ll.astype(fdt)
     # pollution term: ll of the base after the window, 0 past the read end
-    ll_next = jnp.concatenate([ll[:, 1:], jnp.zeros((B, 1), F64)], axis=1)
+    ll_next = jnp.concatenate([ll[:, 1:], jnp.zeros((B, 1), fdt)], axis=1)
     ll_next = jnp.where(
         (jnp.arange(L) + 1)[None, :] < lengths[:, None], ll_next, 0.0
     )
@@ -140,7 +148,7 @@ def ll_scan(
 
     init = (
         jnp.zeros(B, bool), jnp.zeros(B, jnp.int32), _zero_regs(B),
-        jnp.zeros(B, F64), jnp.zeros(B, F64),
+        jnp.zeros(B, fdt), jnp.zeros(B, fdt),
     )
     xs = (
         codes.T, ll.T, ll_next.T, row_on.T,

@@ -46,8 +46,8 @@ def random_reads(n, lmin, lmax, seed, with_qual=True, n_prob=0.02):
     return reads
 
 
-@pytest.mark.parametrize("k,min_q", [(5, 20), (21, 20), (31, 10), (32, 0),
-                                     (17, 30)])
+@pytest.mark.parametrize("k,min_q", [(1, 20), (2, 0), (5, 20), (21, 20),
+                                     (31, 10), (32, 0), (17, 30)])
 def test_ll_scan_matches_oracle(k, min_q):
     reads = random_reads(40, k - 2, 90, seed=k * 100 + min_q)
     outs = run_ll(reads, k, min_q)
@@ -71,7 +71,7 @@ def test_ll_scan_real_fastq(test_fastq_gz):
     assert total > 1000
 
 
-@pytest.mark.parametrize("k,min_q", [(5, 20), (21, 2), (16, 0)])
+@pytest.mark.parametrize("k,min_q", [(1, 2), (5, 20), (21, 2), (16, 0)])
 def test_threshold_scan_matches_oracle(k, min_q):
     reads = random_reads(40, k - 2, 90, seed=k * 7 + min_q)
     outs = run_threshold(reads, k, min_q)
