@@ -71,10 +71,10 @@ def _zero_regs(shape):
     return z, z, z, z
 
 
-@functools.partial(jax.jit, static_argnames=("k", "precision"))
+@functools.partial(jax.jit, static_argnames=("k", "precision", "unroll"))
 def ll_scan(
     ascii_u8: jax.Array, qual_u8: jax.Array, lengths: jax.Array, k: int,
-    min_ll: jax.Array, precision: str = "exact",
+    min_ll: jax.Array, precision: str = "exact", unroll: int = 4,
 ) -> Tuple[jax.Array, ...]:
     """Quality-likelihood iterator over a padded read batch.
 
@@ -153,7 +153,9 @@ def ll_scan(
     xs = (
         codes.T, ll.T, ll_next.T, row_on.T,
     )
-    _, outs = jax.lax.scan(step, init, xs)
+    # unrolling amortises the per-step loop overhead that dominates this
+    # tiny-bodied scan on TPU
+    _, outs = jax.lax.scan(step, init, xs, unroll=unroll)
     emit, fhi, flo, rhi, rlo = (o.T for o in outs)
     return emit, fhi, flo, rhi, rlo
 
@@ -216,6 +218,6 @@ def threshold_scan(
 
     init = (jnp.zeros(B, bool), jnp.zeros(B, jnp.int32), _zero_regs(B))
     xs = (codes.T, build_gate.T, roll_gate.T, row_on.T, last_pos.T)
-    _, outs = jax.lax.scan(step, init, xs)
+    _, outs = jax.lax.scan(step, init, xs, unroll=4)
     emit, fhi, flo, rhi, rlo = (o.T for o in outs)
     return emit, fhi, flo, rhi, rlo
