@@ -180,7 +180,8 @@ def count_kmers_fq_sh_rp(path: str, k: int, prefix_bits: int = 20,
                          source_n: int = 1, source: int = 0,
                          store: Optional[CountStore] = None,
                          report_every: Optional[int] = None,
-                         exact_ll: bool = True) -> CountStore:
+                         exact_ll: bool = True,
+                         mesh=None):
     """The flagship path ``count.kmers.fq.sh.rp`` (src/kmer_hash.c:810-857):
     quality-likelihood filtered, canonical, multi-source counting.
 
@@ -188,9 +189,19 @@ def count_kmers_fq_sh_rp(path: str, k: int, prefix_bits: int = 20,
     change results (the reference's threads shard disjoint prefixes of one
     shared store, src/kmer_reader.c:28-39) and is accepted for API parity.
 
-    ``exact_ll=False`` runs the likelihood filter in float32 (~10x faster
-    on TPU, where float64 is emulated); see ops.scan_iter.ll_scan.
+    ``exact_ll=False`` runs the likelihood filter in float32 (faster on
+    TPU, where float64 is emulated); see ops.scan_iter.ll_scan.
+
+    With ``mesh=`` (a jax.sharding.Mesh) counting runs multi-chip: reads
+    are data-parallel across devices and each device owns a hash shard of
+    the key space (routed via all_to_all); returns a
+    parallel.ShardedCountStore. The reference's "thread pool over one
+    shared store" becomes chips over a sharded store.
     """
+    if mesh is not None:
+        return _count_rp_sharded(path, k, min_q, max_reads, source_n,
+                                 source, store, mesh, exact_ll,
+                                 report_every)
     if not 1 <= k <= MAX_K:
         raise ValueError("k must be a positive integer less than 1+MAX_K")
     if not 1 <= source_n <= 4:
@@ -261,3 +272,57 @@ def seq_kmer_depth(store: CountStore, seq, k: int) -> np.ndarray:
     sel = np.where(valid_np[:L])[0]
     out[:, sel] = rows[:L][sel].T
     return out
+
+
+def _count_rp_sharded(path, k, min_q, max_reads, source_n, source, store,
+                      mesh, exact_ll, report_every):
+    from .parallel.sharded import ShardedCountStore
+
+    if store is None:
+        store = ShardedCountStore(k, mesh, counts_n=source_n)
+    if store.k != k:
+        raise ValueError("Incompatible arguments: k does not match the store")
+    if source >= store.counts_n:
+        raise ValueError("Value of source is too large")
+    D = store.n_shards
+    min_ll = jnp.asarray(float(Q_TO_LL[33 + int(min_q)]))
+    meter = _progress(report_every, f"count_rp_sharded[{path}]")
+    precision = "exact" if exact_ll else "fast"
+    for recs in _iter_batches(path, max_reads):
+        seq, qual, lengths, has_qual = _pad_pow2(recs)
+        B = seq.shape[0]
+        if B % D:
+            padr = D - B % D
+            seq = np.pad(seq, ((0, padr), (0, 0)),
+                         constant_values=ord("N"))
+            qual = np.pad(qual, ((0, padr), (0, 0)))
+            lengths = np.pad(lengths, (0, padr))
+            has_qual = np.pad(has_qual, (0, padr))
+        if has_qual.any():
+            out = si.ll_scan(seq, qual, jnp.where(jnp.asarray(has_qual),
+                                                  lengths, 0),
+                             k, min_ll, precision=precision)
+            chi, clo = enc.canonical_windows(out[1], out[2], out[3], out[4])
+            emit = out[0]
+        else:
+            chi = clo = emit = None
+        if (~has_qual[: len(recs)]).any():
+            hi2, lo2, v2 = enc.encode_stream(
+                seq, k, jnp.where(jnp.asarray(~has_qual), lengths, 0),
+                canonical=True, drop_trailing_exact_k=False,
+            )
+            v2 &= jnp.asarray(lengths > k)[:, None]
+            if chi is None:
+                chi, clo, emit = hi2, lo2, v2
+            else:
+                chi = jnp.where(jnp.asarray(has_qual)[:, None], chi, hi2)
+                clo = jnp.where(jnp.asarray(has_qual)[:, None], clo, lo2)
+                emit = emit | v2
+        store.add_batch(
+            chi.reshape(D, -1), clo.reshape(D, -1), emit.reshape(D, -1),
+            source=source,
+        )
+        if meter:
+            meter.update(len(recs),
+                         distinct_kmers=int(store.n_unique.sum()))
+    return store

@@ -417,6 +417,33 @@ class ShardedCountStore:
         )
         return np.asarray(shard_fn(self.cnt, nv))
 
+    def spectrum_n(self, max_count: int, comb, comb_inner,
+                   source_min) -> np.ndarray:
+        """Combinatorial multi-source spectrum, psum-merged across shards
+        (kmer.spec.sh.n semantics, src/suffix_hash.c:335-425)."""
+        from ..index.count_store import _spectrum_nc
+
+        comb = np.asarray(comb, np.int32)
+        comb_inner = np.asarray(comb_inner, np.int32)
+        source_min = np.asarray(source_min, np.int64)
+        axis = self.axis
+        nv = jnp.asarray(self.n_unique, I32)
+        comb_n = int(len(comb))
+
+        def fn(cnt, ns):
+            cnt2 = cnt.reshape(cnt.shape[1], -1)
+            live = jnp.arange(cnt2.shape[0], dtype=I32) < ns[0]
+            out = _spectrum_nc(cnt2, live, max_count, jnp.asarray(comb),
+                               jnp.asarray(comb_inner),
+                               jnp.asarray(source_min), comb_n)
+            return jax.lax.psum(out, axis)
+
+        shard_fn = jax.jit(
+            jax.shard_map(fn, mesh=self.mesh, in_specs=(P(axis), P(axis)),
+                          out_specs=P())
+        )
+        return np.asarray(shard_fn(self.cnt, nv))
+
     def lookup(self, q_hi, q_lo) -> np.ndarray:
         """Count rows for queries, merged across shards (each key lives on
         exactly one shard, so psum of per-shard lookups is exact)."""

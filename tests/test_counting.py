@@ -80,7 +80,11 @@ def test_count_fq_ktree_spectrum_zero_cells(repeat_40_fq):
 # ---------------------------------------------------------------------------
 
 def test_rp_test10_and_repeat40_k21(test_10_fastq, repeat_40_fq):
-    k, min_q = 21, 20
+    # min_q=10: at min_q=20 a whole 21-mer of repeat_40's q32 bases fails
+    # the whole-window likelihood test and source 1 would be all zeros
+    # (verified faithful to the reference; see PARITY docs) — 10 keeps the
+    # multi-source path non-trivial
+    k, min_q = 21, 10
     st = count_kmers_fq_sh_rp(f"{REF}/test_10.fastq", k=k, min_q=min_q,
                               source_n=2, source=0)
     st = count_kmers_fq_sh_rp(f"{REF}/repeat_40.fq", k=k, min_q=min_q,

@@ -105,3 +105,31 @@ def test_sharded_count_store_matches_single(mesh, repeat_40_fq):
     np.testing.assert_array_equal(
         shc.lookup(u_hi, u_lo), single.lookup(u_hi, u_lo)
     )
+
+
+def test_sharded_rp_counting_matches_single(mesh):
+    from kmer_hasher_tpu.api import count_kmers_fq_sh_rp
+
+    single = count_kmers_fq_sh_rp("/root/reference/repeat_40.fq", k=7,
+                                  min_q=20, source_n=2, source=1)
+    shard = count_kmers_fq_sh_rp("/root/reference/repeat_40.fq", k=7,
+                                 min_q=20, source_n=2, source=1, mesh=mesh)
+    np.testing.assert_array_equal(
+        shard.spectrum(600)[1:], single.spectrum(600)[1:]
+    )
+    assert int(shard.n_unique.sum()) == single.n_unique
+    u_hi = np.asarray(single.u_hi)[: single.n_unique]
+    u_lo = np.asarray(single.u_lo)[: single.n_unique]
+    np.testing.assert_array_equal(shard.lookup(u_hi, u_lo),
+                                  single.lookup(u_hi, u_lo))
+    # comb spectrum on the sharded store
+    np.testing.assert_array_equal(
+        shard.spectrum_n(50, [2], [0], [1, 1]),
+        single.spectrum_n(50, [2], [0], [1, 1]),
+    )
+    # depth track works against the sharded store too
+    from kmer_hasher_tpu.api import seq_kmer_depth
+
+    seq = "ACTGG" * 20 + "N" + "ACTGG" * 4
+    np.testing.assert_array_equal(seq_kmer_depth(shard, seq, 7),
+                                  seq_kmer_depth(single, seq, 7))
