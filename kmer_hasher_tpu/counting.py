@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .index.count_store import CountStore
-from .io import pad_records, read_fastx
+from .io import pad_records
 from .io.fastx import Record
 from .ops import encode as enc
 from .ops import scan_iter as si
@@ -57,11 +57,15 @@ def _pad_pow2(records: List[Record]):
 
 def _iter_batches(path: str, max_reads: Optional[int],
                   batch_rows: int = 4096) -> Iterator[List[Record]]:
+    """Constant-memory record batches: the file streams (gz-aware), never
+    fully materialised — the scalable analogue of the reference's one-read
+    -at-a-time kseq loop."""
     if max_reads is not None and max_reads < 0:
         max_reads = None
-    records = read_fastx(path, max_records=max_reads)
-    for i in range(0, len(records), batch_rows):
-        yield records[i:i + batch_rows]
+    from .io.fastx import iter_fastx
+
+    yield from iter_fastx(path, batch_size=batch_rows,
+                          max_records=max_reads)
 
 
 def _add_canonical_fsm(store: CountStore, emit, fhi, flo, rhi, rlo,

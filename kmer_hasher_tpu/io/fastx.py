@@ -48,6 +48,60 @@ def read_fastx(path: str, max_records: Optional[int] = None) -> List[Record]:
     return read_fastx_py(path, max_records)
 
 
+def iter_fastx(path: str, batch_size: int = 4096,
+               max_records: Optional[int] = None):
+    """Stream records in batches of ``batch_size`` with constant memory —
+    the scalable path for multi-hundred-million-read corpora (the reference
+    streams one record at a time via kseq; here a batch is the unit the
+    device consumes). Uses the pure-Python parser; the native parser is for
+    whole-file loads."""
+    batch: List[Record] = []
+    n = 0
+    for rec in _iter_records_py(path):
+        batch.append(rec)
+        n += 1
+        if max_records is not None and n >= max_records:
+            break
+        if len(batch) >= batch_size:
+            yield batch
+            batch = []
+    if batch:
+        yield batch
+
+
+def _iter_records_py(path: str):
+    with _open(path) as f:
+        buf = io.BufferedReader(f) if not isinstance(f, io.BufferedReader) else f
+        first = buf.peek(1)[:1]
+        if first == b">":
+            name = None
+            chunks: List[bytes] = []
+            for line in buf:
+                line = line.rstrip(b"\r\n")
+                if line.startswith(b">"):
+                    if name is not None:
+                        yield (name, b"".join(chunks), None)
+                    name = line[1:].split()[0].decode() if len(line) > 1 else ""
+                    chunks = []
+                else:
+                    chunks.append(line)
+            if name is not None:
+                yield (name, b"".join(chunks), None)
+        elif first == b"@":
+            while True:
+                hdr = buf.readline()
+                if not hdr:
+                    return
+                seq = buf.readline().rstrip(b"\r\n")
+                buf.readline()
+                qual = buf.readline().rstrip(b"\r\n")
+                name = (hdr[1:].rstrip(b"\r\n").split()[0].decode()
+                        if len(hdr) > 1 else "")
+                yield (name, seq, qual if len(qual) == len(seq) else None)
+        elif first:
+            raise ValueError(f"unrecognised fastx leader byte {first!r} in {path}")
+
+
 def read_fastx_py(path: str, max_records: Optional[int] = None) -> List[Record]:
     out: List[Record] = []
     with _open(path) as f:

@@ -33,3 +33,20 @@ def test_padding(repeat_40_fq):
     # padded tail is 'N' with qual 0 so it can never form valid windows
     assert (pr.seq[:, 250:] == ord("N")).all()
     assert (pr.qual[:, 250:] == 0).all()
+
+
+def test_iter_fastx_streams_in_batches():
+    from kmer_hasher_tpu.io import iter_fastx, read_fastx
+
+    path = "/root/reference/test.fastq.gz"
+    batches = list(iter_fastx(path, batch_size=700))
+    assert [len(b) for b in batches] == [700, 700, 700, 400]
+    flat = [r for b in batches for r in b]
+    assert flat == read_fastx(path)
+    # max_records honoured mid-stream
+    some = [r for b in iter_fastx(path, batch_size=64, max_records=100)
+            for r in b]
+    assert some == read_fastx(path, 100)
+    # fasta streaming too
+    fa = list(iter_fastx("/root/reference/test.fa", batch_size=10))
+    assert len(fa) == 1 and fa[0][0][0] == "SUPER_1"
