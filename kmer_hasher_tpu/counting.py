@@ -68,6 +68,24 @@ def _iter_batches(path: str, max_reads: Optional[int],
                           max_records=max_reads)
 
 
+def _run_ll_fsm(seq, qual, lengths, k, min_ll, exact_ll: bool):
+    """Quality-likelihood FSM dispatch: exact float64 lax.scan, or the
+    Pallas kernel in fast mode on TPU (transposed outputs — counting is
+    order-insensitive)."""
+    import os
+
+    import jax
+
+    if (not exact_ll and jax.default_backend() == "tpu"
+            and os.environ.get("KMH_PALLAS", "1") != "0"):
+        from .ops.pallas_scan import ll_scan_pallas
+
+        return ll_scan_pallas(seq, qual, lengths, k, float(min_ll),
+                              out_layout="LB")
+    return si.ll_scan(seq, qual, lengths, k, min_ll,
+                      precision="exact" if exact_ll else "fast")
+
+
 def _add_canonical_fsm(store: CountStore, emit, fhi, flo, rhi, rlo,
                        source: int):
     chi, clo = enc.canonical_windows(fhi, flo, rhi, rlo)
@@ -226,9 +244,8 @@ def count_kmers_fq_sh_rp(path: str, k: int, prefix_bits: int = 20,
         seq, qual, lengths, has_qual = _pad_pow2(recs)
         if has_qual.any():
             rows = np.where(has_qual)[0]
-            out = si.ll_scan(seq[rows], qual[rows], lengths[rows], k,
-                             min_ll,
-                             precision="exact" if exact_ll else "fast")
+            out = _run_ll_fsm(seq[rows], qual[rows], lengths[rows], k,
+                              min_ll, exact_ll)
             _add_canonical_fsm(store, *out, source=source)
         if (~has_qual[: len(recs)]).any():
             # FASTA records go through the no-quality iterator: N-delimited

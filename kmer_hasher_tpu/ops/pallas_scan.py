@@ -1,0 +1,217 @@
+"""Pallas TPU kernel for the quality-likelihood FSM (fast mode).
+
+``ops.scan_iter.ll_scan`` expresses the per-read iterator as a ``lax.scan``
+whose step does ~60 tiny elementwise ops on [B]-shaped operands; measured on
+the v5e it is bound not by the VPU but by per-step overheads. This kernel
+uses the Pallas pipelining shape with a *blocked* position axis: the grid
+iterates (read-tile, position-block), each step's (PB, 8, 128) input blocks
+are DMA-pipelined by pallas_call, and the PB positions inside a block run as
+a statically unrolled register loop — FSM state touches VMEM scratch only
+once per block, and DMA issue overhead amortises over PB positions.
+One grid cell carries 1024 reads (an (8, 128) vector register set).
+
+Float32 only (the "fast" precision): float64 is emulated on TPU and the
+exact-parity path stays on the lax.scan implementation. Bit-identical to
+``ll_scan(..., precision="fast")`` — same op order in f32 — which the tests
+assert.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .scan_iter import analytic_ll_f32
+
+U32 = jnp.uint32
+F32 = jnp.float32
+I32 = jnp.int32
+TILE = 1024  # reads per grid cell: one (8, 128) vector register set
+_SUB = 8
+_LANES = 128
+_PB = 16  # positions per grid step (DMA amortisation)
+
+
+def _fsm_step(state, c, llv, llnext, on, *, k, min_ll_v, shp):
+    """One FSM transition over an (8, 128) register set; returns
+    (state', emit). Mirrors ops.scan_iter.ll_scan's step exactly."""
+    rolling, j, fhi, flo, rhi, rlo, acc, emitC = state
+    zf = jnp.zeros(shp, F32)
+    zu = jnp.zeros(shp, U32)
+    zi = jnp.zeros(shp, I32)
+    if k <= 16:
+        lo_mask = U32((1 << (2 * k)) - 1 if k < 16 else 0xFFFFFFFF)
+        hi_mask = U32(0)
+    else:
+        hi_mask = U32((1 << (2 * (k - 16))) - 1) if k < 32 else U32(0xFFFFFFFF)
+
+    v = emitC + llv
+    roll_ok = rolling & ~(v < min_ll_v)
+    roll_fail = rolling & (v < min_ll_v)
+
+    building = ~rolling
+    ok1 = building & ((acc + llv) > min_ll_v)
+    ok2 = building & ~ok1 & (llv > min_ll_v)
+    b_ok = ok1 | ok2
+    j_base = jnp.where(ok1, j, zi)
+    acc_base = jnp.where(ok1, acc, zf)
+
+    take = (roll_ok | b_ok) & on
+    keep = ok1 | roll_ok
+    s_fhi = jnp.where(keep, fhi, zu)
+    s_flo = jnp.where(keep, flo, zu)
+    s_rhi = jnp.where(keep, rhi, zu)
+    s_rlo = jnp.where(keep, rlo, zu)
+    cc = c ^ U32(2)
+    if k <= 16:
+        n_flo = ((s_flo << 2) | c) & lo_mask
+        n_fhi = zu
+        n_rlo = ((s_rlo >> 2) | (cc << (2 * k - 2))) & lo_mask
+        n_rhi = zu
+    else:
+        n_fhi = ((s_fhi << 2) | (s_flo >> 30)) & hi_mask
+        n_flo = (s_flo << 2) | c
+        n_rlo = (s_rlo >> 2) | ((s_rhi & 3) << 30)
+        n_rhi = ((s_rhi >> 2) | (cc << (2 * k - 34))) & hi_mask
+    fhi = jnp.where(take, n_fhi, fhi)
+    flo = jnp.where(take, n_flo, flo)
+    rhi = jnp.where(take, n_rhi, rhi)
+    rlo = jnp.where(take, n_rlo, rlo)
+
+    j_new = jnp.where(b_ok, j_base + 1, jnp.where(building, zi, j))
+    acc_new = jnp.where(b_ok, acc_base + llv, jnp.where(building, zf, acc))
+    completed = building & b_ok & (j_new == k) & on
+    emit = (completed | (roll_ok & rolling)) & on
+
+    # select on i1 vectors is unsupported in Mosaic; use boolean algebra
+    rolling_new = (on & ((rolling & ~roll_fail) | completed)) | (
+        ~on & rolling
+    )
+    j_new = jnp.where(on, jnp.where(roll_fail, zi, j_new), j)
+    acc_new = jnp.where(on, jnp.where(roll_fail, zf, acc_new), acc)
+    emitC = jnp.where(completed, acc_new - llv + llnext,
+                      jnp.where(roll_fail, zf, emitC))
+    return (rolling_new, j_new, fhi, flo, rhi, rlo, acc_new, emitC), emit
+
+
+def _kernel(codes_ref, ll_ref, llnext_ref, on_ref, emit_ref, fhi_ref,
+            flo_ref, rhi_ref, rlo_ref, rolling_s, j_s, fhi_s, flo_s, rhi_s,
+            rlo_s, acc_s, emitC_s, *, k: int, min_ll: float, pb: int):
+    shp = (_SUB, _LANES)
+    zf = jnp.zeros(shp, F32)
+    zu = jnp.zeros(shp, U32)
+    zi = jnp.zeros(shp, I32)
+    min_ll_v = jnp.full(shp, min_ll, F32)
+    blk = pl.program_id(1)
+
+    @pl.when(blk == 0)
+    def _init():
+        rolling_s[...] = zu
+        j_s[...] = zi
+        fhi_s[...] = zu
+        flo_s[...] = zu
+        rhi_s[...] = zu
+        rlo_s[...] = zu
+        acc_s[...] = zf
+        emitC_s[...] = zf
+
+    state = (
+        rolling_s[...] != 0, j_s[...], fhi_s[...], flo_s[...], rhi_s[...],
+        rlo_s[...], acc_s[...], emitC_s[...],
+    )
+    for r in range(pb):  # statically unrolled register loop
+        state, emit = _fsm_step(
+            state, codes_ref[r], ll_ref[r], llnext_ref[r],
+            on_ref[r] != 0, k=k, min_ll_v=min_ll_v, shp=shp,
+        )
+        emit_ref[r] = jnp.where(emit, jnp.ones(shp, U32), zu)
+        fhi_ref[r] = state[2]
+        flo_ref[r] = state[3]
+        rhi_ref[r] = state[4]
+        rlo_ref[r] = state[5]
+    rolling_s[...] = jnp.where(state[0], jnp.ones(shp, U32), zu)
+    j_s[...] = state[1]
+    fhi_s[...] = state[2]
+    flo_s[...] = state[3]
+    rhi_s[...] = state[4]
+    rlo_s[...] = state[5]
+    acc_s[...] = state[6]
+    emitC_s[...] = state[7]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "min_ll", "out_layout", "interpret", "pb"),
+)
+def ll_scan_pallas(
+    ascii_u8: jax.Array, qual_u8: jax.Array, lengths: jax.Array, k: int,
+    min_ll, out_layout: str = "BL", interpret: bool = False, pb: int = _PB,
+) -> Tuple[jax.Array, ...]:
+    """Drop-in for ``ll_scan(..., precision='fast')``: returns
+    (emit, fhi, flo, rhi, rlo).
+
+    out_layout "BL" matches ll_scan ([B, L]); "LB" skips the five output
+    transposes and returns [Lp, Bp] device arrays (order-insensitive
+    consumers like counting use this — transposes are a large fraction of
+    the wall time on TPU).
+    """
+    B, L = ascii_u8.shape
+    Bp = -(-B // TILE) * TILE
+    Lp = -(-L // pb) * pb
+    if Bp != B or Lp != L:
+        ascii_u8 = jnp.pad(ascii_u8, ((0, Bp - B), (0, Lp - L)),
+                           constant_values=ord("N"))
+        qual_u8 = jnp.pad(qual_u8, ((0, Bp - B), (0, Lp - L)))
+        lengths = jnp.pad(lengths, (0, Bp - B))
+    G = Bp // TILE
+    # transpose the narrow u8 arrays, then do all widening/elementwise work
+    # in the [Lp, Bp] layout the kernel wants
+    seq_t = ascii_u8.T  # [Lp, Bp] u8
+    qual_t = qual_u8.T
+    codes = (seq_t.astype(U32) >> 1) & 3
+    ll = analytic_ll_f32(qual_t)  # arithmetic: no slow table gather
+    ll_next = jnp.concatenate([ll[1:], jnp.zeros((1, Bp), F32)], axis=0)
+    ll_next = jnp.where(
+        (jnp.arange(Lp) + 1)[:, None] < lengths[None, :], ll_next, 0.0
+    )
+    in_read = jnp.arange(Lp)[:, None] < lengths[None, :]
+    row_on = ((lengths > k)[None, :] & in_read).astype(U32)
+
+    def to3d(a):  # [Lp, Bp] -> [Lp, G*8, 128]
+        return a.reshape(Lp, G * _SUB, _LANES)
+
+    out_shapes = [jax.ShapeDtypeStruct((Lp, G * _SUB, _LANES), U32)] * 5
+    # grid = (read tile, position block); i*0 keeps index tuples uniformly
+    # i32 under jax_enable_x64
+    spec = pl.BlockSpec((pb, _SUB, _LANES), lambda i, p: (p, i, i * 0),
+                        memory_space=pltpu.VMEM)
+    emit, fhi, flo, rhi, rlo = pl.pallas_call(
+        functools.partial(_kernel, k=k, min_ll=float(min_ll), pb=pb),
+        grid=(G, Lp // pb),
+        in_specs=[spec] * 4,
+        out_specs=[spec] * 5,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((_SUB, _LANES), U32),   # rolling
+            pltpu.VMEM((_SUB, _LANES), I32),   # j
+            *[pltpu.VMEM((_SUB, _LANES), U32)] * 4,  # fhi/flo/rhi/rlo
+            *[pltpu.VMEM((_SUB, _LANES), F32)] * 2,  # acc/emitC
+        ],
+        interpret=interpret,
+    )(to3d(codes), to3d(ll), to3d(ll_next), to3d(row_on))
+
+    if out_layout == "LB":
+        def flat(a):
+            return a.reshape(Lp, Bp)
+
+        return ((flat(emit) != 0), flat(fhi), flat(flo), flat(rhi),
+                flat(rlo))
+
+    def back(a):  # [Lp, G*8, 128] -> [B, L]
+        return a.reshape(Lp, Bp).T[:B, :L]
+
+    return ((back(emit) != 0), back(fhi), back(flo), back(rhi), back(rlo))

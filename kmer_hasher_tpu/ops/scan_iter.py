@@ -45,6 +45,18 @@ from ..qll import Q_TO_LL
 U32 = jnp.uint32
 F64 = jnp.float64
 
+_LN10_OVER_10 = 0.23025850929940458
+
+
+def analytic_ll_f32(qual_u8: jax.Array) -> jax.Array:
+    """Float32 log-likelihood computed arithmetically:
+    log1p(-10**(-(q-33)/10)), floored at -708 for phred <= 0 — the formula
+    behind the Q_TO_LL table (qll.py), evaluated instead of gathered
+    (XLA:TPU gathers are slow). Used by the "fast" precision paths."""
+    q = qual_u8.astype(jnp.float32) - 33.0
+    raw = jnp.log1p(-jnp.exp(q * jnp.float32(-_LN10_OVER_10)))
+    return jnp.where(q <= 0, jnp.float32(-708.0), raw)
+
 
 def _roll_regs(state_regs, c: jax.Array, k: int):
     """One rolling step of the forward and (bottom-aligned) RC registers."""
@@ -83,16 +95,20 @@ def ll_scan(
     ending at position p. Reads with length <= k emit nothing (the caller
     loop skips them, src/kmer_reader.c:54-55).
 
-    precision: "exact" accumulates in float64, reproducing the C double
-    arithmetic bit-for-bit — but float64 is emulated (slow) on TPU.
-    "fast" accumulates in float32 (~10x on TPU); accept/reject decisions
-    can differ from the reference only when a window sum sits within
-    float32 rounding of the threshold.
+    precision: "exact" gathers the embedded Q_TO_LL table and accumulates
+    in float64, reproducing the C double arithmetic bit-for-bit — but
+    float64 is emulated (slow) on TPU. "fast" computes the log-likelihoods
+    arithmetically in float32 (table gathers are slow on TPU); accept
+    /reject decisions can differ from the reference only when a window sum
+    sits within float32 rounding of the threshold.
     """
     B, L = ascii_u8.shape
     fdt = F64 if precision == "exact" else jnp.float32
     codes = (ascii_u8.astype(U32) >> 1) & 3
-    ll = jnp.asarray(Q_TO_LL)[qual_u8.astype(jnp.int32)].astype(fdt)
+    if precision == "exact":
+        ll = jnp.asarray(Q_TO_LL)[qual_u8.astype(jnp.int32)]
+    else:
+        ll = analytic_ll_f32(qual_u8)
     min_ll = min_ll.astype(fdt)
     # pollution term: ll of the base after the window, 0 past the read end
     ll_next = jnp.concatenate([ll[:, 1:], jnp.zeros((B, 1), fdt)], axis=1)

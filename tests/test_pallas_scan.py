@@ -1,0 +1,45 @@
+"""Pallas FSM kernel (interpret mode) vs the lax.scan fast-mode FSM —
+bit-identical (same f32 op order)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kmer_hasher_tpu.io import pad_records
+from kmer_hasher_tpu.ops import scan_iter as si
+from kmer_hasher_tpu.ops.pallas_scan import ll_scan_pallas
+from kmer_hasher_tpu.qll import Q_TO_LL
+
+
+def compare(reads, k, min_q):
+    pr = pad_records([("r%d" % i, s, q) for i, (s, q) in enumerate(reads)])
+    min_ll = float(Q_TO_LL[33 + min_q])
+    want = si.ll_scan(pr.seq, pr.qual, pr.lengths, k,
+                      jnp.asarray(min_ll), precision="fast")
+    # pb=2 keeps interpret-mode cost low; on-chip runs use the default
+    got = ll_scan_pallas(pr.seq, pr.qual, pr.lengths, k, min_ll,
+                         interpret=True, pb=2)
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
+    e = np.asarray(want[0])
+    for g, w in zip(got[1:], want[1:]):
+        np.testing.assert_array_equal(np.asarray(g)[e], np.asarray(w)[e])
+
+
+def random_reads(n, lmin, lmax, seed):
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n):
+        L = int(rng.integers(lmin, lmax + 1))
+        s = rng.choice(list(b"ACGTacgtN"), size=L).astype(np.uint8)
+        q = (33 + rng.integers(0, 42, size=L)).astype(np.uint8)
+        out.append((s.tobytes(), q.tobytes()))
+    return out
+
+
+@pytest.mark.parametrize("k,min_q", [(5, 20), (21, 20), (32, 0), (16, 10)])
+def test_pallas_fsm_matches_scan_fast(k, min_q):
+    compare(random_reads(24, max(2, k - 2), 70, seed=k + min_q), k, min_q)
+
+
+def test_pallas_fsm_real_fastq(test_fastq_gz):
+    reads = [(s, q) for (_n, s, q) in test_fastq_gz[:48]]
+    compare(reads, 21, 20)
