@@ -133,3 +133,19 @@ def test_sharded_rp_counting_matches_single(mesh):
     seq = "ACTGG" * 20 + "N" + "ACTGG" * 4
     np.testing.assert_array_equal(seq_kmer_depth(shard, seq, 7),
                                   seq_kmer_depth(single, seq, 7))
+
+
+def test_sharded_index_k32(mesh, test_fa):
+    # k=32 exercises the two-key sort path inside every shard
+    seq = test_fa[:1500]
+    sh = ShardedKmerIndex(seq, 32, mesh)
+    single = KmerIndex(seq, 32)
+    assert sh.total_kmers == single.n_valid
+    h = rs.make_kmer_hash(seq, 32)
+    keys = sorted(h.pos)[:50]
+    qhi = np.array([kk >> 32 for kk in keys], np.uint32)
+    qlo = np.array([kk & 0xFFFFFFFF for kk in keys], np.uint32)
+    np.testing.assert_array_equal(
+        sh.lookup_counts(qhi, qlo),
+        np.array([len(h.pos[kk]) for kk in keys]),
+    )
