@@ -55,17 +55,64 @@ def _pad_pow2(records: List[Record]):
     return seq, qual, lengths, has_qual
 
 
-def _iter_batches(path: str, max_reads: Optional[int],
-                  batch_rows: int = 4096) -> Iterator[List[Record]]:
-    """Constant-memory record batches: the file streams (gz-aware), never
-    fully materialised — the scalable analogue of the reference's one-read
-    -at-a-time kseq loop."""
+def _iter_padded_batches(path: str, max_reads: Optional[int],
+                         batch_rows: int = 4096):
+    """Yield device-ready (seq, qual, lengths, has_qual) batches, padded to
+    power-of-two shapes.
+
+    Fast path: the native parser's contiguous buffers + vectorised numpy
+    padding — no per-record Python work (the throttled host made the
+    record-by-record path the end-to-end bottleneck). Falls back to
+    streamed Python parsing (constant memory) when the native parser is
+    unavailable.
+    """
     if max_reads is not None and max_reads < 0:
         max_reads = None
+    from .io import native
+
+    if native.available():
+        seq_all, qual_all, offsets, qpres = native.read_fastx_raw(
+            path, max_reads
+        )
+        n = len(qpres)
+        for i in range(0, n, batch_rows):
+            j = min(i + batch_rows, n)
+            yield _pad_from_raw(seq_all, qual_all, offsets, qpres, i, j,
+                                batch_rows)
+        return
     from .io.fastx import iter_fastx
 
-    yield from iter_fastx(path, batch_size=batch_rows,
-                          max_records=max_reads)
+    for recs in iter_fastx(path, batch_size=batch_rows,
+                           max_records=max_reads):
+        yield _pad_pow2(recs)
+
+
+def _pad_from_raw(seq_all, qual_all, offsets, qpres, i: int, j: int,
+                  batch_rows: int):
+    """Vectorised batch padding from contiguous record buffers."""
+    lens = (offsets[i + 1:j + 1] - offsets[i:j]).astype(np.int64)
+    B = j - i
+    Bp = 1 << max(3, (batch_rows - 1).bit_length())
+    Lmax = int(lens.max()) if B else 1
+    Lp = 1 << max(5, (Lmax - 1).bit_length())
+    seq = np.full((Bp, Lp), ord("N"), np.uint8)
+    qual = np.zeros((Bp, Lp), np.uint8)
+    total = int(lens.sum())
+    if total:
+        rows = np.repeat(np.arange(B, dtype=np.int64), lens)
+        starts = np.repeat(offsets[i:j], lens)
+        cols = np.arange(total, dtype=np.int64) - np.repeat(
+            (np.concatenate([[0], np.cumsum(lens)[:-1]])), lens
+        )
+        flat = rows * Lp + cols
+        src = slice(int(offsets[i]), int(offsets[j]))
+        seq.reshape(-1)[flat] = seq_all[src]
+        qual.reshape(-1)[flat] = qual_all[src]
+    lengths = np.zeros(Bp, np.int32)
+    lengths[:B] = lens
+    has_qual = np.zeros(Bp, bool)
+    has_qual[:B] = qpres[i:j]
+    return seq, qual, lengths, has_qual
 
 
 def _run_ll_fsm(seq, qual, lengths, k, min_ll, exact_ll: bool):
@@ -139,8 +186,8 @@ def _count_fastq_threshold(path: str, k: int, min_q: int,
     iterator, canonical min(fwd, rc) (src/kmer_hash.c:618-806)."""
     min_q_char = 33 + int(min_q)  # '!' + q, src/kmer_hash.c:633
     meter = _progress(report_every, f"count_fq[{path}]")
-    for recs in _iter_batches(path, max_reads):
-        seq, qual, lengths, has_qual = _pad_pow2(recs)
+    for seq, qual, lengths, has_qual in _iter_padded_batches(path, max_reads):
+        n_recs = int((lengths > 0).sum())
         if has_qual.any():
             rows = np.where(has_qual)[0]
             out = si.threshold_scan(
@@ -148,15 +195,16 @@ def _count_fastq_threshold(path: str, k: int, min_q: int,
                 jnp.asarray(min_q_char), has_qual=True,
             )
             _add_canonical_fsm(store, *out, source=0)
-        if (~has_qual[: len(recs)]).any():
-            rows = np.where(~has_qual[: len(recs)])[0]
+        no_q = (~has_qual) & (lengths > 0)
+        if no_q.any():
+            rows = np.where(no_q)[0]
             out = si.threshold_scan(
                 seq[rows], qual[rows], lengths[rows], k,
                 jnp.asarray(min_q_char), has_qual=False,
             )
             _add_canonical_fsm(store, *out, source=0)
         if meter:
-            meter.update(len(recs), distinct_kmers=store.n_unique)
+            meter.update(n_recs, distinct_kmers=store.n_unique)
     return store.flush()
 
 
@@ -240,19 +288,20 @@ def count_kmers_fq_sh_rp(path: str, k: int, prefix_bits: int = 20,
         raise ValueError("Value of source is too large")
     min_ll = jnp.asarray(float(Q_TO_LL[33 + int(min_q)]))
     meter = _progress(report_every, f"count_rp[{path}]")
-    for recs in _iter_batches(path, max_reads):
-        seq, qual, lengths, has_qual = _pad_pow2(recs)
+    for seq, qual, lengths, has_qual in _iter_padded_batches(path, max_reads):
+        n_recs = int((lengths > 0).sum())
         if has_qual.any():
             rows = np.where(has_qual)[0]
             out = _run_ll_fsm(seq[rows], qual[rows], lengths[rows], k,
                               min_ll, exact_ll)
             _add_canonical_fsm(store, *out, source=source)
-        if (~has_qual[: len(recs)]).any():
+        no_q = (~has_qual) & (lengths > 0)
+        if no_q.any():
             # FASTA records go through the no-quality iterator: N-delimited
             # windows, no trailing drop (src/kmer_util.c:68-93) — equivalent
             # to plain canonical window enumeration, but reads of length
             # <= k are skipped by the caller loop (src/kmer_reader.c:54-55)
-            rows = np.where(~has_qual[: len(recs)])[0]
+            rows = np.where(no_q)[0]
             lens = lengths[rows]
             hi, lo, valid = enc.encode_stream(
                 seq[rows], k, lens, canonical=True,
@@ -261,7 +310,7 @@ def count_kmers_fq_sh_rp(path: str, k: int, prefix_bits: int = 20,
             valid &= jnp.asarray(lens > k)[:, None]
             store.add_kmers(hi, lo, valid, source=source, defer=True)
         if meter:
-            meter.update(len(recs), distinct_kmers=store.n_unique)
+            meter.update(n_recs, distinct_kmers=store.n_unique)
     return store.flush()
 
 
@@ -309,8 +358,8 @@ def _count_rp_sharded(path, k, min_q, max_reads, source_n, source, store,
     min_ll = jnp.asarray(float(Q_TO_LL[33 + int(min_q)]))
     meter = _progress(report_every, f"count_rp_sharded[{path}]")
     precision = "exact" if exact_ll else "fast"
-    for recs in _iter_batches(path, max_reads):
-        seq, qual, lengths, has_qual = _pad_pow2(recs)
+    for seq, qual, lengths, has_qual in _iter_padded_batches(path, max_reads):
+        n_recs = int((lengths > 0).sum())
         B = seq.shape[0]
         if B % D:
             padr = D - B % D
@@ -327,7 +376,7 @@ def _count_rp_sharded(path, k, min_q, max_reads, source_n, source, store,
             emit = out[0]
         else:
             chi = clo = emit = None
-        if (~has_qual[: len(recs)]).any():
+        if ((~has_qual) & (lengths > 0)).any():
             hi2, lo2, v2 = enc.encode_stream(
                 seq, k, jnp.where(jnp.asarray(~has_qual), lengths, 0),
                 canonical=True, drop_trailing_exact_k=False,
@@ -344,6 +393,6 @@ def _count_rp_sharded(path, k, min_q, max_reads, source_n, source, store,
             source=source,
         )
         if meter:
-            meter.update(len(recs),
+            meter.update(n_recs,
                          distinct_kmers=int(store.n_unique.sum()))
     return store

@@ -72,6 +72,38 @@ def available() -> bool:
     return _lib is not None
 
 
+def read_fastx_raw(path: str, max_records: Optional[int] = None):
+    """Contiguous-buffer access: returns (seq_all, qual_all, offsets,
+    qual_present) as numpy arrays with ONE bulk copy each — the fast path
+    for batch building on a slow host (no per-record Python objects).
+    ``offsets`` has n+1 entries into seq_all/qual_all."""
+    import numpy as np
+
+    if not available():
+        raise RuntimeError("native fastx parser unavailable")
+    res = _lib.fastx_read(
+        os.fsencode(path), -1 if max_records is None else int(max_records)
+    )
+    try:
+        r = res.contents
+        if r.error == 1:
+            raise FileNotFoundError(path)
+        if r.error == 2:
+            raise ValueError(f"unrecognised fastx content in {path}")
+        n = int(r.n_records)
+        offsets = np.ctypeslib.as_array(r.offsets, shape=(n + 1,)).copy() if n else np.zeros(1, np.int64)
+        total = int(offsets[-1])
+        seq_all = (np.ctypeslib.as_array(r.seq, shape=(total,)).copy()
+                   if total else np.zeros(0, np.uint8))
+        qual_all = (np.ctypeslib.as_array(r.qual, shape=(total,)).copy()
+                    if total else np.zeros(0, np.uint8))
+        qpres = (np.ctypeslib.as_array(r.qual_present, shape=(n,)).copy()
+                 if n else np.zeros(0, np.uint8))
+        return seq_all, qual_all, offsets, qpres.astype(bool)
+    finally:
+        _lib.fastx_free(res)
+
+
 def read_fastx(
     path: str, max_records: Optional[int] = None
 ) -> List[Tuple[str, bytes, Optional[bytes]]]:
