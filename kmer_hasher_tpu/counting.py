@@ -219,8 +219,9 @@ def count_kmers_fq(path: str, k: int, min_q: int = 0, prefix_bits: int = 16,
     if not 1 <= k <= MAX_K:
         raise ValueError("k must be a positive integer less than 1+MAX_K")
     if store is None:
+        pb, sb = derive_prefix_suffix_bits(k, prefix_bits)
         store = CountStore(
-            k, counts_n=1, prefix_bits=prefix_bits, mode="ktree",
+            k, counts_n=1, prefix_bits=pb, suffix_bits=sb, mode="ktree",
             max_size_bytes=(max_mem_gb << 30) if max_mem_gb else None,
         )
     return _count_fastq_threshold(path, k, min_q, store, max_reads,
@@ -238,7 +239,9 @@ def count_kmers_fq_sh(path: str, k: int, min_q: int = 0,
     if not 1 <= k <= MAX_K:
         raise ValueError("k must be a positive integer less than 1+MAX_K")
     if store is None:
-        store = CountStore(k, counts_n=1, prefix_bits=prefix_bits, mode="sh")
+        pb, sb = derive_prefix_suffix_bits(k, prefix_bits)
+        store = CountStore(k, counts_n=1, prefix_bits=pb, suffix_bits=sb,
+                           mode="sh")
     return _count_fastq_threshold(path, k, min_q, store, max_reads,
                                   report_every)
 
@@ -319,9 +322,13 @@ def seq_kmer_depth(store: CountStore, seq, k: int) -> np.ndarray:
     canonical k-mer counts, shape (counts_n, len(seq)), NA (INT_MIN) where
     no valid window exists.
 
-    Deliberate deviation from the reference: windows overlapping N are NA
-    (the C rolls a stale register across N gaps after exactly-k regions and
-    looks up a partial window at end-of-sequence — see PARITY.md)."""
+    Deliberate deviations from the reference (PARITY.md dev 1-2, 1b):
+    windows overlapping N are NA (the C rolls a stale register across N
+    gaps after exactly-k regions and looks up a partial window at
+    end-of-sequence), and counts are window-start-aligned (the C's rolling
+    branch writes before ++i, shifting every count one column left and
+    dropping each region's first window — found by the compiled-C
+    ground-truth diff, tests/test_ground_truth.py)."""
     if store.k != k:
         raise ValueError("Receieved error from seq_kmer_counts: k mismatch")
     if isinstance(seq, str):

@@ -148,6 +148,15 @@ class CountStore:
         self.suffix_bits = int(
             2 * k - prefix_bits if suffix_bits is None else suffix_bits
         )
+        # suffix_hash caps (src/suffix_hash.h:14-16); a negative suffix
+        # would corrupt ktree spectra / block accounting downstream
+        if not 0 <= self.prefix_bits <= 36:
+            raise ValueError("prefix_bits must be in 0..36")
+        if not 0 <= self.suffix_bits <= 32:
+            raise ValueError(
+                "suffix_bits must be in 0..32 (got "
+                f"{self.suffix_bits}; clamp prefix_bits for small k)"
+            )
         self.mode = mode
         self.max_size_bytes = max_size_bytes
         cap = 64

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import itertools
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
@@ -88,56 +89,44 @@ def _iter_records_py(path: str):
             if name is not None:
                 yield (name, b"".join(chunks), None)
         elif first == b"@":
+            # Multi-line FASTQ like kseq (src/kseq.h:195-218): sequence
+            # spans lines until the '+' separator; quality bytes accumulate
+            # until they reach the sequence length.
             while True:
                 hdr = buf.readline()
                 if not hdr:
                     return
-                seq = buf.readline().rstrip(b"\r\n")
-                buf.readline()
-                qual = buf.readline().rstrip(b"\r\n")
                 name = (hdr[1:].rstrip(b"\r\n").split()[0].decode()
                         if len(hdr) > 1 else "")
+                chunks = []
+                line = b""
+                for line in buf:
+                    if line.startswith(b"+"):
+                        break
+                    chunks.append(line.rstrip(b"\r\n"))
+                seq = b"".join(chunks)
+                if not line.startswith(b"+"):  # truncated: FASTA-ish tail
+                    yield (name, seq, None)
+                    return
+                qchunks: List[bytes] = []
+                qlen = 0
+                while qlen < len(seq):
+                    qline = buf.readline()
+                    if not qline:
+                        break
+                    qchunks.append(qline.rstrip(b"\r\n"))
+                    qlen += len(qchunks[-1])
+                qual = b"".join(qchunks)
                 yield (name, seq, qual if len(qual) == len(seq) else None)
         elif first:
             raise ValueError(f"unrecognised fastx leader byte {first!r} in {path}")
 
 
 def read_fastx_py(path: str, max_records: Optional[int] = None) -> List[Record]:
-    out: List[Record] = []
-    with _open(path) as f:
-        buf = io.BufferedReader(f) if not isinstance(f, io.BufferedReader) else f
-        first = buf.peek(1)[:1]
-        if first == b">":
-            name = None
-            chunks: List[bytes] = []
-            for line in buf:
-                line = line.rstrip(b"\r\n")
-                if line.startswith(b">"):
-                    if name is not None:
-                        out.append((name, b"".join(chunks), None))
-                        if max_records is not None and len(out) >= max_records:
-                            return out
-                    name = line[1:].split()[0].decode() if len(line) > 1 else ""
-                    chunks = []
-                else:
-                    chunks.append(line)
-            if name is not None:
-                out.append((name, b"".join(chunks), None))
-        elif first == b"@":
-            while True:
-                hdr = buf.readline()
-                if not hdr:
-                    break
-                seq = buf.readline().rstrip(b"\r\n")
-                buf.readline()  # '+'
-                qual = buf.readline().rstrip(b"\r\n")
-                name = hdr[1:].rstrip(b"\r\n").split()[0].decode() if len(hdr) > 1 else ""
-                out.append((name, seq, qual if len(qual) == len(seq) else None))
-                if max_records is not None and len(out) >= max_records:
-                    return out
-        elif first:
-            raise ValueError(f"unrecognised fastx leader byte {first!r} in {path}")
-    return out
+    it = _iter_records_py(path)
+    if max_records is None:
+        return list(it)
+    return list(itertools.islice(it, max_records))
 
 
 @dataclass

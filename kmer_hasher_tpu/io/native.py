@@ -90,6 +90,8 @@ def read_fastx_raw(path: str, max_records: Optional[int] = None):
             raise FileNotFoundError(path)
         if r.error == 2:
             raise ValueError(f"unrecognised fastx content in {path}")
+        if r.error == 3:
+            raise IOError(f"read error (corrupt stream?) in {path}")
         n = int(r.n_records)
         offsets = np.ctypeslib.as_array(r.offsets, shape=(n + 1,)).copy() if n else np.zeros(1, np.int64)
         total = int(offsets[-1])
@@ -118,6 +120,8 @@ def read_fastx(
             raise FileNotFoundError(path)
         if r.error == 2:
             raise ValueError(f"unrecognised fastx content in {path}")
+        if r.error == 3:
+            raise IOError(f"read error (corrupt stream?) in {path}")
         n = int(r.n_records)
         if n == 0:
             return []

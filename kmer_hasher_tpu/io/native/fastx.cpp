@@ -28,7 +28,9 @@ struct Buf {
     if (need <= cap) return;
     int64_t ncap = cap ? cap : 1 << 16;
     while (ncap < need) ncap *= 2;
-    data = static_cast<uint8_t*>(realloc(data, ncap));
+    uint8_t* ndata = static_cast<uint8_t*>(realloc(data, ncap));
+    if (!ndata) abort();  // allocation failure: no recovery path here
+    data = ndata;
     cap = ncap;
   }
   void append(const uint8_t* p, int64_t n) {
@@ -50,6 +52,9 @@ class Reader {
     if (gz_) gzclose(gz_);
   }
   bool ok() const { return gz_ != nullptr; }
+  // true if a gzread returned a hard error (corrupt stream), as opposed to
+  // EOF — callers must not treat the truncated result as a complete parse.
+  bool io_error() const { return io_error_; }
 
   int peek() {
     if (pos_ >= avail_ && !fill()) return -1;
@@ -97,7 +102,11 @@ class Reader {
   bool fill() {
     if (!gz_) return false;
     int n = gzread(gz_, buf_, sizeof(buf_));
-    if (n <= 0) return false;
+    if (n < 0) {  // hard error (e.g. corrupt gzip), not EOF
+      io_error_ = true;
+      return false;
+    }
+    if (n == 0) return false;
     avail_ = n;
     pos_ = 0;
     return true;
@@ -106,6 +115,7 @@ class Reader {
   uint8_t buf_[1 << 16];
   int64_t pos_ = 0;
   int64_t avail_ = 0;
+  bool io_error_ = false;
 };
 
 }  // namespace
@@ -120,7 +130,7 @@ struct FastxResult {
   char* names;  // '\n'-joined
   int64_t n_records;
   int64_t names_len;
-  int error;  // 0 ok, 1 open failed, 2 parse error
+  int error;  // 0 ok, 1 open failed, 2 parse error, 3 read error (corrupt)
 };
 
 FastxResult* fastx_read(const char* path, int64_t max_records) {
@@ -193,6 +203,7 @@ FastxResult* fastx_read(const char* path, int64_t max_records) {
     }
     offsets.push_back(seq.len);
   }
+  if (rd.io_error() && res->error == 0) res->error = 3;
 
   res->seq = seq.data;
   res->qual = qual.data;

@@ -597,11 +597,27 @@ def count_kmers_reads_ll(
     return store
 
 
-def seq_kmer_depth(store: RefCountStore, seq: str, k: int) -> np.ndarray:
+def seq_kmer_depth(store: RefCountStore, seq: str, k: int,
+                   semantics: str = "c") -> np.ndarray:
     """R entry ``seq.kmer.depth.sh`` (src/kmer_reader.c:155-194): per-position
     canonical-k-mer counts, shape (counts_n, len(seq)), NA = INT_MIN where no
-    window was written. Transliterates the reference loop including its
-    stale-register and partial-window quirks (module docstring)."""
+    window was written.
+
+    ``semantics="c"`` (default, the spec) transliterates the reference loop
+    exactly, validated bit-for-bit against the *compiled* C core
+    (tests/test_ground_truth.py). Note the rolling branch writes its count
+    at column ``i-k`` BEFORE ``++i`` (src/kmer_reader.c:189-190), so column
+    ``c`` holds the count of the window *starting at c+1* and each valid
+    region's first window is overwritten (its count appears nowhere, the
+    region's last column stays NA) — a one-column shift versus the
+    window-start alignment the surrounding code implies. Also reproduced:
+    the stale-register re-entry after exactly-k regions and the
+    partial-window write at end-of-sequence (module docstring).
+
+    ``semantics="intent"`` is window-start-aligned: column ``c`` = count of
+    the window starting at ``c``, the behaviour the reference's own
+    description implies and what the device path implements (PARITY.md).
+    """
     sq = seq.encode()
     n = len(sq)
     counts = np.full((store.counts_n, n), NA_INTEGER, dtype=np.int64)
@@ -628,9 +644,12 @@ def seq_kmer_depth(store: RefCountStore, seq: str, k: int) -> np.ndarray:
         kmer_f = off_f & mask
         kmer_r = off_r >> rc_shift
         kmer = min(kmer_f, kmer_r)
-        i += 1
+        if semantics == "intent":
+            i += 1
         if i - k >= 0:
             counts[:, i - k] = store.count(kmer)
+        if semantics != "intent":
+            i += 1  # C increments AFTER the write: the one-column shift
     return counts
 
 

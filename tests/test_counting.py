@@ -137,13 +137,13 @@ def test_depth_track_matches_oracle(repeat_40_fq):
                                       source=0, source_n=2)
     seq = repeat_40_fq[0][1].decode()
     got = seq_kmer_depth(st, seq, k)
-    want = rs.seq_kmer_depth(want_st, seq, k)
+    want = rs.seq_kmer_depth(want_st, seq, k, semantics="intent")
     np.testing.assert_array_equal(got, want.astype(np.int64))
     # and a sequence with Ns + novel kmers (no stale-register degenerate
     # regions: valid regions around the N are longer than k)
     seq2 = seq[:40] + "N" + "TTTTTTTTCCCC" + seq[40:80]
     got2 = seq_kmer_depth(st, seq2, k)
-    want2 = rs.seq_kmer_depth(want_st, seq2, k)
+    want2 = rs.seq_kmer_depth(want_st, seq2, k, semantics="intent")
     np.testing.assert_array_equal(got2, want2.astype(np.int64))
 
 
@@ -183,3 +183,27 @@ def test_spectrum_n_matches_oracle(test_10_fastq, repeat_40_fq):
         kmer_spectrum_n(st, 30, [4], [1], smin)  # comb >= 2^counts_n
     with pytest.raises(ValueError):
         kmer_spectrum_n(st, 30, [1], [2], smin)  # bad inner
+
+
+def test_small_k_prefix_bits_clamped():
+    # k < 8 with the default prefix_bits=16 used to give negative
+    # suffix_bits and negative spectrum bins (round-1 advisor finding)
+    import numpy as np
+    from kmer_hasher_tpu import counting
+
+    st = counting.count_kmers_fq("/root/reference/repeat_40.fq", k=5)
+    spec = st.spectrum(6000)
+    assert (spec >= 0).all()
+    assert st.suffix_bits >= 0
+    # khash-free check: total mass equals distinct kmers (+ zero cells)
+    assert spec.sum() >= st.n_unique
+
+
+def test_count_store_rejects_bad_bits():
+    import pytest
+    from kmer_hasher_tpu.index.count_store import CountStore
+
+    with pytest.raises(ValueError):
+        CountStore(5, prefix_bits=16)  # suffix would be negative
+    with pytest.raises(ValueError):
+        CountStore(32, prefix_bits=40)

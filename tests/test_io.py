@@ -50,3 +50,36 @@ def test_iter_fastx_streams_in_batches():
     # fasta streaming too
     fa = list(iter_fastx("/root/reference/test.fa", batch_size=10))
     assert len(fa) == 1 and fa[0][0][0] == "SUPER_1"
+
+
+def test_multiline_fastq_py_parser(tmp_path):
+    # kseq supports multi-line FASTQ (src/kseq.h:195-218); the py fallback
+    # must not desynchronize on it (round-1 advisor finding)
+    from kmer_hasher_tpu.io.fastx import read_fastx_py
+    from kmer_hasher_tpu.io import native
+
+    p = tmp_path / "ml.fq"
+    p.write_text(
+        "@r1 comment\nACGT\nACGT\n+\nIIII\nIIII\n"
+        "@r2\nTTTT\n+r2\nJJJJ\n"
+    )
+    recs = read_fastx_py(str(p))
+    assert recs == [("r1", b"ACGTACGT", b"IIIIIIII"), ("r2", b"TTTT", b"JJJJ")]
+    if native.available():
+        assert native.read_fastx(str(p)) == recs
+
+
+def test_corrupt_gzip_raises(tmp_path):
+    from kmer_hasher_tpu.io import native
+
+    if not native.available():
+        import pytest
+        pytest.skip("native parser unavailable")
+    import gzip as _gz
+
+    p = tmp_path / "bad.fq.gz"
+    data = _gz.compress(b"@r1\n" + b"A" * 1000 + b"\n+\n" + b"I" * 1000 + b"\n")
+    p.write_bytes(data[: len(data) // 2])  # truncated/corrupt stream
+    import pytest
+    with pytest.raises((IOError, ValueError)):
+        native.read_fastx(str(p))

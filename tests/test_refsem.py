@@ -233,12 +233,18 @@ def test_depth_track_basic():
     st = rs.count_kmers_reads_ll([(b"ACGTACGTAA", None)], k=4, min_q_phred=0)
     d = rs.seq_kmer_depth(st, "ACGTACGTAA", 4)
     assert d.shape == (1, 10)
-    # valid window starts 0..6 get counts; tail k-1 columns stay NA
-    assert (d[0, 7:] == rs.NA_INTEGER).all()
-    assert (d[0, :7] >= 0).all()
+    # C semantics (ground-truth validated): column c holds the window
+    # starting at c+1, so columns 0..5 are written and 6.. stay NA
+    assert (d[0, 6:] == rs.NA_INTEGER).all()
+    assert (d[0, :6] >= 0).all()
+    # intent semantics: window-start aligned, starts 0..6 written
+    di = rs.seq_kmer_depth(st, "ACGTACGTAA", 4, semantics="intent")
+    assert (di[0, 7:] == rs.NA_INTEGER).all()
+    assert (di[0, :7] >= 0).all()
+    assert (d[0, :6] == di[0, 1:7]).all()  # the one-column shift
     # unknown sequence -> zeros (sh_kmer_count_n writes 0 for missing)
     d2 = rs.seq_kmer_depth(st, "GGGGGGGG", 4)
-    assert (d2[0, :5] == 0).all()
+    assert (d2[0, :4] == 0).all()
 
 
 def test_spectrum_allocated_zeros_ktree_mode():
