@@ -1,0 +1,73 @@
+"""End-to-end counting stress: synthetic reads -> full pipeline
+(parse -> pad -> FSM filter -> canonicalise -> LSM count store).
+
+This is the scenario where the reference sustains ~300k reads/s on 33 Xeon
+cores into a large store (test.R:823-838); round 1 measured ~420 reads/s
+here because every flush re-sorted the whole store (VERDICT.md weak #1).
+The size-tiered LSM store (index/count_store.py) is the fix this script
+measures.
+
+Usage: python examples/counting_stress.py [--reads 200000] [--k 21]
+       [--read-len 151] [--exact-ll] [--keep FILE]
+"""
+import argparse
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+
+def make_reads(path: str, n: int, read_len: int, seed: int = 0) -> None:
+    """Write n synthetic FASTQ reads with uniform bases and mixed
+    qualities (phred 2..40, so the likelihood filter does real work)."""
+    rng = np.random.default_rng(seed)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    quals = rng.integers(35, 74, size=(n, read_len), dtype=np.uint8)
+    seqs = bases[rng.integers(0, 4, size=(n, read_len), dtype=np.uint8)]
+    nl = np.full((n, 1), ord("\n"), np.uint8)
+    hdr = np.tile(np.frombuffer(b"@r\n", np.uint8), (n, 1))
+    plus = np.tile(np.frombuffer(b"+\n", np.uint8), (n, 1))
+    rows = np.concatenate([hdr, seqs, nl, plus, quals, nl], axis=1)
+    rows.tofile(path)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reads", type=int, default=200_000)
+    ap.add_argument("--k", type=int, default=21)
+    ap.add_argument("--read-len", type=int, default=151)
+    ap.add_argument("--min-q", type=int, default=20)
+    ap.add_argument("--exact-ll", action="store_true")
+    ap.add_argument("--keep", default=None,
+                    help="reuse/keep the synthetic fastq at this path")
+    args = ap.parse_args(argv)
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from kmer_hasher_tpu import counting
+
+    path = args.keep or os.path.join(tempfile.gettempdir(),
+                                     f"stress_{args.reads}.fq")
+    if not os.path.exists(path):
+        t0 = time.perf_counter()
+        make_reads(path, args.reads, args.read_len)
+        print(f"generated {args.reads} reads in "
+              f"{time.perf_counter() - t0:.1f}s -> {path}")
+
+    t0 = time.perf_counter()
+    st = counting.count_kmers_fq_sh_rp(
+        path, k=args.k, min_q=args.min_q, exact_ll=args.exact_ll,
+        report_every=50_000,
+    )
+    n_unique = st.n_unique  # folds + syncs
+    dt = time.perf_counter() - t0
+    print(f"reads={args.reads} k={args.k} exact_ll={args.exact_ll} "
+          f"distinct={n_unique} total={int(st.total_added.sum())} "
+          f"wall={dt:.1f}s rate={args.reads / dt:.0f} reads/s")
+    if not args.keep:
+        os.unlink(path)
+
+
+if __name__ == "__main__":
+    main()

@@ -204,7 +204,7 @@ def _count_fastq_threshold(path: str, k: int, min_q: int,
             )
             _add_canonical_fsm(store, *out, source=0)
         if meter:
-            meter.update(n_recs, distinct_kmers=store.n_unique)
+            meter.update(n_recs, distinct_kmers=lambda: store.n_unique)
     return store.flush()
 
 
@@ -313,7 +313,7 @@ def count_kmers_fq_sh_rp(path: str, k: int, prefix_bits: int = 20,
             valid &= jnp.asarray(lens > k)[:, None]
             store.add_kmers(hi, lo, valid, source=source, defer=True)
         if meter:
-            meter.update(n_recs, distinct_kmers=store.n_unique)
+            meter.update(n_recs, distinct_kmers=lambda: store.n_unique)
     return store.flush()
 
 
@@ -401,5 +401,5 @@ def _count_rp_sharded(path, k, min_q, max_reads, source_n, source, store,
         )
         if meter:
             meter.update(n_recs,
-                         distinct_kmers=int(store.n_unique.sum()))
+                         distinct_kmers=lambda: int(store.n_unique.sum()))
     return store

@@ -3,11 +3,20 @@ reference's counting backends (``kmer_tree`` src/kmer_tree.c, ``suffix_hash``
 / ``suffix_hash_n`` src/suffix_hash.c).
 
 The reference keeps 2-level prefix->khash structures mutated one k-mer at a
-time. Here counts live in a sorted unique-key table merged batch-at-a-time:
-encode a batch of reads, sort, segment-reduce, and merge with the store
-(concat + sort + segment-reduce again) — a log-structured merge that
-replaces incremental ``kh_put``. Capacities grow in power-of-two buckets so
-XLA recompilation stays rare.
+time. Here counts live in **size-tiered sorted runs** (a proper LSM):
+
+* a deferred batch becomes a *run* — sort + segment-reduce of the batch
+  only (never the whole store);
+* two runs of equal capacity merge pairwise (binomial-heap style), so each
+  observation participates in O(log(N/B)) merges total — the economics of
+  incremental ``kh_put`` (src/suffix_hash.c:66-97) at sorted-array speed;
+* reads fold all runs into one compact sorted table (cached until the next
+  add).
+
+Everything between adds is device-resident with **no host syncs**: run
+shapes are static per tier, validity is carried in the sort keys (dead rows
+key as all-ones with a tie-break flag), and ``n_unique`` / ``total_added``
+sync only when actually read.
 
 Count semantics match ``suffix_hash_n`` (src/suffix_hash.c:180-281): up to
 ``counts_n`` per-source uint32 counters per k-mer. The ``kmer_tree`` mode
@@ -64,6 +73,80 @@ def _merge(s_hi, s_lo, s_cnt, n_store, b_hi, b_lo, b_valid, b_src_onehot, k: int
     u_lo = jnp.zeros(N, U32).at[stgt].set(o_lo, mode="drop")
     n_unique = starts.sum().astype(I32)
     return u_hi, u_lo, new_cnt, n_unique
+
+
+# ---------------------------------------------------------------------------
+# LSM runs: sorted (key, counts) tables with dead rows keyed all-ones.
+# A "run" is (hi, lo, cnt[C]) where live rows have unique true keys and dead
+# rows are (0xFFFFFFFF, 0xFFFFFFFF, 0...). A real all-G k=32 kmer shares the
+# all-ones *key* but never has an all-zero count row, so the tie-break flag
+# (dead=1) in the two-key sort keeps live rows first deterministically.
+# ---------------------------------------------------------------------------
+
+_DEAD = jnp.uint32(0xFFFFFFFF)
+
+
+@jax.jit
+def _run_from_merge(u_hi, u_lo, cnt, n_unique):
+    """Convert _merge output (compact live prefix) into run form."""
+    live = jnp.arange(u_hi.shape[0], dtype=I32) < n_unique
+    hi = jnp.where(live, u_hi, _DEAD)
+    lo = jnp.where(live, u_lo, _DEAD)
+    return hi, lo, cnt * live[:, None].astype(U32)
+
+
+def _run_sort_ops(hi, lo, cnt):
+    key = (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(jnp.uint64)
+    dead = ((key == jnp.uint64(0xFFFFFFFFFFFFFFFF))
+            & (cnt.sum(axis=1) == 0)).astype(U32)
+    return key, dead
+
+
+@jax.jit
+def _merge_runs(a_hi, a_lo, a_cnt, b_hi, b_lo, b_cnt):
+    """Merge two runs (each with unique live keys): concat + two-key sort +
+    neighbour-absorb. Each true key appears at most twice, so the segment
+    sum is one elementwise shifted add — no scatter. Output is run-form but
+    unsorted (killed duplicates become interior dead rows); callers either
+    merge it again or finalize with _finalize_run."""
+    hi = jnp.concatenate([a_hi, b_hi])
+    lo = jnp.concatenate([a_lo, b_lo])
+    cnt = jnp.concatenate([a_cnt, b_cnt])
+    key, dead = _run_sort_ops(hi, lo, cnt)
+    C = cnt.shape[1]
+    ops = (key, dead) + tuple(cnt[:, j] for j in range(C))
+    s = jax.lax.sort(ops, num_keys=2)
+    key_s, dead_s = s[0], s[1]
+    cnt_s = jnp.stack(s[2:], axis=1)
+    live = dead_s == 0
+    nxt_same = jnp.concatenate([key_s[1:] == key_s[:-1],
+                                jnp.zeros(1, bool)])
+    prv_same = jnp.concatenate([jnp.zeros(1, bool),
+                                key_s[1:] == key_s[:-1]])
+    absorb = jnp.where((nxt_same & live)[:, None],
+                       jnp.concatenate([cnt_s[1:], cnt_s[:1] * 0]), 0)
+    keep = live & ~prv_same
+    out_cnt = jnp.where(keep[:, None], cnt_s + absorb, 0)
+    out_hi = jnp.where(keep, (key_s >> jnp.uint64(32)).astype(U32), _DEAD)
+    out_lo = jnp.where(keep, key_s.astype(U32), _DEAD)
+    return out_hi, out_lo, out_cnt
+
+
+@jax.jit
+def _finalize_run(hi, lo, cnt):
+    """Sort a run into compact form: live rows first in true key order,
+    dead tail zeroed. Returns (u_hi, u_lo, cnt, n_unique)."""
+    key, dead = _run_sort_ops(hi, lo, cnt)
+    C = cnt.shape[1]
+    ops = (key, dead) + tuple(cnt[:, j] for j in range(C))
+    s = jax.lax.sort(ops, num_keys=2)
+    key_s, dead_s = s[0], s[1]
+    cnt_s = jnp.stack(s[2:], axis=1)
+    live = dead_s == 0
+    n_unique = live.sum().astype(I32)
+    u_hi = jnp.where(live, (key_s >> jnp.uint64(32)).astype(U32), 0)
+    u_lo = jnp.where(live, key_s.astype(U32), 0)
+    return u_hi, u_lo, cnt_s * live[:, None].astype(U32), n_unique
 
 
 @jax.jit
@@ -145,9 +228,14 @@ class CountStore:
         self.k = int(k)
         self.counts_n = int(counts_n)
         self.prefix_bits = int(prefix_bits)
-        self.suffix_bits = int(
-            2 * k - prefix_bits if suffix_bits is None else suffix_bits
-        )
+        if suffix_bits is None:
+            # derive with the reference's clamp (src/suffix_hash.c:19-21,
+            # kmer_reader.c:86-95): suffix <= 32, prefix absorbs the rest
+            sb = min(2 * k - self.prefix_bits, 32)
+            self.suffix_bits = sb
+            self.prefix_bits = 2 * k - sb
+        else:
+            self.suffix_bits = int(suffix_bits)
         # suffix_hash caps (src/suffix_hash.h:14-16); a negative suffix
         # would corrupt ktree spectra / block accounting downstream
         if not 0 <= self.prefix_bits <= 36:
@@ -163,87 +251,155 @@ class CountStore:
         self.u_hi = jnp.zeros(cap, U32)
         self.u_lo = jnp.zeros(cap, U32)
         self.cnt = jnp.zeros((cap, counts_n), U32)
-        self.n_unique = 0
-        self.total_added = np.zeros(counts_n, np.int64)
+        self._n_unique = 0
+        self._total_added_dev = jnp.zeros(counts_n, I64)
         self._pending = []
         self._pending_n = 0
+        self._runs = []  # size-tiered sorted runs, smallest-capacity last
+        # build a run once this much is pending (elements, pre-dedup)
+        self.run_build_size = 1 << 16
 
     @property
     def capacity(self) -> int:
         return int(self.u_hi.shape[0])
+
+    @property
+    def n_unique(self) -> int:
+        """Distinct k-mers; folds pending runs (syncs) when dirty."""
+        self.flush()
+        return self._n_unique
+
+    @n_unique.setter
+    def n_unique(self, v: int) -> None:  # checkpoint restore
+        self._n_unique = int(v)
+
+    @property
+    def total_added(self) -> np.ndarray:
+        return np.asarray(self._total_added_dev)
+
+    @total_added.setter
+    def total_added(self, v) -> None:  # checkpoint restore
+        self._total_added_dev = jnp.asarray(np.asarray(v, np.int64))
 
     def add_kmers(self, hi, lo, valid, source: int = 0,
                   defer: bool = False) -> "CountStore":
         """Merge a batch of observed k-mers (device arrays, any shape;
         flattened) into the store. ``valid`` masks real observations.
 
-        With ``defer=True`` the batch is queued and merged lazily (one sort
-        amortised over many batches — a log-structured merge replacing the
-        reference's per-k-mer ``kh_put``); any query/flush folds the
-        pending runs in first. Deferred adds also avoid the per-batch
-        host-device sync, letting input IO overlap device compute.
+        With ``defer=True`` the batch is queued; queued work becomes a
+        sorted *run* once ``run_build_size`` elements accumulate, and runs
+        of equal capacity merge pairwise (size-tiered LSM) — each element
+        sees O(log(N/B)) merges instead of a whole-store re-sort per batch.
+        No host-device sync happens on this path; any query/flush folds the
+        runs first. Eager adds are deferred adds followed by a flush.
         """
         if not 0 <= source < self.counts_n:
             raise ValueError("source out of range")
         hi = jnp.ravel(hi)
         lo = jnp.ravel(lo)
         valid = jnp.ravel(valid)
-        if defer:
-            self._pending.append((hi, lo, valid, source))
-            self._pending_n += int(hi.shape[0])
-            # flush when pending work rivals the store size, keeping the
-            # amortised cost of each element O(log) merges
-            if self._pending_n >= max(1 << 16, self.capacity):
-                self.flush()
-            return self
-        self._merge_batch(hi, lo, valid, source)
+        self._total_added_dev = self._total_added_dev.at[source].add(
+            valid.sum(dtype=I64)
+        )
+        self._pending.append((hi, lo, valid, source))
+        self._pending_n += int(hi.shape[0])
+        if not defer:
+            self.flush()
+        elif self._pending_n >= self.run_build_size:
+            self._build_runs()
         return self
 
-    def flush(self) -> "CountStore":
-        """Fold all deferred batches into the sorted store."""
+    def _build_runs(self) -> None:
+        """Turn pending batches into sorted runs (one per source present)
+        and re-balance the tiers."""
         if not self._pending:
-            return self
+            return
         by_source: dict = {}
         for hi, lo, valid, source in self._pending:
             by_source.setdefault(source, []).append((hi, lo, valid))
         self._pending = []
         self._pending_n = 0
-        for source, runs in by_source.items():
-            hi = jnp.concatenate([r[0] for r in runs])
-            lo = jnp.concatenate([r[1] for r in runs])
-            valid = jnp.concatenate([r[2] for r in runs])
-            self._merge_batch(hi, lo, valid, source)
-        return self
+        for source, batches in sorted(by_source.items()):
+            hi = jnp.concatenate([b[0] for b in batches])
+            lo = jnp.concatenate([b[1] for b in batches])
+            valid = jnp.concatenate([b[2] for b in batches])
+            cap_b = _next_pow2(int(hi.shape[0]))
+            if cap_b != hi.shape[0]:  # bucket shapes for compile reuse
+                pad = cap_b - hi.shape[0]
+                hi = jnp.pad(hi, (0, pad))
+                lo = jnp.pad(lo, (0, pad))
+                valid = jnp.pad(valid, (0, pad))
+            onehot = jnp.zeros(self.counts_n, U32).at[source].set(1)
+            empty = jnp.zeros(0, U32)
+            u_hi, u_lo, cnt, n_u = _merge(
+                empty, empty, jnp.zeros((0, self.counts_n), U32),
+                jnp.asarray(0, I32), hi, lo, valid, onehot, self.k,
+            )
+            self._runs.append(_run_from_merge(u_hi, u_lo, cnt, n_u))
+        self._compact_tiers()
 
-    def _merge_batch(self, hi, lo, valid, source: int) -> None:
-        cap_b = _next_pow2(int(hi.shape[0]))
-        if cap_b != hi.shape[0]:  # bucket batch shapes for compile reuse
-            pad = cap_b - hi.shape[0]
-            hi = jnp.pad(hi, (0, pad))
-            lo = jnp.pad(lo, (0, pad))
-            valid = jnp.pad(valid, (0, pad))
-        onehot = jnp.zeros(self.counts_n, U32).at[source].set(1)
-        u_hi, u_lo, cnt, n_unique = _merge(
-            self.u_hi, self.u_lo, self.cnt, jnp.asarray(self.n_unique, I32),
-            hi, lo, valid, onehot, self.k,
-        )
-        self.n_unique = int(n_unique)
-        self.total_added[source] += int(valid.sum())
-        new_cap = _next_pow2(self.n_unique)  # keep capacity a power of two
+    def _compact_tiers(self) -> None:
+        """Merge runs of equal capacity until all capacities are distinct
+        (binomial-heap invariant: at most O(log N) runs)."""
+        while True:
+            by_cap: dict = {}
+            for i, r in enumerate(self._runs):
+                by_cap.setdefault(int(r[0].shape[0]), []).append(i)
+            pair = next((v for v in by_cap.values() if len(v) >= 2), None)
+            if pair is None:
+                return
+            i, j = pair[0], pair[1]
+            a, b = self._runs[i], self._runs[j]
+            merged = _merge_runs(a[0], a[1], a[2], b[0], b[1], b[2])
+            self._runs = [r for t, r in enumerate(self._runs)
+                          if t not in (i, j)]
+            self._runs.append(merged)
+
+    def flush(self) -> "CountStore":
+        """Fold pending batches and all runs into the compact sorted base
+        table (the only point that syncs with the host)."""
+        self._build_runs()
+        if not self._runs:
+            return self
+        if self._n_unique > 0:
+            self._runs.append(
+                _run_from_merge(self.u_hi, self.u_lo, self.cnt,
+                                jnp.asarray(self._n_unique, I32))
+            )
+        # fold smallest-first so intermediate merges stay small; keep the
+        # accumulator padded to a power of two so merge shapes stay in a
+        # small (2^a, 2^b) set and XLA programs are reused across folds
+        self._runs.sort(key=lambda r: int(r[0].shape[0]), reverse=True)
+        hi, lo, cnt = self._runs.pop()
+        while self._runs:
+            b = self._runs.pop()
+            hi, lo, cnt = _merge_runs(hi, lo, cnt, b[0], b[1], b[2])
+            cap = _next_pow2(int(hi.shape[0]))
+            if cap != hi.shape[0]:
+                pad = cap - hi.shape[0]
+                hi = jnp.concatenate([hi, jnp.full(pad, _DEAD, U32)])
+                lo = jnp.concatenate([lo, jnp.full(pad, _DEAD, U32)])
+                cnt = jnp.pad(cnt, ((0, pad), (0, 0)))
+        u_hi, u_lo, u_cnt, n_u = _finalize_run(hi, lo, cnt)
+        self._n_unique = int(n_u)
+        new_cap = _next_pow2(self._n_unique)
         if new_cap < u_hi.shape[0]:
-            u_hi, u_lo, cnt = u_hi[:new_cap], u_lo[:new_cap], cnt[:new_cap]
+            u_hi, u_lo, u_cnt = (u_hi[:new_cap], u_lo[:new_cap],
+                                 u_cnt[:new_cap])
         elif new_cap > u_hi.shape[0]:
             pad = new_cap - u_hi.shape[0]
             u_hi = jnp.pad(u_hi, (0, pad))
             u_lo = jnp.pad(u_lo, (0, pad))
-            cnt = jnp.pad(cnt, ((0, pad), (0, 0)))
-        self.u_hi, self.u_lo, self.cnt = u_hi, u_lo, cnt
+            u_cnt = jnp.pad(u_cnt, ((0, pad), (0, 0)))
+        self.u_hi, self.u_lo, self.cnt = u_hi, u_lo, u_cnt
         self._check_budget()
         return self
 
     def _check_budget(self):
         """Soft memory budget like kmer_tree's max_size (kmer_tree.c:57-67):
-        estimated dense-block footprint must stay under the cap."""
+        estimated dense-block footprint must stay under the cap. Deviation
+        (PARITY.md): the reference stops allocating new blocks and silently
+        drops their k-mers; we raise after the fold that first exceeds."""
         if self.max_size_bytes is None or self.mode != "ktree":
             return
         est = int(self.n_alloc_blocks()) * 4 * (1 << self.suffix_bits)

@@ -46,14 +46,19 @@ def owner_hash(hi: jax.Array, lo: jax.Array, n_shards: int,
     return (h % U32(n_shards)).astype(I32)
 
 
-def _bucket_for_send(hi, lo, pos, valid, n_shards: int, capacity: int, k: int):
+def _bucket_for_send(hi, lo, pos, valid, n_shards: int, capacity: int, k: int,
+                     owner=None):
     """Lay out (key, pos) tuples into per-owner send buckets [D, C].
 
     Returns (send_hi, send_lo, send_pos, send_valid, overflow) for one
     device. Entries beyond an owner's capacity raise the overflow flag.
+    ``owner`` overrides the default salted-hash placement (e.g. key-range
+    splitters for ordered emission).
     """
     L = hi.shape[0]
-    owner = jnp.where(valid, owner_hash(hi, lo, n_shards), n_shards)
+    if owner is None:
+        owner = owner_hash(hi, lo, n_shards)
+    owner = jnp.where(valid, owner, n_shards)
     o_sort, idx = jax.lax.sort(
         (owner.astype(U32), jnp.arange(L, dtype=I32)), num_keys=1,
         is_stable=True,
@@ -198,6 +203,206 @@ class ShardedKmerIndex:
         )
         return shard_fn(seq_padded)
 
+    # -- kmer.pos table family (src/kmer_hash.c:1054-1147), sharded --------
+    def _range_partitioned(self, capacity_factor: float = 2.0):
+        """Re-shard (key, pos) by key *range* (quantile splitters sampled
+        from the hash shards) so that shard-major emission is globally
+        key-sorted — the multi-chip form of the canonical table order.
+        Cached; returns (r_hi, r_lo, r_pos [D, C], n_valid [D])."""
+        if getattr(self, "_rp", None) is not None:
+            return self._rp
+        D, k, axis = self.n_shards, self.k, self.axis
+        # sample S quantile keys per shard, pick D-1 global splitters
+        S = 64
+        samp_hi = np.zeros((D, S), np.uint32)
+        samp_lo = np.zeros((D, S), np.uint32)
+        s_hi_np = np.asarray(self.s_hi)
+        s_lo_np = np.asarray(self.s_lo)
+        for d in range(D):
+            nv = max(int(self.n_valid[d]), 1)
+            idx = (np.arange(S, dtype=np.int64) * nv) // S
+            samp_hi[d] = s_hi_np[d][idx]
+            samp_lo[d] = s_lo_np[d][idx]
+        keys = (samp_hi.astype(np.uint64) << 32) | samp_lo.astype(np.uint64)
+        keys = np.sort(keys.reshape(-1))
+        spl = keys[[(i + 1) * len(keys) // D for i in range(D - 1)]]
+        spl_hi = jnp.asarray((spl >> 32).astype(np.uint32))
+        spl_lo = jnp.asarray(spl.astype(np.uint32))
+        n_valid = jnp.asarray(self.n_valid, I32)
+        cap_shard = int(self.s_hi.shape[1])
+        C = 1 << max(4, int(capacity_factor * cap_shard / D - 1)
+                     .bit_length())
+
+        for _attempt in range(4):
+            def fn(s_hi, s_lo, s_pos, nv):
+                s_hi, s_lo = s_hi.reshape(-1), s_lo.reshape(-1)
+                s_pos = s_pos.reshape(-1)
+                live = jnp.arange(s_hi.shape[0], dtype=I32) < nv[0]
+                # owner = rank of key among splitters (right side)
+                owner = srt.searchsorted2(spl_hi, spl_lo, D - 1, s_hi, s_lo,
+                                          "right")
+                b = _bucket_for_send(s_hi, s_lo, s_pos, live, D, C, k,
+                                     owner=owner)
+                b_hi, b_lo, b_pos, b_val, ovf = b
+                r_hi = jax.lax.all_to_all(b_hi, axis, 0, 0).reshape(-1)
+                r_lo = jax.lax.all_to_all(b_lo, axis, 0, 0).reshape(-1)
+                r_pos = jax.lax.all_to_all(b_pos, axis, 0, 0).reshape(-1)
+                r_val = jax.lax.all_to_all(b_val, axis, 0, 0).reshape(-1)
+                o_hi, o_lo, o_pos = srt.sort_windows(
+                    r_hi, r_lo, r_pos.astype(I32), r_val, k
+                )
+                nv_out = r_val.sum().astype(I32)
+                ovf_t = jax.lax.psum(ovf.astype(I32), axis)
+                return (o_hi[None], o_lo[None], o_pos[None], nv_out[None],
+                        ovf_t[None])
+
+            shard_fn = jax.jit(
+                jax.shard_map(
+                    fn, mesh=self.mesh,
+                    in_specs=(P(axis), P(axis), P(axis), P(axis)),
+                    out_specs=(P(axis),) * 5,
+                )
+            )
+            r_hi, r_lo, r_pos, nv, ovf = shard_fn(
+                self.s_hi, self.s_lo, self.s_pos, n_valid
+            )
+            if int(np.asarray(ovf)[0]) == 0:
+                break
+            C *= 2
+        else:
+            raise RuntimeError("range-partition capacity overflow")
+        self._rp = (r_hi, r_lo, r_pos, np.asarray(nv))
+        return self._rp
+
+    def _rp_group_stats(self):
+        """Per-range-shard segment stats + global kmer-rank bases (cached)."""
+        if getattr(self, "_rp_stats", None) is not None:
+            return self._rp_stats
+        from ..index.position_index import _group_stats
+
+        r_hi, r_lo, r_pos, nv = self._range_partitioned()
+        axis = self.axis
+
+        def fn(hi, lo, pos, n):
+            hi, lo, pos = hi.reshape(-1), lo.reshape(-1), pos.reshape(-1)
+            live = jnp.arange(hi.shape[0], dtype=I32) < n[0]
+            starts = srt.segment_starts(hi, lo, live)
+            seg = srt.segment_ids(starts)
+            counts, i_col, rank, m, cum_m = _group_stats(pos, n[0], starts,
+                                                         seg)
+            n_unique = starts.sum().astype(I32)
+            return (counts[None], i_col[None], m[None], cum_m[None],
+                    n_unique[None], starts[None], seg[None])
+
+        shard_fn = jax.jit(
+            jax.shard_map(
+                fn, mesh=self.mesh, in_specs=(P(axis),) * 3 + (P(axis),),
+                out_specs=(P(axis),) * 7,
+            )
+        )
+        counts, i_col, m, cum_m, n_unique, starts, seg = shard_fn(
+            r_hi, r_lo, r_pos, jnp.asarray(nv, I32)
+        )
+        n_unique = np.asarray(n_unique)
+        base = np.concatenate([[0], np.cumsum(n_unique)[:-1]])
+        self._rp_stats = (counts, i_col, m, cum_m, n_unique, base, starts,
+                          seg)
+        return self._rp_stats
+
+    @property
+    def n_kmers(self) -> int:
+        return int(self._rp_group_stats()[4].sum())
+
+    def kmer_strings(self):
+        """Decoded distinct k-mers in global canonical order."""
+        from ..index.position_index import _NUC, _decode_kmers, _unique_compact
+
+        r_hi, r_lo, _r_pos, _nv = self._range_partitioned()
+        _c, _i, _m, _cm, n_unique, _base, starts, seg = self._rp_group_stats()
+        out = []
+        for d in range(self.n_shards):
+            u_hi, u_lo, _n = _unique_compact(r_hi[d], r_lo[d], starts[d],
+                                             seg[d])
+            mat = np.asarray(_decode_kmers(u_hi, u_lo, self.k))
+            mat = mat[: int(n_unique[d])]
+            out.extend(bytes(row).decode("ascii") for row in _NUC[mat])
+        return out
+
+    def counts(self) -> np.ndarray:
+        counts, _i, _m, _cm, n_unique, _base, _s, _g = self._rp_group_stats()
+        counts = np.asarray(counts)
+        return np.concatenate(
+            [counts[d, : int(n_unique[d])] for d in range(self.n_shards)]
+        )
+
+    def pos_table(self) -> np.ndarray:
+        """[total, 2] (i, pos) rows, i = global 1-based kmer rank in
+        canonical order — equals the single-chip table exactly."""
+        r_hi, r_lo, r_pos, nv = self._range_partitioned()
+        _c, i_col, _m, _cm, _nu, base, _s, _g = self._rp_group_stats()
+        i_col = np.asarray(i_col)
+        r_pos_np = np.asarray(r_pos)
+        rows = []
+        for d in range(self.n_shards):
+            n = int(nv[d])
+            rows.append(np.stack(
+                [i_col[d, :n] + int(base[d]), r_pos_np[d, :n]], axis=1
+            ))
+        return np.concatenate(rows, axis=0).astype(np.int32)
+
+    def iter_pair_chunks(self, capacity: int = 1 << 20):
+        """Stream the (i, x, y) pair table shard by shard in canonical
+        order with bounded memory (the multi-chip form of
+        KmerIndex.iter_pair_chunks)."""
+        from ..index.position_index import _pair_chunk
+
+        r_hi, r_lo, r_pos, nv = self._range_partitioned()
+        _c, i_col, m, cum_m, _nu, base, _s, _g = self._rp_group_stats()
+        for d in range(self.n_shards):
+            n = int(nv[d])
+            if n == 0:
+                continue
+            total = int(np.asarray(cum_m[d, n - 1]))
+            start = 0
+            while start < total:
+                rows, ok = _pair_chunk(
+                    r_pos[d], i_col[d] + int(base[d]), m[d], cum_m[d],
+                    jnp.asarray(n, I32), jnp.asarray(start, I64), capacity,
+                )
+                n_ok = int(np.asarray(ok).sum())
+                yield np.asarray(rows)[:n_ok]
+                start += capacity
+
+    @property
+    def total_pairs(self) -> int:
+        _c, _i, m, cum_m, _nu, _base, _s, _g = self._rp_group_stats()
+        _r_hi, _r_lo, _r_pos, nv = self._range_partitioned()
+        cum_m = np.asarray(cum_m)
+        return int(sum(cum_m[d, int(nv[d]) - 1] for d in
+                       range(self.n_shards) if int(nv[d])))
+
+    def tables(self, opt_flag: int, max_pairs=None):
+        """The ``kmer.pos`` entry (opt_flag bits 1=kmer 2=pos 4=pair.pos
+        8=count, src/kmer_hash.c:17), emitted from the sharded index."""
+        out = {"kmer": None, "pos": None, "pair.pos": None, "count": None}
+        if opt_flag & 1:
+            out["kmer"] = self.kmer_strings()
+        if opt_flag & 2:
+            out["pos"] = self.pos_table()
+        if opt_flag & 4:
+            total = self.total_pairs
+            if max_pairs is not None and total > max_pairs:
+                raise MemoryError(
+                    f"pair table has {total} rows > max_pairs={max_pairs}; "
+                    "use iter_pair_chunks() to stream"
+                )
+            chunks = list(self.iter_pair_chunks())
+            out["pair.pos"] = (np.concatenate(chunks, axis=0) if chunks
+                               else np.zeros((0, 3), np.int32))
+        if opt_flag & 8:
+            out["count"] = self.counts()
+        return out
+
     # -- queries ------------------------------------------------------------
     def lookup_counts(self, q_hi, q_lo) -> np.ndarray:
         """Occurrence count per query k-mer, psum-merged across shards."""
@@ -230,6 +435,10 @@ class ShardedKmerIndex:
         Because the index is key-sharded, all hits of one query window live
         on exactly one shard, so sorting the gathered rows by (i, j)
         reproduces the single-chip (reference) row order exactly.
+
+        Shards whose hit totals exceed ``max_hits_per_shard`` are drained
+        in further fixed-size chunks (the build path's
+        detect-and-retry discipline; round-1 silently truncated here).
         """
         if isinstance(query, str):
             query = np.frombuffer(query.encode(), np.uint8)
@@ -254,14 +463,14 @@ class ShardedKmerIndex:
         n_valid = jnp.asarray(self.n_valid, I32)
         C = max_hits_per_shard
 
-        def fn(s_hi, s_lo, s_pos, nv, qh, ql, qv):
+        def fn(s_hi, s_lo, s_pos, nv, qh, ql, qv, start):
             s_hi, s_lo = s_hi.reshape(-1), s_lo.reshape(-1)
             s_pos = s_pos.reshape(-1)
             lb = srt.searchsorted2(s_hi, s_lo, nv[0], qh, ql, "left")
             ub = srt.searchsorted2(s_hi, s_lo, nv[0], qh, ql, "right")
             cnt = jnp.where(qv, ub - lb, 0)
             cum = jnp.cumsum(cnt.astype(I64))
-            g = jnp.arange(C, dtype=I64)
+            g = start[0] + jnp.arange(C, dtype=I64)
             w = srt.searchsorted_i64(cum, g, qh.shape[0], "right")
             t = (g - (cum - cnt.astype(I64))[w]).astype(I32)
             i_col = (w + k).astype(I32)
@@ -269,59 +478,85 @@ class ShardedKmerIndex:
             ok = g < cum[-1]
             rows = jnp.stack([jnp.where(ok, i_col, 0),
                               jnp.where(ok, j_col, 0)], axis=1)
-            return rows[None], ok.sum(dtype=I32)[None]
+            return rows[None], ok.sum(dtype=I32)[None], cum[-1][None]
 
         shard_fn = jax.jit(
             jax.shard_map(
                 fn, mesh=self.mesh,
-                in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P(), P()),
-                out_specs=(P(axis), P(axis)),
+                in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P(), P(),
+                          P()),
+                out_specs=(P(axis), P(axis), P(axis)),
             )
         )
-        rows, n = shard_fn(self.s_hi, self.s_lo, self.s_pos, n_valid,
-                           q_hi, q_lo, q_valid)
-        rows = np.asarray(rows)
-        n = np.asarray(n)
-        out = np.concatenate(
-            [rows[d, : n[d]] for d in range(self.n_shards)], axis=0
+
+        def call(start):
+            starts = jnp.full((self.n_shards, 1), start, I64)
+            return shard_fn(self.s_hi, self.s_lo, self.s_pos, n_valid,
+                            q_hi, q_lo, q_valid, starts)
+
+        chunks = self._drain_chunks(call, C)
+        out = np.concatenate(chunks, axis=0) if chunks else np.zeros(
+            (0, 2), np.int32
         )
         order = np.lexsort((out[:, 1], out[:, 0]))
         return out[order].astype(np.int32)
 
+    def _drain_chunks(self, call, C: int):
+        """Run a chunked per-shard emitter until every shard's true total is
+        drained (no silent truncation)."""
+        chunks = []
+        start = 0
+        while True:
+            rows, n, total = call(start)
+            rows, n = np.asarray(rows), np.asarray(n)
+            for d in range(self.n_shards):
+                if n[d]:
+                    chunks.append(rows[d, : n[d]])
+            start += C
+            if start >= int(np.asarray(total).max()):
+                return chunks
+
     def positions_of(self, q_hi, q_lo, max_hits_per_shard: int = 1 << 16
                      ) -> np.ndarray:
         """All 1-based positions of the queried k-mers, gathered from every
-        shard (ascending, merged on host)."""
+        shard (ascending, merged on host); chunk-drained, never truncated."""
         axis = self.axis
         n_valid = jnp.asarray(self.n_valid, I32)
         C = max_hits_per_shard
+        q_hi, q_lo = jnp.ravel(q_hi), jnp.ravel(q_lo)
 
-        def fn(s_hi, s_lo, s_pos, nv, qh, ql):
+        def fn(s_hi, s_lo, s_pos, nv, qh, ql, start):
             s_hi, s_lo = s_hi.reshape(-1), s_lo.reshape(-1)
             s_pos = s_pos.reshape(-1)
             lb = srt.searchsorted2(s_hi, s_lo, nv[0], qh, ql, "left")
             ub = srt.searchsorted2(s_hi, s_lo, nv[0], qh, ql, "right")
             cnt = ub - lb
             cum = jnp.cumsum(cnt.astype(I64))
-            g = jnp.arange(C, dtype=I64)
+            g = start[0] + jnp.arange(C, dtype=I64)
             w = srt.searchsorted_i64(cum, g, qh.shape[0], "right")
             t = (g - (cum - cnt.astype(I64))[w]).astype(I32)
             p = s_pos[jnp.clip(lb[w] + t, 0, s_pos.shape[0] - 1)]
             ok = g < cum[-1]
-            return (jnp.where(ok, p, -1)[None], ok.sum(dtype=I32)[None])
+            return (jnp.where(ok, p, -1)[:, None][None],
+                    ok.sum(dtype=I32)[None], cum[-1][None])
 
         shard_fn = jax.jit(
             jax.shard_map(
                 fn, mesh=self.mesh,
-                in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P()),
-                out_specs=(P(axis), P(axis)),
+                in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P(),
+                          P()),
+                out_specs=(P(axis), P(axis), P(axis)),
             )
         )
-        pos, n = shard_fn(self.s_hi, self.s_lo, self.s_pos, n_valid,
-                          jnp.ravel(q_hi), jnp.ravel(q_lo))
-        pos = np.asarray(pos)
-        n = np.asarray(n)
-        out = np.concatenate([pos[d, : n[d]] for d in range(self.n_shards)])
+
+        def call(start):
+            starts = jnp.full((self.n_shards, 1), start, I64)
+            return shard_fn(self.s_hi, self.s_lo, self.s_pos, n_valid,
+                            q_hi, q_lo, starts)
+
+        chunks = self._drain_chunks(call, C)
+        out = (np.concatenate(chunks, axis=0)[:, 0] if chunks
+               else np.zeros(0, np.int32))
         return np.sort(out)
 
 

@@ -30,6 +30,9 @@ class ProgressMeter:
     _extra: Dict = field(default_factory=dict)
 
     def update(self, n: int, **extra) -> None:
+        """Callable extras are evaluated lazily, only when a report is
+        actually due — pass ``distinct_kmers=lambda: store.n_unique`` so
+        the store folds once per report, not once per batch."""
         self._total += int(n)
         self._extra.update(extra)
         if self._total - self._last_report >= self.report_every:
@@ -44,7 +47,8 @@ class ProgressMeter:
             "rate": window / max(now - self._t_last, 1e-9),
             "avg_rate": self._total / max(now - self._t0, 1e-9),
             "elapsed_s": now - self._t0,
-            **self._extra,
+            **{k: (v() if callable(v) else v)
+               for k, v in self._extra.items()},
         }
         self._last_report = self._total
         self._t_last = now

@@ -53,3 +53,64 @@ def test_defer_auto_flush_threshold():
         hi, lo, v = enc.encode_stream(seq, k, 40000, canonical=True)
         lazy.add_kmers(hi, lo, v, defer=True)
     assert lazy.n_unique > 0  # auto-flush ran without an explicit read
+
+
+def test_tiered_runs_bound_merge_work():
+    """Size-tiering invariant: deferred adds never touch the base table,
+    run capacities are distinct powers of two (binomial heap), and the
+    number of runs stays O(log n_batches)."""
+    k = 9
+    st = CountStore(k)
+    st.run_build_size = 1 << 10  # build a run per ~1k pending elements
+    rng = np.random.default_rng(5)
+    base_before = st.u_hi
+    for _ in range(16):
+        seq = rng.choice([65, 67, 71, 84], size=1200).astype(np.uint8)
+        hi, lo, v = enc.encode_stream(seq, k, 1200, canonical=True)
+        st.add_kmers(hi, lo, v, defer=True)
+    assert st.u_hi is base_before  # base untouched until a read folds
+    caps = [int(r[0].shape[0]) for r in st._runs]
+    assert len(caps) == len(set(caps))  # tiers hold distinct capacities
+    assert len(caps) <= 5  # ~log2(16) runs, not 16
+    # folding yields the same counts as eager addition
+    eager = CountStore(k)
+    rng = np.random.default_rng(5)
+    for _ in range(16):
+        seq = rng.choice([65, 67, 71, 84], size=1200).astype(np.uint8)
+        hi, lo, v = enc.encode_stream(seq, k, 1200, canonical=True)
+        eager.add_kmers(hi, lo, v)
+    assert st.counts_dict() == eager.counts_dict()
+    assert not st._runs  # fold consumed the runs
+
+
+def test_no_host_sync_on_deferred_path():
+    """total_added and n_unique must not force per-batch folds."""
+    k = 7
+    st = CountStore(k)
+    rng = np.random.default_rng(11)
+    for _ in range(4):
+        seq = rng.choice([65, 67, 71, 84], size=500).astype(np.uint8)
+        hi, lo, v = enc.encode_stream(seq, k, 500, canonical=True)
+        st.add_kmers(hi, lo, v, defer=True)
+    assert st._pending  # nothing folded yet
+    assert st.total_added[0] == 4 * (500 - k + 1)  # device accumulator
+    assert st._pending  # reading total_added didn't fold
+    assert st.n_unique > 0  # this folds
+    assert not st._pending and not st._runs
+
+
+def test_k32_all_g_kmer_survives_dead_sentinel():
+    """k=32 all-G kmers share the all-ones key with dead rows; the
+    tie-break flag must keep their counts intact through run merges."""
+    k = 32
+    st = CountStore(k)
+    st.run_build_size = 1 << 6
+    g = np.frombuffer(b"G" * 40 + b"A" + b"G" * 33, np.uint8)
+    for _ in range(3):
+        hi, lo, v = enc.encode_stream(g, k, g.shape[0], canonical=False)
+        st.add_kmers(hi, lo, v, defer=True)
+    d = st.counts_dict()
+    all_g = (1 << 64) - 1
+    # windows of all-G: 9 per pass from the 40-G head, 2 from the 33-G tail
+    assert d[all_g] == [3 * (9 + 2)]
+    assert all(vv[0] > 0 for vv in d.values())

@@ -149,3 +149,43 @@ def test_sharded_index_k32(mesh, test_fa):
         sh.lookup_counts(qhi, qlo),
         np.array([len(h.pos[kk]) for kk in keys]),
     )
+
+
+def test_sharded_query_drains_beyond_capacity(mesh):
+    # repeat-heavy sequence: one kmer with hundreds of hits per shard;
+    # a tiny max_hits_per_shard must drain in chunks, not truncate
+    seq = "ACTGG" * 200 + "T" + "ACTGG" * 40
+    k = 7
+    sharded = ShardedKmerIndex(seq, k, mesh)
+    single = KmerIndex(seq, k)
+    q = seq[:50]
+    got = sharded.seq_kmer_pos(q, k, max_hits_per_shard=64)
+    oracle = rs.seq_kmer_positions(rs.seq_to_hash(seq.encode(), k), q, k)
+    np.testing.assert_array_equal(got, np.asarray(oracle, np.int32))
+    # positions_of with capacity far below the per-shard totals
+    hi, lo, _v = enc.encode_stream(
+        np.frombuffer(b"ACTGGACT", np.uint8), k, 8, canonical=False
+    )
+    pos = sharded.positions_of(hi[:1], lo[:1], max_hits_per_shard=16)
+    lb, ub = single.lookup_range(hi[:1], lo[:1])
+    want = np.sort(np.asarray(single.s_pos)[int(lb[0]):int(ub[0])])
+    np.testing.assert_array_equal(pos, want)
+
+
+def test_sharded_tables_match_single_chip(mesh, test_fa):
+    seq = test_fa[:3000]
+    k = 8
+    sharded = ShardedKmerIndex(seq, k, mesh)
+    single = KmerIndex(seq, k)
+    st = sharded.tables(opt_flag=15)
+    si = single.tables(opt_flag=15)
+    assert st["kmer"] == si["kmer"]
+    np.testing.assert_array_equal(st["pos"], si["pos"])
+    np.testing.assert_array_equal(st["count"], si["count"])
+    np.testing.assert_array_equal(st["pair.pos"], si["pair.pos"])
+    assert sharded.n_kmers == single.n_kmers
+    assert sharded.total_pairs == single.total_pairs
+    # streamed pair chunks with a tiny capacity agree too
+    chunks = list(sharded.iter_pair_chunks(capacity=1 << 10))
+    np.testing.assert_array_equal(np.concatenate(chunks, axis=0),
+                                  si["pair.pos"])
