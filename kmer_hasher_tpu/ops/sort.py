@@ -21,7 +21,6 @@ import jax
 import jax.numpy as jnp
 
 I32 = jnp.int32
-U32_ZERO = jnp.uint32(0)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -96,7 +95,7 @@ def searchsorted2(
     # derive the init carry from BOTH operands so its "varying" status under
     # shard_map matches the loop body's (constants are unvarying; the body
     # mixes in the per-shard s_hi/s_lo)
-    lo_b = ((q_hi | s_hi[0]) & U32_ZERO).astype(I32)
+    lo_b = ((q_hi | s_hi[0]) & jnp.uint32(0)).astype(I32)
     hi_b = lo_b + jnp.asarray(n_valid, I32)
     iters = max(1, (n + 1).bit_length())
 

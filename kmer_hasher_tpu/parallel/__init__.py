@@ -1,4 +1,20 @@
-from .mesh import make_mesh
-from .sharded import ShardedCountStore, ShardedKmerIndex
+"""Multi-chip / multi-host parallelism.
+
+Imports are lazy so that ``kmer_hasher_tpu.parallel.distributed`` can be
+used to call ``jax.distributed.initialize`` *before* anything initialises
+the XLA backend (a hard requirement of multi-host bring-up).
+"""
 
 __all__ = ["make_mesh", "ShardedKmerIndex", "ShardedCountStore"]
+
+
+def __getattr__(name):
+    if name == "make_mesh":
+        from .mesh import make_mesh
+
+        return make_mesh
+    if name in ("ShardedKmerIndex", "ShardedCountStore"):
+        from . import sharded
+
+        return getattr(sharded, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -560,11 +560,26 @@ class ShardedKmerIndex:
         return np.sort(out)
 
 
+def _host_read(x) -> np.ndarray:
+    """Read a (possibly multi-process) global array back to every host."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 class ShardedCountStore:
     """Canonical k-mer counting sharded by key hash: data-parallel read
     batches, all_to_all routing, per-device sorted count shards — the true
     data-parallel upgrade of the reference's redundant-read pool
-    (SURVEY.md §2.2)."""
+    (SURVEY.md §2.2).
+
+    Works on a single-process mesh and on a multi-process
+    (``jax.distributed``) mesh: each process feeds its *local* rows of a
+    batch (its own read slice, see ``distributed.host_read_slice``) and
+    host readbacks allgather across processes.
+    """
 
     def __init__(self, k: int, mesh: Mesh, counts_n: int = 1,
                  capacity: int = 1 << 14):
@@ -576,18 +591,47 @@ class ShardedCountStore:
         self.capacity = capacity
         D = self.n_shards
         cap0 = 64
-        self.u_hi = jnp.zeros((D, cap0), U32)
-        self.u_lo = jnp.zeros((D, cap0), U32)
-        self.cnt = jnp.zeros((D, cap0, counts_n), U32)
+        self.u_hi = self._global_put(np.zeros((D, cap0), np.uint32))
+        self.u_lo = self._global_put(np.zeros((D, cap0), np.uint32))
+        self.cnt = self._global_put(np.zeros((D, cap0, counts_n), np.uint32))
         self.n_unique = np.zeros(D, np.int64)
 
+    def _global_put(self, full_np):
+        """Host value (identical on every process) -> global array sharded
+        P(axis) over the mesh. Plain device array on a single process."""
+        if jax.process_count() == 1:
+            return jnp.asarray(full_np)
+        from jax.sharding import NamedSharding
+
+        full_np = np.asarray(full_np)
+        sharding = NamedSharding(self.mesh, P(self.axis))
+        return jax.make_array_from_callback(
+            full_np.shape, sharding, lambda idx: full_np[idx]
+        )
+
+    def _globalize(self, arr):
+        """Turn per-process local batch rows into one global [D, n] array
+        sharded over the mesh (no-op equivalent on a single process)."""
+        if jax.process_count() == 1:
+            return arr
+        from jax.sharding import NamedSharding
+
+        sharding = NamedSharding(self.mesh, P(self.axis))
+        return jax.make_array_from_process_local_data(
+            sharding, np.asarray(arr)
+        )
+
     def add_batch(self, hi, lo, valid, source: int = 0):
-        """hi/lo/valid: [D, n] device-sharded observations (each device's
-        slice of the read batch, already canonical)."""
+        """hi/lo/valid: [D, n] observations (each device's slice of the
+        read batch, already canonical). On a multi-process mesh pass the
+        *local* [D_local, n] rows for this process's devices."""
         axis, D, k, C = self.axis, self.n_shards, self.k, self.capacity
         cap_store = int(self.u_hi.shape[1])
         onehot = jnp.zeros(self.counts_n, U32).at[source].set(1)
-        n_store = jnp.asarray(self.n_unique, I32)
+        n_store = self._global_put(self.n_unique.astype(np.int32))
+        hi = self._globalize(hi)
+        lo = self._globalize(lo)
+        valid = self._globalize(valid)
 
         def fn(u_hi, u_lo, cnt, ns, b_hi, b_lo, b_val):
             b_hi, b_lo, b_val = (b_hi.reshape(-1), b_lo.reshape(-1),
@@ -620,11 +664,11 @@ class ShardedCountStore:
         u_hi, u_lo, cnt, n_u, ovf = shard_fn(
             self.u_hi, self.u_lo, self.cnt, n_store, hi, lo, valid
         )
-        if int(np.asarray(ovf)[0]) > 0:
+        if int(_host_read(ovf)[0]) > 0:
             raise RuntimeError(
                 "routing capacity overflow; raise ShardedCountStore capacity"
             )
-        self.n_unique = np.asarray(n_u).astype(np.int64)
+        self.n_unique = _host_read(n_u).astype(np.int64)
         # host-side capacity management: shrink/grow per the max shard
         need = 1 << max(6, int(self.n_unique.max() - 1).bit_length())
         cur = u_hi.shape[1]
@@ -636,7 +680,7 @@ class ShardedCountStore:
     def spectrum(self, max_count: int) -> np.ndarray:
         """Global count histogram: per-shard bincount + psum."""
         axis = self.axis
-        nv = jnp.asarray(self.n_unique, I32)
+        nv = self._global_put(self.n_unique.astype(np.int32))
 
         def fn(cnt, ns):
             cnt0 = cnt.reshape(cnt.shape[1], -1)[:, 0]
@@ -662,8 +706,8 @@ class ShardedCountStore:
         comb_inner = np.asarray(comb_inner, np.int32)
         source_min = np.asarray(source_min, np.int64)
         axis = self.axis
-        nv = jnp.asarray(self.n_unique, I32)
         comb_n = int(len(comb))
+        nv = self._global_put(self.n_unique.astype(np.int32))
 
         def fn(cnt, ns):
             cnt2 = cnt.reshape(cnt.shape[1], -1)
@@ -683,7 +727,7 @@ class ShardedCountStore:
         """Count rows for queries, merged across shards (each key lives on
         exactly one shard, so psum of per-shard lookups is exact)."""
         axis = self.axis
-        nv = jnp.asarray(self.n_unique, I32)
+        nv = self._global_put(self.n_unique.astype(np.int32))
 
         def fn(u_hi, u_lo, cnt, ns, qh, ql):
             u_hi, u_lo = u_hi.reshape(-1), u_lo.reshape(-1)
