@@ -115,14 +115,52 @@ def _pad_from_raw(seq_all, qual_all, offsets, qpres, i: int, j: int,
     return seq, qual, lengths, has_qual
 
 
-def _run_ll_fsm(seq, qual, lengths, k, min_ll, exact_ll: bool):
-    """Quality-likelihood FSM dispatch: exact float64 lax.scan, or the
-    Pallas kernel in fast mode on TPU (transposed outputs — counting is
-    order-insensitive)."""
+def _run_ll_fsm(seq, qual, lengths, k, min_ll, exact_ll):
+    """Quality-likelihood FSM dispatch.
+
+    exact_ll=True: float64 lax.scan, bit-parity with the C doubles.
+    exact_ll=False: float32 (Pallas kernel on TPU) — fast, decisions may
+    differ from exact within f32 rounding of the threshold.
+    exact_ll="hybrid": f32 scan with per-read borderline flags; flagged
+    reads re-run through the exact f64 scan, so the combined output is
+    bitwise equal to exact_ll=True at close to fast-path speed
+    (ROADMAP §2b; flag-rate soundness documented in ops/scan_iter.py).
+    """
     import os
 
     import jax
 
+    if exact_ll == "hybrid":
+        out = si.ll_scan(seq, qual, lengths, k, min_ll, precision="fast",
+                         return_flags=True)
+        emit, fhi, flo, rhi, rlo, flags = out
+        flags_np = np.asarray(flags)
+        n_flag = int(flags_np.sum())
+        if n_flag:
+            # pad the flagged subset to a power-of-two row bucket (repeat
+            # row 0 with length 0 — emits nothing) to bound recompiles
+            rows = np.where(flags_np)[0]
+            n_pad = 1 << max(3, (n_flag - 1).bit_length())
+            rows_p = np.concatenate(
+                [rows, np.zeros(n_pad - n_flag, np.int64)]
+            )
+            lens_p = np.concatenate(
+                [np.asarray(lengths)[rows], np.zeros(n_pad - n_flag,
+                                                     np.int32)]
+            )
+            ex = si.ll_scan(
+                jnp.asarray(np.asarray(seq)[rows_p]),
+                jnp.asarray(np.asarray(qual)[rows_p]),
+                jnp.asarray(lens_p), k, min_ll, precision="exact",
+            )
+            arrs = [emit, fhi, flo, rhi, rlo]
+            rows_j = jnp.asarray(rows)
+            out = tuple(
+                a.at[rows_j].set(e[: n_flag])
+                for a, e in zip(arrs, ex)
+            )
+            return out
+        return emit, fhi, flo, rhi, rlo
     if (not exact_ll and jax.default_backend() == "tpu"
             and os.environ.get("KMH_PALLAS", "1") != "0"):
         from .ops.pallas_scan import ll_scan_pallas
@@ -263,7 +301,10 @@ def count_kmers_fq_sh_rp(path: str, k: int, prefix_bits: int = 20,
     shared store, src/kmer_reader.c:28-39) and is accepted for API parity.
 
     ``exact_ll=False`` runs the likelihood filter in float32 (faster on
-    TPU, where float64 is emulated); see ops.scan_iter.ll_scan.
+    TPU, where float64 is emulated); ``exact_ll="hybrid"`` runs float32
+    with borderline-flagging and re-runs only flagged reads in float64 —
+    bitwise-equal results to ``exact_ll=True`` at near-fast speed; see
+    ops.scan_iter.ll_scan.
 
     With ``mesh=`` (a jax.sharding.Mesh) counting runs multi-chip: reads
     are data-parallel across devices and each device owns a hash shard of

@@ -47,15 +47,40 @@ F64 = jnp.float64
 
 _LN10_OVER_10 = 0.23025850929940458
 
+# The reference's low-quality sentinel: Q_TO_LL['!' and below] = log(DBL_MIN)
+# (src/Q_to_log_likelihood.h:8). The fast path uses the same value so the
+# sentinel contributes zero table-vs-analytic delta.
+_LL_SENTINEL = float(Q_TO_LL[33])
+
+# max |table_f64[q] - analytic_f32(q)| over all non-sentinel q — the
+# per-term component of the hybrid-mode error bound (computed once, host).
+_DELTA_MAX = None
+
+
+def _delta_max() -> float:
+    global _DELTA_MAX
+    if _DELTA_MAX is None:
+        import numpy as np
+
+        q = np.arange(34, 256, dtype=np.float64) - 33.0
+        analytic = np.float32(
+            np.log1p(-np.exp(q * -_LN10_OVER_10)).astype(np.float32)
+        )
+        _DELTA_MAX = float(
+            np.max(np.abs(np.asarray(Q_TO_LL)[34:] - analytic))
+        )
+    return _DELTA_MAX
+
 
 def analytic_ll_f32(qual_u8: jax.Array) -> jax.Array:
     """Float32 log-likelihood computed arithmetically:
-    log1p(-10**(-(q-33)/10)), floored at -708 for phred <= 0 — the formula
-    behind the Q_TO_LL table (qll.py), evaluated instead of gathered
-    (XLA:TPU gathers are slow). Used by the "fast" precision paths."""
+    log1p(-10**(-(q-33)/10)), with the table's log(DBL_MIN) sentinel for
+    phred <= 0 — the formula behind the Q_TO_LL table (qll.py), evaluated
+    instead of gathered (XLA:TPU gathers are slow). Used by the "fast" and
+    "hybrid" precision paths."""
     q = qual_u8.astype(jnp.float32) - 33.0
     raw = jnp.log1p(-jnp.exp(q * jnp.float32(-_LN10_OVER_10)))
-    return jnp.where(q <= 0, jnp.float32(-708.0), raw)
+    return jnp.where(q <= 0, jnp.float32(_LL_SENTINEL), raw)
 
 
 def _roll_regs(state_regs, c: jax.Array, k: int):
@@ -83,10 +108,13 @@ def _zero_regs(shape):
     return z, z, z, z
 
 
-@functools.partial(jax.jit, static_argnames=("k", "precision", "unroll"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "precision", "unroll", "return_flags")
+)
 def ll_scan(
     ascii_u8: jax.Array, qual_u8: jax.Array, lengths: jax.Array, k: int,
     min_ll: jax.Array, precision: str = "exact", unroll: int = 4,
+    return_flags: bool = False,
 ) -> Tuple[jax.Array, ...]:
     """Quality-likelihood iterator over a padded read batch.
 
@@ -101,6 +129,22 @@ def ll_scan(
     arithmetically in float32 (table gathers are slow on TPU); accept
     /reject decisions can differ from the reference only when a window sum
     sits within float32 rounding of the threshold.
+
+    return_flags (fast mode): additionally return a per-read bool flag [B]
+    that is True whenever *any* comparison the FSM made for that read fell
+    within a conservative f32 error bound of ``min_ll``. Unflagged reads
+    are guaranteed to take the same FSM path as the exact float64 scan
+    (induction on the first comparison that could flip), so re-running only
+    flagged reads exactly reproduces exact output bit-for-bit (the hybrid
+    path, counting.py). The bound per comparison value v with live
+    accumulator a is ``(k+1)*delta_max + (2k+8)*eps32*(|v|+|a|+2|min_ll|+4)``:
+    every lhs is a sum of at most k+1 table terms (each off by at most
+    delta_max in the analytic-f32 form) through at most ~2k+8 f32 rounding
+    steps; build partials live in (min_ll, 0] (each accepted prefix beats
+    min_ll), the -708 sentinel can only enter a sum when |min_ll| itself is
+    the sentinel, and the remaining one-or-two raw table terms are covered
+    by the +4 constant — so |v|+|a|+2|min_ll|+4 dominates every partial.
+    Validated empirically by tests/test_hybrid.py's fuzz sweep.
     """
     B, L = ascii_u8.shape
     fdt = F64 if precision == "exact" else jnp.float32
@@ -110,6 +154,19 @@ def ll_scan(
     else:
         ll = analytic_ll_f32(qual_u8)
     min_ll = min_ll.astype(fdt)
+    if return_flags:
+        f32 = jnp.float32
+        eps = f32(2.0 ** -24)
+        abs_m = jnp.abs(min_ll.astype(f32))
+        delta = f32((k + 1) * _delta_max())
+
+        def near(v, a):
+            scale = jnp.abs(v) + jnp.abs(a) + 2 * abs_m + f32(4.0)
+            bound = delta + f32(2 * k + 8) * eps * scale
+            return jnp.abs(v - min_ll) <= bound
+    else:
+        def near(v, a):
+            return jnp.zeros(v.shape, bool)
     # pollution term: ll of the base after the window, 0 past the read end
     ll_next = jnp.concatenate([ll[:, 1:], jnp.zeros((B, 1), fdt)], axis=1)
     ll_next = jnp.where(
@@ -119,7 +176,7 @@ def ll_scan(
     row_on = (lengths > k)[:, None] & in_read
 
     def step(state, xs):
-        rolling, j, regs, acc, emitC = state
+        rolling, j, regs, acc, emitC, border = state
         c, llv, llnext, on = xs
 
         # --- rolling mode (kmer_iterator_next, src/kmer_util.c:145-161) ---
@@ -129,10 +186,16 @@ def ll_scan(
 
         # --- building mode (kmer_iterator_begin, src/kmer_util.c:95-128) --
         building = ~rolling
-        ok1 = building & ((acc + llv) > min_ll)
+        bv = acc + llv
+        ok1 = building & (bv > min_ll)
         # failure resets the attempt and retries this base fresh
         ok2 = building & ~ok1 & (llv > min_ll)
         b_ok = ok1 | ok2
+        border = border | (
+            on & ((rolling & near(v, emitC))
+                  | (building & (near(bv, acc)
+                                 | (~ok1 & near(llv, jnp.zeros_like(llv))))))
+        )
         j_base = jnp.where(ok1, j, 0)
         acc_base = jnp.where(ok1, acc, 0.0)
 
@@ -160,19 +223,21 @@ def ll_scan(
             completed, acc_new - llv + llnext, jnp.where(roll_fail, 0.0, emitC)
         )
         out = (emit,) + regs
-        return (rolling_new, j_new, regs, acc_new, emitC_new), out
+        return (rolling_new, j_new, regs, acc_new, emitC_new, border), out
 
     init = (
         jnp.zeros(B, bool), jnp.zeros(B, jnp.int32), _zero_regs(B),
-        jnp.zeros(B, fdt), jnp.zeros(B, fdt),
+        jnp.zeros(B, fdt), jnp.zeros(B, fdt), jnp.zeros(B, bool),
     )
     xs = (
         codes.T, ll.T, ll_next.T, row_on.T,
     )
     # unrolling amortises the per-step loop overhead that dominates this
     # tiny-bodied scan on TPU
-    _, outs = jax.lax.scan(step, init, xs, unroll=unroll)
+    carry, outs = jax.lax.scan(step, init, xs, unroll=unroll)
     emit, fhi, flo, rhi, rlo = (o.T for o in outs)
+    if return_flags:
+        return emit, fhi, flo, rhi, rlo, carry[5]
     return emit, fhi, flo, rhi, rlo
 
 

@@ -1,0 +1,108 @@
+"""Hybrid-precision likelihood filtering (ROADMAP §2b): the f32 scan with
+borderline flags + f64 re-run of flagged reads must equal the exact f64
+scan bit-for-bit, and every fast-vs-exact decision flip must occur on a
+flagged read (bound soundness)."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from kmer_hasher_tpu import counting
+from kmer_hasher_tpu.ops import scan_iter as si
+from kmer_hasher_tpu.qll import Q_TO_LL
+
+
+def test_delta_max_is_tiny():
+    # analytic f32 vs embedded table: per-term delta must be ~1 ulp-ish
+    assert 0 < si._delta_max() < 1e-6
+
+
+def _random_batch(rng, B=64, L=128, lowq_frac=0.1):
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    seq = bases[rng.integers(0, 4, size=(B, L))]
+    qual = rng.integers(35, 74, size=(B, L)).astype(np.uint8)
+    low = rng.random((B, L)) < lowq_frac
+    qual[low] = rng.integers(33, 40, size=int(low.sum())).astype(np.uint8)
+    lengths = rng.integers(40, L + 1, size=B).astype(np.int32)
+    return seq, qual, lengths
+
+
+@pytest.mark.parametrize("min_q", [0, 2, 20])
+def test_fuzz_unflagged_reads_match_exact(min_q):
+    k = 21
+    rng = np.random.default_rng(min_q)
+    min_ll = jnp.asarray(float(Q_TO_LL[33 + min_q]))
+    for _ in range(3):
+        seq, qual, lengths = _random_batch(rng)
+        fast = si.ll_scan(seq, qual, lengths, k, min_ll, precision="fast",
+                          return_flags=True)
+        exact = si.ll_scan(seq, qual, lengths, k, min_ll, precision="exact")
+        flags = np.asarray(fast[5])
+        mism = np.asarray(fast[0]) != np.asarray(exact[0])
+        bad = mism.any(axis=1) & ~flags
+        assert not bad.any(), "unflagged read diverged from exact"
+
+
+def test_threshold_sweep_flags_cover_all_flips():
+    """Scan thresholds densely around an achievable window sum so f32/f64
+    decisions genuinely flip; every flip must be flagged, and at least one
+    borderline case must be flagged across the sweep."""
+    k = 9
+    rng = np.random.default_rng(7)
+    B, L = 32, 64
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    seq = bases[rng.integers(0, 4, size=(B, L))]
+    Q = 40  # constant quality -> window sums cluster tightly
+    qual = np.full((B, L), 33 + Q, np.uint8)
+    lengths = np.full(B, L, np.int32)
+    base = (k + 1) * float(Q_TO_LL[33 + Q])
+    any_flag = False
+    any_flip = False
+    for off in np.linspace(-2e-6, 2e-6, 41):
+        min_ll = jnp.asarray(base + float(off))
+        fast = si.ll_scan(seq, qual, lengths, k, min_ll, precision="fast",
+                          return_flags=True)
+        exact = si.ll_scan(seq, qual, lengths, k, min_ll,
+                           precision="exact")
+        flags = np.asarray(fast[5])
+        mism = (np.asarray(fast[0]) != np.asarray(exact[0])).any(axis=1)
+        any_flag |= bool(flags.any())
+        any_flip |= bool(mism.any())
+        assert not (mism & ~flags).any()
+    assert any_flag  # the sweep actually exercised borderline territory
+
+
+@pytest.mark.parametrize("min_q", [0, 20])
+def test_hybrid_counting_bitwise_equals_exact(min_q):
+    k = 15
+    path = "/root/reference/test.fastq.gz"
+    exact = counting.count_kmers_fq_sh_rp(path, k=k, min_q=min_q,
+                                          max_reads=150, exact_ll=True)
+    hybrid = counting.count_kmers_fq_sh_rp(path, k=k, min_q=min_q,
+                                           max_reads=150, exact_ll="hybrid")
+    assert hybrid.counts_dict() == exact.counts_dict()
+    np.testing.assert_array_equal(hybrid.spectrum(60), exact.spectrum(60))
+
+
+def test_hybrid_counting_on_borderline_rich_reads(tmp_path):
+    """Constant-quality reads with the threshold sitting on the cluster of
+    window sums — the adversarial case for f32."""
+    k = 9
+    rng = np.random.default_rng(3)
+    bases = "ACGT"
+    n = 200
+    Q = 40
+    fq = tmp_path / "border.fq"
+    with open(fq, "w") as f:
+        for i in range(n):
+            s = "".join(bases[b] for b in rng.integers(0, 4, 60))
+            f.write(f"@r{i}\n{s}\n+\n{chr(33 + Q) * 60}\n")
+    # min_q chosen so min_ll is near (k+1)*ll(Q): find the closest q
+    target = (k + 1) * float(Q_TO_LL[33 + Q])
+    qs = np.asarray(Q_TO_LL)
+    min_q = int(np.argmin(np.abs(qs - target))) - 33
+    exact = counting.count_kmers_fq_sh_rp(str(fq), k=k, min_q=min_q,
+                                          exact_ll=True)
+    hybrid = counting.count_kmers_fq_sh_rp(str(fq), k=k, min_q=min_q,
+                                           exact_ll="hybrid")
+    assert hybrid.counts_dict() == exact.counts_dict()
