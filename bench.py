@@ -65,11 +65,19 @@ def main() -> None:
         return out
 
     run()  # compile
+    profile_dir = os.environ.get("BENCH_PROFILE")
+    if profile_dir:  # BENCH_PROFILE=1 -> default trace dir
+        if profile_dir == "1":
+            profile_dir = "/tmp/kmh_bench_trace"
+        jax.profiler.start_trace(profile_dir)
     times = []
     for _ in range(int(os.environ.get("BENCH_ITERS", "3"))):
         t0 = time.perf_counter()
         run()
         times.append(time.perf_counter() - t0)
+    if profile_dir:
+        jax.profiler.stop_trace()
+        print(f"profile trace -> {profile_dir}", file=sys.stderr)
     dt = min(times) / CHAIN
     kmers_per_s = L / dt
     print(

@@ -11,8 +11,10 @@ data-parallel already, and multi-chip sharding lives in
 """
 from __future__ import annotations
 
+import functools
 from typing import List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -56,35 +58,70 @@ def _pad_pow2(records: List[Record]):
 
 
 def _iter_padded_batches(path: str, max_reads: Optional[int],
-                         batch_rows: int = 4096):
+                         batch_rows: int = 4096, prefetch: int = 2):
     """Yield device-ready (seq, qual, lengths, has_qual) batches, padded to
     power-of-two shapes.
 
-    Fast path: the native parser's contiguous buffers + vectorised numpy
-    padding — no per-record Python work (the throttled host made the
-    record-by-record path the end-to-end bottleneck). Falls back to
-    streamed Python parsing (constant memory) when the native parser is
-    unavailable.
+    Fast path: the native parser streams contiguous buffers batch-by-batch
+    (constant memory) and a background thread parses/pads batch N+1 while
+    the caller dispatches batch N to the device — the host->device input
+    pipeline of ROADMAP §5. Falls back to streamed Python parsing when the
+    native parser is unavailable.
     """
     if max_reads is not None and max_reads < 0:
         max_reads = None
     from .io import native
 
     if native.available():
-        seq_all, qual_all, offsets, qpres = native.read_fastx_raw(
-            path, max_reads
-        )
-        n = len(qpres)
-        for i in range(0, n, batch_rows):
-            j = min(i + batch_rows, n)
-            yield _pad_from_raw(seq_all, qual_all, offsets, qpres, i, j,
-                                batch_rows)
+        def produce():
+            for raw in native.iter_fastx_raw(path, batch_rows, max_reads):
+                seq_all, qual_all, offsets, qpres = raw
+                yield _pad_from_raw(seq_all, qual_all, offsets, qpres, 0,
+                                    len(qpres), batch_rows)
+
+        yield from _prefetch_iter(produce(), prefetch)
         return
     from .io.fastx import iter_fastx
 
-    for recs in iter_fastx(path, batch_size=batch_rows,
-                           max_records=max_reads):
-        yield _pad_pow2(recs)
+    def produce_py():
+        for recs in iter_fastx(path, batch_size=batch_rows,
+                               max_records=max_reads):
+            yield _pad_pow2(recs)
+
+    yield from _prefetch_iter(produce_py(), prefetch)
+
+
+def _prefetch_iter(it, depth: int = 2):
+    """Run an iterator in a daemon thread with a bounded queue: the gz
+    decompression + numpy padding of the next batch overlaps the device
+    work on the current one (the parser's hot loops run in C/numpy, which
+    release the GIL)."""
+    if depth <= 0:
+        yield from it
+        return
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    DONE = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+            q.put(DONE)
+        except BaseException as e:  # surface parse errors to the consumer
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is DONE:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
 
 
 def _pad_from_raw(seq_all, qual_all, offsets, qpres, i: int, j: int,
@@ -175,6 +212,79 @@ def _add_canonical_fsm(store: CountStore, emit, fhi, flo, rhi, rlo,
                        source: int):
     chi, clo = enc.canonical_windows(fhi, flo, rhi, rlo)
     store.add_kmers(chi, clo, emit, source=source, defer=True)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "counts_n", "source", "min_ll_f", "fsm",
+                     "with_noq"),
+)
+def _fused_rp_batch(seq, qual, lengths, has_qual, k: int, counts_n: int,
+                    source: int, min_ll_f: float, fsm: str,
+                    with_noq: bool = False):
+    """One fused device program for the whole flagship batch pipeline:
+    quality-likelihood FSM (+ no-quality encoder rows) -> canonical
+    min(fwd, rc) -> batch sort + segment-reduce -> LSM run.
+
+    Fusing matters on the tunneled chip: every eager op pays a ~25-30 ms
+    host dispatch, and the unfused loop issued ~30 of them per batch —
+    an order of magnitude over the actual device time.
+    Returns (run_hi, run_lo, run_cnt, n_obs[counts_n]).
+    """
+    from .index import count_store as cs
+
+    min_ll = jnp.asarray(min_ll_f)
+    lens_q = jnp.where(has_qual, lengths, 0)
+    if fsm == "pallas":
+        from .ops.pallas_scan import ll_scan_pallas
+
+        emit, fhi, flo, rhi, rlo = ll_scan_pallas(
+            seq, qual, lens_q, k, min_ll_f, out_layout="LB"
+        )
+        hq_bcast = has_qual[None, :]
+    else:
+        emit, fhi, flo, rhi, rlo = si.ll_scan(
+            seq, qual, lens_q, k, min_ll,
+            precision="exact" if fsm == "exact" else "fast",
+        )
+        hq_bcast = has_qual[:, None]
+    chi, clo = enc.canonical_windows(fhi, flo, rhi, rlo)
+    if not with_noq:
+        flat_hi, flat_lo = chi.reshape(-1), clo.reshape(-1)
+        flat_ok = (emit & hq_bcast).reshape(-1)
+    elif fsm == "pallas":
+        # pallas outputs are [L, B]; encoder rows are [B, L] — keep both,
+        # flatten each and concatenate (multiset equality is all we need)
+        no_q = (~has_qual) & (lengths > k)
+        hi2, lo2, v2 = enc.encode_stream(
+            seq, k, jnp.where(no_q, lengths, 0), canonical=True,
+            drop_trailing_exact_k=False,
+        )
+        flat_hi = jnp.concatenate([chi.reshape(-1), hi2.reshape(-1)])
+        flat_lo = jnp.concatenate([clo.reshape(-1), lo2.reshape(-1)])
+        flat_ok = jnp.concatenate(
+            [(emit & hq_bcast).reshape(-1), v2.reshape(-1)]
+        )
+    else:
+        no_q = (~has_qual) & (lengths > k)
+        hi2, lo2, v2 = enc.encode_stream(
+            seq, k, jnp.where(no_q, lengths, 0), canonical=True,
+            drop_trailing_exact_k=False,
+        )
+        chi = jnp.where(hq_bcast, chi, hi2)
+        clo = jnp.where(hq_bcast, clo, lo2)
+        emit = (emit & hq_bcast) | v2
+        flat_hi, flat_lo, flat_ok = (chi.reshape(-1), clo.reshape(-1),
+                                     emit.reshape(-1))
+    onehot = jnp.zeros(counts_n, jnp.uint32).at[source].set(1)
+    empty = jnp.zeros(0, jnp.uint32)
+    u_hi, u_lo, cnt, n_u = cs._merge(
+        empty, empty, jnp.zeros((0, counts_n), jnp.uint32),
+        jnp.asarray(0, jnp.int32), flat_hi, flat_lo, flat_ok, onehot, k,
+    )
+    run = cs._run_from_merge(u_hi, u_lo, cnt, n_u)
+    n_obs = onehot.astype(jnp.int64) * flat_ok.sum(dtype=jnp.int64)
+    return run[0], run[1], run[2], n_obs
 
 
 def count_kmers(seqs: Sequence[str], k: int, source: int = 0,
@@ -332,6 +442,32 @@ def count_kmers_fq_sh_rp(path: str, k: int, prefix_bits: int = 20,
         raise ValueError("Value of source is too large")
     min_ll = jnp.asarray(float(Q_TO_LL[33 + int(min_q)]))
     meter = _progress(report_every, f"count_rp[{path}]")
+    if exact_ll != "hybrid":
+        # fused fast path: one device program per batch, runs straight
+        # into the LSM store — no per-batch eager dispatches or syncs
+        import os
+
+        if exact_ll:
+            fsm = "exact"
+        elif (jax.default_backend() == "tpu"
+              and os.environ.get("KMH_PALLAS", "1") != "0"):
+            fsm = "pallas"
+        else:
+            fsm = "fast"
+        min_ll_f = float(Q_TO_LL[33 + int(min_q)])
+        for seq, qual, lengths, has_qual in _iter_padded_batches(
+                path, max_reads):
+            n_recs = int((lengths > 0).sum())
+            with_noq = bool(((~has_qual) & (lengths > k)).any())
+            run_hi, run_lo, run_cnt, n_obs = _fused_rp_batch(
+                jnp.asarray(seq), jnp.asarray(qual), jnp.asarray(lengths),
+                jnp.asarray(has_qual), k, store.counts_n, source,
+                min_ll_f, fsm, with_noq,
+            )
+            store.add_run(run_hi, run_lo, run_cnt, n_obs)
+            if meter:
+                meter.update(n_recs, distinct_kmers=lambda: store.n_unique)
+        return store.flush()
     for seq, qual, lengths, has_qual in _iter_padded_batches(path, max_reads):
         n_recs = int((lengths > 0).sum())
         if has_qual.any():

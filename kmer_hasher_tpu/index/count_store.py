@@ -309,6 +309,18 @@ class CountStore:
             self._build_runs()
         return self
 
+    def add_run(self, hi, lo, cnt, n_obs) -> "CountStore":
+        """Append a prebuilt sorted run (run-form arrays: unique live keys,
+        dead rows keyed all-ones with zero counts) and re-balance tiers.
+        ``n_obs`` is the [counts_n] device vector of observations folded
+        into the run — accounted into total_added. This is the zero-eager
+        -dispatch fast path: callers fuse FSM + canonicalise + run build
+        into one jit and hand the result straight to the store."""
+        self._total_added_dev = self._total_added_dev + n_obs.astype(I64)
+        self._runs.append((hi, lo, cnt))
+        self._compact_tiers()
+        return self
+
     def _build_runs(self) -> None:
         """Turn pending batches into sorted runs (one per source present)
         and re-balance the tiers."""

@@ -57,6 +57,11 @@ def _build() -> Optional[ctypes.CDLL]:
     lib.fastx_read.restype = ctypes.POINTER(_FastxResult)
     lib.fastx_read.argtypes = [ctypes.c_char_p, ctypes.c_int64]
     lib.fastx_free.argtypes = [ctypes.POINTER(_FastxResult)]
+    lib.fastx_open.restype = ctypes.c_void_p
+    lib.fastx_open.argtypes = [ctypes.c_char_p]
+    lib.fastx_read_batch.restype = ctypes.POINTER(_FastxResult)
+    lib.fastx_read_batch.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.fastx_close.argtypes = [ctypes.c_void_p]
     return lib
 
 
@@ -104,6 +109,64 @@ def read_fastx_raw(path: str, max_records: Optional[int] = None):
         return seq_all, qual_all, offsets, qpres.astype(bool)
     finally:
         _lib.fastx_free(res)
+
+
+def _result_to_raw(res, path):
+    """Copy a FastxResult into numpy arrays and free it."""
+    import numpy as np
+
+    try:
+        r = res.contents
+        if r.error == 1:
+            raise FileNotFoundError(path)
+        if r.error == 2:
+            raise ValueError(f"unrecognised fastx content in {path}")
+        if r.error == 3:
+            raise IOError(f"read error (corrupt stream?) in {path}")
+        n = int(r.n_records)
+        offsets = (np.ctypeslib.as_array(r.offsets, shape=(n + 1,)).copy()
+                   if n else np.zeros(1, np.int64))
+        total = int(offsets[-1])
+        seq_all = (np.ctypeslib.as_array(r.seq, shape=(total,)).copy()
+                   if total else np.zeros(0, np.uint8))
+        qual_all = (np.ctypeslib.as_array(r.qual, shape=(total,)).copy()
+                    if total else np.zeros(0, np.uint8))
+        qpres = (np.ctypeslib.as_array(r.qual_present, shape=(n,)).copy()
+                 if n else np.zeros(0, np.uint8))
+        return seq_all, qual_all, offsets, qpres.astype(bool)
+    finally:
+        _lib.fastx_free(res)
+
+
+def iter_fastx_raw(path: str, batch_records: int = 4096,
+                   max_records: Optional[int] = None):
+    """Stream (seq_all, qual_all, offsets, qual_present) raw-buffer batches
+    with constant memory — the scalable input path for multi-hundred-GB
+    corpora (the whole-file :func:`read_fastx_raw` keeps everything
+    resident). Each yielded batch holds up to ``batch_records`` records."""
+    if not available():
+        raise RuntimeError("native fastx parser unavailable")
+    h = _lib.fastx_open(os.fsencode(path))
+    if not h:
+        raise FileNotFoundError(path)
+    try:
+        remaining = max_records
+        while True:
+            take = (batch_records if remaining is None
+                    else min(batch_records, remaining))
+            if take <= 0:
+                return
+            out = _result_to_raw(_lib.fastx_read_batch(h, take), path)
+            n = len(out[3])
+            if n == 0:
+                return
+            if remaining is not None:
+                remaining -= n
+            yield out
+            if n < take:
+                return
+    finally:
+        _lib.fastx_close(h)
 
 
 def read_fastx(

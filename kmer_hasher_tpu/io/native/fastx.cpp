@@ -133,13 +133,10 @@ struct FastxResult {
   int error;  // 0 ok, 1 open failed, 2 parse error, 3 read error (corrupt)
 };
 
-FastxResult* fastx_read(const char* path, int64_t max_records) {
-  auto* res = static_cast<FastxResult*>(calloc(1, sizeof(FastxResult)));
-  Reader rd(path);
-  if (!rd.ok()) {
-    res->error = 1;
-    return res;
-  }
+struct FastxReaderHandle;  // opaque streaming handle
+
+static void parse_records(Reader& rd, FastxResult* res,
+                          int64_t max_records) {
   Buf seq, qual, names;
   std::vector<int64_t> offsets;
   std::vector<uint8_t> qpres;
@@ -216,7 +213,39 @@ FastxResult* fastx_read(const char* path, int64_t max_records) {
     memcpy(res->qual_present, qpres.data(), qpres.size());
   res->names = reinterpret_cast<char*>(names.data);
   res->names_len = names.len;
+}
+
+FastxResult* fastx_read(const char* path, int64_t max_records) {
+  auto* res = static_cast<FastxResult*>(calloc(1, sizeof(FastxResult)));
+  Reader rd(path);
+  if (!rd.ok()) {
+    res->error = 1;
+    return res;
+  }
+  parse_records(rd, res, max_records);
   return res;
+}
+
+// Streaming handle: parse the file in bounded batches with constant
+// memory (the whole-file load above is unusable for multi-hundred-GB
+// read corpora and prevents IO/compute overlap).
+FastxReaderHandle* fastx_open(const char* path) {
+  auto* rd = new Reader(path);
+  if (!rd->ok()) {
+    delete rd;
+    return nullptr;
+  }
+  return reinterpret_cast<FastxReaderHandle*>(rd);
+}
+
+FastxResult* fastx_read_batch(FastxReaderHandle* h, int64_t max_records) {
+  auto* res = static_cast<FastxResult*>(calloc(1, sizeof(FastxResult)));
+  parse_records(*reinterpret_cast<Reader*>(h), res, max_records);
+  return res;
+}
+
+void fastx_close(FastxReaderHandle* h) {
+  delete reinterpret_cast<Reader*>(h);
 }
 
 void fastx_free(FastxResult* res) {

@@ -73,7 +73,7 @@ def test_index_matches_refsem(harness):
 def test_index_pairs_match_refsem(harness):
     # pairs on a slice (the full test.fa pair table is 17.8M rows)
     import gzip
-    seq = read_fastx("/root/reference/test.fa")[0][1][:4000]
+    seq = read_fastx("/root/reference/test.fa")[0][1][:1600]
     tmp = "/tmp/gt_slice.fa"
     with open(tmp, "w") as f:
         f.write(">slice\n" + seq.decode() + "\n")

@@ -64,18 +64,18 @@ def test_tiered_runs_bound_merge_work():
     st.run_build_size = 1 << 10  # build a run per ~1k pending elements
     rng = np.random.default_rng(5)
     base_before = st.u_hi
-    for _ in range(16):
+    for _ in range(12):
         seq = rng.choice([65, 67, 71, 84], size=1200).astype(np.uint8)
         hi, lo, v = enc.encode_stream(seq, k, 1200, canonical=True)
         st.add_kmers(hi, lo, v, defer=True)
     assert st.u_hi is base_before  # base untouched until a read folds
     caps = [int(r[0].shape[0]) for r in st._runs]
     assert len(caps) == len(set(caps))  # tiers hold distinct capacities
-    assert len(caps) <= 5  # ~log2(16) runs, not 16
+    assert len(caps) <= 5  # ~log2(12) runs, not 12
     # folding yields the same counts as eager addition
     eager = CountStore(k)
     rng = np.random.default_rng(5)
-    for _ in range(16):
+    for _ in range(12):
         seq = rng.choice([65, 67, 71, 84], size=1200).astype(np.uint8)
         hi, lo, v = enc.encode_stream(seq, k, 1200, canonical=True)
         eager.add_kmers(hi, lo, v)

@@ -173,7 +173,7 @@ def test_sharded_query_drains_beyond_capacity(mesh):
 
 
 def test_sharded_tables_match_single_chip(mesh, test_fa):
-    seq = test_fa[:3000]
+    seq = test_fa[:1500]
     k = 8
     sharded = ShardedKmerIndex(seq, k, mesh)
     single = KmerIndex(seq, k)
