@@ -594,7 +594,19 @@ class ShardedCountStore:
         self.u_hi = self._global_put(np.zeros((D, cap0), np.uint32))
         self.u_lo = self._global_put(np.zeros((D, cap0), np.uint32))
         self.cnt = self._global_put(np.zeros((D, cap0, counts_n), np.uint32))
-        self.n_unique = np.zeros(D, np.int64)
+        self._n_unique = np.zeros(D, np.int64)
+        # per-shard LSM runs: list of (hi [D,C], lo [D,C], cnt [D,C,n]);
+        # tier-merged with a vmapped _merge_runs, folded at reads
+        self._runs = []
+
+    @property
+    def n_unique(self) -> np.ndarray:
+        self._fold()
+        return self._n_unique
+
+    @n_unique.setter
+    def n_unique(self, v) -> None:  # checkpoint restore
+        self._n_unique = np.asarray(v, np.int64)
 
     def _global_put(self, full_np):
         """Host value (identical on every process) -> global array sharded
@@ -624,16 +636,20 @@ class ShardedCountStore:
     def add_batch(self, hi, lo, valid, source: int = 0):
         """hi/lo/valid: [D, n] observations (each device's slice of the
         read batch, already canonical). On a multi-process mesh pass the
-        *local* [D_local, n] rows for this process's devices."""
+        *local* [D_local, n] rows for this process's devices.
+
+        Routes keys to their owner shards and appends a per-shard sorted
+        *run* (LSM tiering, like the single-chip store) — the base table
+        is only touched when a read folds. The only per-batch host sync is
+        the routing-overflow flag (kept so overflow is detected, never
+        dropped)."""
         axis, D, k, C = self.axis, self.n_shards, self.k, self.capacity
-        cap_store = int(self.u_hi.shape[1])
         onehot = jnp.zeros(self.counts_n, U32).at[source].set(1)
-        n_store = self._global_put(self.n_unique.astype(np.int32))
         hi = self._globalize(hi)
         lo = self._globalize(lo)
         valid = self._globalize(valid)
 
-        def fn(u_hi, u_lo, cnt, ns, b_hi, b_lo, b_val):
+        def fn(b_hi, b_lo, b_val):
             b_hi, b_lo, b_val = (b_hi.reshape(-1), b_lo.reshape(-1),
                                  b_val.reshape(-1))
             s_hi, s_lo, s_pos, s_val, ovf = _bucket_for_send(
@@ -642,37 +658,117 @@ class ShardedCountStore:
             r_hi = jax.lax.all_to_all(s_hi, axis, 0, 0).reshape(-1)
             r_lo = jax.lax.all_to_all(s_lo, axis, 0, 0).reshape(-1)
             r_val = jax.lax.all_to_all(s_val, axis, 0, 0).reshape(-1)
-            from ..index.count_store import _merge
+            from ..index import count_store as cs
 
-            u_hi2, u_lo2, cnt2, n2 = _merge(
-                u_hi.reshape(cap_store), u_lo.reshape(cap_store),
-                cnt.reshape(cap_store, -1), ns[0], r_hi, r_lo, r_val,
-                onehot, k,
+            empty = jnp.zeros(0, U32)
+            u_hi, u_lo, cnt, n_u = cs._merge(
+                empty, empty, jnp.zeros((0, self.counts_n), U32),
+                jnp.asarray(0, I32), r_hi, r_lo, r_val, onehot, k,
             )
+            run = cs._run_from_merge(u_hi, u_lo, cnt, n_u)
             ovf_t = jax.lax.psum(ovf.astype(I32), axis)
-            return (u_hi2[None], u_lo2[None], cnt2[None], n2[None],
-                    ovf_t[None])
+            return run[0][None], run[1][None], run[2][None], ovf_t[None]
 
         shard_fn = jax.jit(
             jax.shard_map(
                 fn, mesh=self.mesh,
-                in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis),
-                          P(axis), P(axis)),
-                out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+                in_specs=(P(axis), P(axis), P(axis)),
+                out_specs=(P(axis),) * 4,
             )
         )
-        u_hi, u_lo, cnt, n_u, ovf = shard_fn(
-            self.u_hi, self.u_lo, self.cnt, n_store, hi, lo, valid
-        )
+        r_hi, r_lo, r_cnt, ovf = shard_fn(hi, lo, valid)
         if int(_host_read(ovf)[0]) > 0:
             raise RuntimeError(
                 "routing capacity overflow; raise ShardedCountStore capacity"
             )
-        self.n_unique = _host_read(n_u).astype(np.int64)
-        # host-side capacity management: shrink/grow per the max shard
-        need = 1 << max(6, int(self.n_unique.max() - 1).bit_length())
-        cur = u_hi.shape[1]
-        if need < cur:
+        self._runs.append((r_hi, r_lo, r_cnt))
+        self._compact_tiers()
+
+    def _vmerge_runs(self, a, b):
+        """Tier-merge two per-shard run sets: [D, Ca] + [D, Cb] -> [D,
+        Ca+Cb], rows independent (shard_map over the mesh so each device
+        merges only its own rows)."""
+        from ..index import count_store as cs
+
+        def fn(a_hi, a_lo, a_cnt, b_hi, b_lo, b_cnt):
+            out = cs._merge_runs(
+                a_hi.reshape(-1), a_lo.reshape(-1),
+                a_cnt.reshape(a_cnt.shape[1], -1),
+                b_hi.reshape(-1), b_lo.reshape(-1),
+                b_cnt.reshape(b_cnt.shape[1], -1),
+            )
+            return out[0][None], out[1][None], out[2][None]
+
+        shard_fn = jax.jit(
+            jax.shard_map(
+                fn, mesh=self.mesh, in_specs=(P(self.axis),) * 6,
+                out_specs=(P(self.axis),) * 3,
+            )
+        )
+        return shard_fn(a[0], a[1], a[2], b[0], b[1], b[2])
+
+    def _compact_tiers(self):
+        while True:
+            by_cap: dict = {}
+            for i, r in enumerate(self._runs):
+                by_cap.setdefault(int(r[0].shape[1]), []).append(i)
+            pair = next((v for v in by_cap.values() if len(v) >= 2), None)
+            if pair is None:
+                return
+            i, j = pair[0], pair[1]
+            merged = self._vmerge_runs(self._runs[i], self._runs[j])
+            self._runs = [r for t, r in enumerate(self._runs)
+                          if t not in (i, j)]
+            self._runs.append(merged)
+
+    def _fold(self):
+        """Fold runs into the compact per-shard base table (syncs once)."""
+        if not self._runs:
+            return
+        from ..index import count_store as cs
+
+        if self._n_unique.max() > 0:
+            base_run = None
+
+            def to_run(u_hi, u_lo, cnt, ns):
+                r = cs._run_from_merge(
+                    u_hi.reshape(-1), u_lo.reshape(-1),
+                    cnt.reshape(cnt.shape[1], -1), ns[0],
+                )
+                return r[0][None], r[1][None], r[2][None]
+
+            run_fn = jax.jit(
+                jax.shard_map(
+                    to_run, mesh=self.mesh, in_specs=(P(self.axis),) * 4,
+                    out_specs=(P(self.axis),) * 3,
+                )
+            )
+            ns = self._global_put(self._n_unique.astype(np.int32)
+                                  .reshape(-1, 1))
+            self._runs.append(run_fn(self.u_hi, self.u_lo, self.cnt, ns))
+        self._runs.sort(key=lambda r: int(r[0].shape[1]), reverse=True)
+        acc = self._runs.pop()
+        while self._runs:
+            acc = self._vmerge_runs(acc, self._runs.pop())
+
+        def fin(hi, lo, cnt):
+            u_hi, u_lo, u_cnt, n_u = cs._finalize_run(
+                hi.reshape(-1), lo.reshape(-1),
+                cnt.reshape(cnt.shape[1], -1),
+            )
+            return u_hi[None], u_lo[None], u_cnt[None], n_u[None]
+
+        fin_fn = jax.jit(
+            jax.shard_map(
+                fin, mesh=self.mesh, in_specs=(P(self.axis),) * 3,
+                out_specs=(P(self.axis),) * 4,
+            )
+        )
+        u_hi, u_lo, cnt, n_u = fin_fn(acc[0], acc[1], acc[2])
+        self._n_unique = _host_read(n_u).astype(np.int64)
+        need = 1 << max(6, int(max(self._n_unique.max(), 1) - 1)
+                        .bit_length())
+        if need < u_hi.shape[1]:
             u_hi, u_lo, cnt = (u_hi[:, :need], u_lo[:, :need],
                                cnt[:, :need])
         self.u_hi, self.u_lo, self.cnt = u_hi, u_lo, cnt
