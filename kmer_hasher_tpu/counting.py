@@ -152,62 +152,6 @@ def _pad_from_raw(seq_all, qual_all, offsets, qpres, i: int, j: int,
     return seq, qual, lengths, has_qual
 
 
-def _run_ll_fsm(seq, qual, lengths, k, min_ll, exact_ll):
-    """Quality-likelihood FSM dispatch.
-
-    exact_ll=True: float64 lax.scan, bit-parity with the C doubles.
-    exact_ll=False: float32 (Pallas kernel on TPU) — fast, decisions may
-    differ from exact within f32 rounding of the threshold.
-    exact_ll="hybrid": f32 scan with per-read borderline flags; flagged
-    reads re-run through the exact f64 scan, so the combined output is
-    bitwise equal to exact_ll=True at close to fast-path speed
-    (ROADMAP §2b; flag-rate soundness documented in ops/scan_iter.py).
-    """
-    import os
-
-    import jax
-
-    if exact_ll == "hybrid":
-        out = si.ll_scan(seq, qual, lengths, k, min_ll, precision="fast",
-                         return_flags=True)
-        emit, fhi, flo, rhi, rlo, flags = out
-        flags_np = np.asarray(flags)
-        n_flag = int(flags_np.sum())
-        if n_flag:
-            # pad the flagged subset to a power-of-two row bucket (repeat
-            # row 0 with length 0 — emits nothing) to bound recompiles
-            rows = np.where(flags_np)[0]
-            n_pad = 1 << max(3, (n_flag - 1).bit_length())
-            rows_p = np.concatenate(
-                [rows, np.zeros(n_pad - n_flag, np.int64)]
-            )
-            lens_p = np.concatenate(
-                [np.asarray(lengths)[rows], np.zeros(n_pad - n_flag,
-                                                     np.int32)]
-            )
-            ex = si.ll_scan(
-                jnp.asarray(np.asarray(seq)[rows_p]),
-                jnp.asarray(np.asarray(qual)[rows_p]),
-                jnp.asarray(lens_p), k, min_ll, precision="exact",
-            )
-            arrs = [emit, fhi, flo, rhi, rlo]
-            rows_j = jnp.asarray(rows)
-            out = tuple(
-                a.at[rows_j].set(e[: n_flag])
-                for a, e in zip(arrs, ex)
-            )
-            return out
-        return emit, fhi, flo, rhi, rlo
-    if (not exact_ll and jax.default_backend() == "tpu"
-            and os.environ.get("KMH_PALLAS", "1") != "0"):
-        from .ops.pallas_scan import ll_scan_pallas
-
-        return ll_scan_pallas(seq, qual, lengths, k, float(min_ll),
-                              out_layout="LB")
-    return si.ll_scan(seq, qual, lengths, k, min_ll,
-                      precision="exact" if exact_ll else "fast")
-
-
 def _add_canonical_fsm(store: CountStore, emit, fhi, flo, rhi, rlo,
                        source: int):
     chi, clo = enc.canonical_windows(fhi, flo, rhi, rlo)
@@ -235,6 +179,7 @@ def _fused_rp_batch(seq, qual, lengths, has_qual, k: int, counts_n: int,
 
     min_ll = jnp.asarray(min_ll_f)
     lens_q = jnp.where(has_qual, lengths, 0)
+    flags = None
     if fsm == "pallas":
         from .ops.pallas_scan import ll_scan_pallas
 
@@ -242,6 +187,15 @@ def _fused_rp_batch(seq, qual, lengths, has_qual, k: int, counts_n: int,
             seq, qual, lens_q, k, min_ll_f, out_layout="LB"
         )
         hq_bcast = has_qual[None, :]
+    elif fsm == "hybrid":
+        # fast f32 scan with borderline flags; flagged reads contribute
+        # NOTHING here (their windows are re-counted exactly by the
+        # caller's backlog sweep) — keeps the hot loop sync-free
+        out = si.ll_scan(seq, qual, lens_q, k, min_ll, precision="fast",
+                         return_flags=True)
+        emit, fhi, flo, rhi, rlo, flags = out
+        emit = emit & ~flags[:, None]
+        hq_bcast = has_qual[:, None]
     else:
         emit, fhi, flo, rhi, rlo = si.ll_scan(
             seq, qual, lens_q, k, min_ll,
@@ -284,7 +238,9 @@ def _fused_rp_batch(seq, qual, lengths, has_qual, k: int, counts_n: int,
     )
     run = cs._run_from_merge(u_hi, u_lo, cnt, n_u)
     n_obs = onehot.astype(jnp.int64) * flat_ok.sum(dtype=jnp.int64)
-    return run[0], run[1], run[2], n_obs
+    if flags is None:
+        flags = jnp.zeros(seq.shape[0], bool)
+    return run[0], run[1], run[2], n_obs, flags
 
 
 def count_kmers(seqs: Sequence[str], k: int, source: int = 0,
@@ -442,55 +398,65 @@ def count_kmers_fq_sh_rp(path: str, k: int, prefix_bits: int = 20,
         raise ValueError("Value of source is too large")
     min_ll = jnp.asarray(float(Q_TO_LL[33 + int(min_q)]))
     meter = _progress(report_every, f"count_rp[{path}]")
-    if exact_ll != "hybrid":
-        # fused fast path: one device program per batch, runs straight
-        # into the LSM store — no per-batch eager dispatches or syncs
-        import os
+    # fused path: one device program per batch, runs straight into the
+    # LSM store — no per-batch eager dispatches or syncs. Hybrid mode
+    # excludes borderline-flagged reads on-device and re-counts them
+    # exactly in periodic backlog sweeps (one flag readback per
+    # ``sweep_every`` batches), so results stay bitwise-equal to
+    # exact_ll=True at fast-path speed.
+    import os
 
-        if exact_ll:
-            fsm = "exact"
-        elif (jax.default_backend() == "tpu"
-              and os.environ.get("KMH_PALLAS", "1") != "0"):
-            fsm = "pallas"
-        else:
-            fsm = "fast"
-        min_ll_f = float(Q_TO_LL[33 + int(min_q)])
-        for seq, qual, lengths, has_qual in _iter_padded_batches(
-                path, max_reads):
-            n_recs = int((lengths > 0).sum())
-            with_noq = bool(((~has_qual) & (lengths > k)).any())
-            run_hi, run_lo, run_cnt, n_obs = _fused_rp_batch(
-                jnp.asarray(seq), jnp.asarray(qual), jnp.asarray(lengths),
-                jnp.asarray(has_qual), k, store.counts_n, source,
-                min_ll_f, fsm, with_noq,
-            )
-            store.add_run(run_hi, run_lo, run_cnt, n_obs)
-            if meter:
-                meter.update(n_recs, distinct_kmers=lambda: store.n_unique)
-        return store.flush()
-    for seq, qual, lengths, has_qual in _iter_padded_batches(path, max_reads):
+    if exact_ll == "hybrid":
+        fsm = "hybrid"
+    elif exact_ll:
+        fsm = "exact"
+    elif (jax.default_backend() == "tpu"
+          and os.environ.get("KMH_PALLAS", "1") != "0"):
+        fsm = "pallas"
+    else:
+        fsm = "fast"
+    min_ll_f = float(Q_TO_LL[33 + int(min_q)])
+    backlog = []  # [(seq, qual, lengths, flags_dev)]
+    sweep_every = 64
+
+    def sweep_backlog():
+        if not backlog:
+            return
+        flag_rows = [np.asarray(f) for _s, _q, _l, f in backlog]  # 1 sync
+        for (seq_b, qual_b, len_b, _f), fl in zip(backlog, flag_rows):
+            n_flag = int(fl.sum())
+            if not n_flag:
+                continue
+            rows = np.where(fl)[0]
+            n_pad = 1 << max(3, (n_flag - 1).bit_length())
+            rows_p = np.concatenate([rows,
+                                     np.zeros(n_pad - n_flag, np.int64)])
+            lens_p = np.concatenate([len_b[rows],
+                                     np.zeros(n_pad - n_flag, np.int32)])
+            ex = si.ll_scan(jnp.asarray(seq_b[rows_p]),
+                            jnp.asarray(qual_b[rows_p]),
+                            jnp.asarray(lens_p), k, min_ll,
+                            precision="exact")
+            _add_canonical_fsm(store, *ex, source=source)
+        backlog.clear()
+
+    for seq, qual, lengths, has_qual in _iter_padded_batches(
+            path, max_reads):
         n_recs = int((lengths > 0).sum())
-        if has_qual.any():
-            rows = np.where(has_qual)[0]
-            out = _run_ll_fsm(seq[rows], qual[rows], lengths[rows], k,
-                              min_ll, exact_ll)
-            _add_canonical_fsm(store, *out, source=source)
-        no_q = (~has_qual) & (lengths > 0)
-        if no_q.any():
-            # FASTA records go through the no-quality iterator: N-delimited
-            # windows, no trailing drop (src/kmer_util.c:68-93) — equivalent
-            # to plain canonical window enumeration, but reads of length
-            # <= k are skipped by the caller loop (src/kmer_reader.c:54-55)
-            rows = np.where(no_q)[0]
-            lens = lengths[rows]
-            hi, lo, valid = enc.encode_stream(
-                seq[rows], k, lens, canonical=True,
-                drop_trailing_exact_k=False,
-            )
-            valid &= jnp.asarray(lens > k)[:, None]
-            store.add_kmers(hi, lo, valid, source=source, defer=True)
+        with_noq = bool(((~has_qual) & (lengths > k)).any())
+        run_hi, run_lo, run_cnt, n_obs, flags = _fused_rp_batch(
+            jnp.asarray(seq), jnp.asarray(qual), jnp.asarray(lengths),
+            jnp.asarray(has_qual), k, store.counts_n, source,
+            min_ll_f, fsm, with_noq,
+        )
+        store.add_run(run_hi, run_lo, run_cnt, n_obs)
+        if fsm == "hybrid":
+            backlog.append((seq, qual, lengths, flags))
+            if len(backlog) >= sweep_every:
+                sweep_backlog()
         if meter:
             meter.update(n_recs, distinct_kmers=lambda: store.n_unique)
+    sweep_backlog()
     return store.flush()
 
 
