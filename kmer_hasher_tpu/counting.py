@@ -283,6 +283,47 @@ def _progress(report_every: Optional[int], name: str):
     return ProgressMeter(name=name, report_every=report_every)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "counts_n", "min_q_char", "with_q",
+                              "with_noq")
+)
+def _fused_threshold_batch(seq, qual, lengths, has_qual, k: int,
+                           counts_n: int, min_q_char: int, with_q: bool,
+                           with_noq: bool):
+    """Fused batch program for the per-base-threshold entries (same
+    dispatch-cost rationale as _fused_rp_batch)."""
+    from .index import count_store as cs
+
+    mq = jnp.asarray(min_q_char)
+    parts = []
+    if with_q:
+        out = si.threshold_scan(
+            seq, qual, jnp.where(has_qual, lengths, 0), k, mq,
+            has_qual=True,
+        )
+        chi, clo = enc.canonical_windows(*out[1:])
+        parts.append((chi, clo, out[0] & has_qual[:, None]))
+    if with_noq:
+        out = si.threshold_scan(
+            seq, qual, jnp.where(~has_qual, lengths, 0), k, mq,
+            has_qual=False,
+        )
+        chi, clo = enc.canonical_windows(*out[1:])
+        parts.append((chi, clo, out[0] & (~has_qual)[:, None]))
+    flat_hi = jnp.concatenate([p[0].reshape(-1) for p in parts])
+    flat_lo = jnp.concatenate([p[1].reshape(-1) for p in parts])
+    flat_ok = jnp.concatenate([p[2].reshape(-1) for p in parts])
+    onehot = jnp.zeros(counts_n, jnp.uint32).at[0].set(1)
+    empty = jnp.zeros(0, jnp.uint32)
+    u_hi, u_lo, cnt, n_u = cs._merge(
+        empty, empty, jnp.zeros((0, counts_n), jnp.uint32),
+        jnp.asarray(0, jnp.int32), flat_hi, flat_lo, flat_ok, onehot, k,
+    )
+    run = cs._run_from_merge(u_hi, u_lo, cnt, n_u)
+    n_obs = onehot.astype(jnp.int64) * flat_ok.sum(dtype=jnp.int64)
+    return run[0], run[1], run[2], n_obs
+
+
 def _count_fastq_threshold(path: str, k: int, min_q: int,
                            store: CountStore, max_reads: Optional[int],
                            report_every: Optional[int] = None):
@@ -292,21 +333,16 @@ def _count_fastq_threshold(path: str, k: int, min_q: int,
     meter = _progress(report_every, f"count_fq[{path}]")
     for seq, qual, lengths, has_qual in _iter_padded_batches(path, max_reads):
         n_recs = int((lengths > 0).sum())
-        if has_qual.any():
-            rows = np.where(has_qual)[0]
-            out = si.threshold_scan(
-                seq[rows], qual[rows], lengths[rows], k,
-                jnp.asarray(min_q_char), has_qual=True,
-            )
-            _add_canonical_fsm(store, *out, source=0)
-        no_q = (~has_qual) & (lengths > 0)
-        if no_q.any():
-            rows = np.where(no_q)[0]
-            out = si.threshold_scan(
-                seq[rows], qual[rows], lengths[rows], k,
-                jnp.asarray(min_q_char), has_qual=False,
-            )
-            _add_canonical_fsm(store, *out, source=0)
+        with_q = bool(has_qual.any())
+        with_noq = bool(((~has_qual) & (lengths > 0)).any())
+        if not (with_q or with_noq):
+            continue
+        run_hi, run_lo, run_cnt, n_obs = _fused_threshold_batch(
+            jnp.asarray(seq), jnp.asarray(qual), jnp.asarray(lengths),
+            jnp.asarray(has_qual), k, store.counts_n, min_q_char, with_q,
+            with_noq,
+        )
+        store.add_run(run_hi, run_lo, run_cnt, n_obs)
         if meter:
             meter.update(n_recs, distinct_kmers=lambda: store.n_unique)
     return store.flush()

@@ -1,0 +1,72 @@
+"""Persistent chip job worker.
+
+The tunneled axon chip tolerates exactly one client process, charges
+minutes of session-establishment per process, and wedges when clients are
+killed. So: keep ONE long-lived process that connects once and executes
+job files submitted to a spool directory.
+
+  python tools/chip_worker.py [spool_dir]   # default /tmp/chip_jobs
+
+Submit work by writing `<name>.py` into the spool; the worker execs it
+in-process (fresh namespace, repo on sys.path), captures stdout/stderr to
+`<name>.out`, and renames the job to `<name>.done` (or `.fail`). Jobs run
+in lexicographic order. A job named `quit.py` shuts the worker down after
+running. Poll the `.out` file for results.
+"""
+import io
+import os
+import sys
+import time
+import traceback
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    spool = sys.argv[1] if len(sys.argv) > 1 else "/tmp/chip_jobs"
+    os.makedirs(spool, exist_ok=True)
+    sys.path.insert(0, REPO)
+    import numpy as np
+    import jax.numpy as jnp
+
+    t0 = time.time()
+    np.asarray(jnp.zeros(8, jnp.uint32))
+    ready = f"device ready in {time.time() - t0:.1f}s"
+    print(ready, flush=True)
+    with open(os.path.join(spool, "READY"), "w") as f:
+        f.write(ready + "\n")
+
+    while True:
+        jobs = sorted(f for f in os.listdir(spool) if f.endswith(".py"))
+        if not jobs:
+            time.sleep(2)
+            continue
+        name = jobs[0]
+        path = os.path.join(spool, name)
+        out_path = path[:-3] + ".out"
+        print(f"running {name}", flush=True)
+        buf = io.StringIO()
+        old_out, old_err = sys.stdout, sys.stderr
+        ok = True
+        t = time.time()
+        try:
+            sys.stdout = sys.stderr = buf
+            src = open(path).read()
+            exec(compile(src, path, "exec"), {"__name__": "__chip_job__"})
+        except BaseException:
+            ok = False
+            traceback.print_exc(file=buf)
+        finally:
+            sys.stdout, sys.stderr = old_out, old_err
+        buf.write(f"\n[job {'ok' if ok else 'FAILED'} in "
+                  f"{time.time() - t:.1f}s]\n")
+        with open(out_path, "w") as f:
+            f.write(buf.getvalue())
+        os.rename(path, path[:-3] + (".done" if ok else ".fail"))
+        print(f"finished {name} ok={ok}", flush=True)
+        if name == "quit.py":
+            return
+
+
+if __name__ == "__main__":
+    main()
