@@ -78,10 +78,12 @@ def cmd_count(a):
         source = a.source if a.source is not None else min(
             i, a.source_n - 1
         )
+        exact_ll = {"exact": True, "fast": False,
+                    "hybrid": "hybrid"}[a.ll_mode]
         store = count_kmers_fq_sh_rp(
             path, k=a.k, min_q=a.min_q, source_n=a.source_n, source=source,
             max_reads=a.max_reads, store=store,
-            report_every=a.report_every,
+            report_every=a.report_every, exact_ll=exact_ll,
         )
     ckpt.save_count_store(store, a.out)
     mc = most_common_kmer(store)
@@ -143,6 +145,10 @@ def main(argv=None):
     s.add_argument("--source", type=int, default=None,
                    help="fixed source index (default: file order)")
     s.add_argument("--max-reads", type=int, default=None)
+    s.add_argument("--ll-mode", choices=["exact", "fast", "hybrid"],
+                   default="exact",
+                   help="likelihood filter: exact f64 (bit-parity), fast "
+                        "f32, or hybrid (bitwise-exact at ~fast speed)")
     s.add_argument("--resume", default=None,
                    help="existing store to keep accumulating into")
     s.add_argument("--report-every", type=int, default=None)

@@ -123,15 +123,234 @@ def _phase1(key, pay, Lt: int):
     )
 
 
+# ---------------------------------------------------------------------------
+# Pallas merge-path kernel (TPU): one output tile per grid step; exact
+# input ranges DMA'd at 1024-element granularity, aligned with decomposed
+# static rolls, merged by a bitonic network of static XOR-partner rolls.
+# ---------------------------------------------------------------------------
+
+_G = 1024  # DMA granule: 8 sublanes x 128 lanes of u32
+_INF = 0xFFFFFFFF
+
+
+def _roll_flat_left(arrs, shift, W_rows):
+    """Roll [W_rows, 128] arrays left by a *traced* flat element count in
+    [0, W) using static power-of-two rolls gated by pl.when-free where()s
+    (wheres keep all three arrays on one shared predicate)."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    row_shift = shift // 128
+    lane_shift = shift % 128
+    d = 1
+    while d < W_rows:
+        bit = (row_shift & d) != 0
+        arrs = tuple(
+            jnp.where(bit, pltpu.roll(a, W_rows - d, axis=0), a)
+            for a in arrs
+        )
+        d *= 2
+    lane = jax.lax.broadcasted_iota(jnp.int32, (W_rows, 128), 1)
+    b = 64
+    while b >= 1:
+        bit = (lane_shift & b) != 0
+        rolled = tuple(
+            jnp.where(
+                lane < 128 - b,
+                pltpu.roll(a, 128 - b, axis=1),
+                pltpu.roll(pltpu.roll(a, W_rows - 1, axis=0), 128 - b,
+                           axis=1),
+            )
+            for a in arrs
+        )
+        arrs = tuple(jnp.where(bit, r, a) for r, a in zip(rolled, arrs))
+        b //= 2
+    return arrs
+
+
+def _leq3(akh, akl, app, bkh, bkl, bpp):
+    return ((akh < bkh)
+            | ((akh == bkh)
+               & ((akl < bkl) | ((akl == bkl) & (app <= bpp)))))
+
+
+def _bitonic_merge_tile(kh, kl, pp, rows):
+    """Bitonic merge of a bitonic [rows, 128] tile (flat order row-major)
+    via static XOR-partner rolls — no reshapes, Mosaic-friendly."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+    s = (rows * 128) // 2
+    while s >= 1:
+        if s >= 128:
+            d = s // 128
+            up = (row_idx & d) == 0
+
+            def partner(a, d=d, up=up, rows=rows):
+                return jnp.where(up, pltpu.roll(a, rows - d, axis=0),
+                                 pltpu.roll(a, d, axis=0))
+        else:
+            up = (lane & s) == 0
+
+            def partner(a, s=s, up=up):
+                return jnp.where(up, pltpu.roll(a, 128 - s, axis=1),
+                                 pltpu.roll(a, s, axis=1))
+        pkh, pkl, ppp = partner(kh), partner(kl), partner(pp)
+        x_le = _leq3(kh, kl, pp, pkh, pkl, ppp)
+        keep = jnp.where(up, x_le, ~x_le)  # up lanes keep min, down keep max
+        kh = jnp.where(keep, kh, pkh)
+        kl = jnp.where(keep, kl, pkl)
+        pp = jnp.where(keep, pp, ppp)
+        s //= 2
+    return kh, kl, pp
+
+
+def _merge_round_kernel(kh, kl, pp, splits, L: int, T: int,
+                        interpret: bool = False):
+    """One merge round on flat [N(+pad)] u32 arrays: runs of length L
+    merged pairwise into runs of 2L. ``splits`` = [n_pairs, 2L/T + 1]
+    exact merge-path boundaries. Inputs must carry >= _G elements of tail
+    padding (read-overrun headroom)."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N = kh.shape[0] - _G
+    n_pairs = N // (2 * L)
+    n_tiles = (2 * L) // T
+    W = T + _G
+    W_rows, T_rows = W // 128, T // 128
+
+    def kernel(splits_ref, kh_hbm, kl_hbm, pp_hbm, okh, okl, opp,
+               a_bufs, b_bufs, sems):
+        p = pl.program_id(0)
+        t = pl.program_id(1)
+        i0 = splits_ref[p, t]
+        i1 = splits_ref[p, t + 1]
+        r0 = t * T
+        j0 = r0 - i0
+        j1 = r0 + T - i1
+        base_a = p * (2 * L)
+        base_b = base_a + L
+
+        def load(bufs, base, start, sem_off):
+            s = jnp.maximum(jnp.minimum(start, L - T), 0)
+            s = (s // _G) * _G
+            row0 = (base + s) // 128
+            cps = [
+                pltpu.make_async_copy(
+                    hbm.at[pl.ds(row0, W_rows), :], bufs.at[i],
+                    sems.at[sem_off + i],
+                )
+                for i, hbm in enumerate((kh_hbm, kl_hbm, pp_hbm))
+            ]
+            for cp in cps:
+                cp.start()
+            return cps, s
+
+        a_cps, sa = load(a_bufs, base_a, i0, 0)
+        b_cps, sb = load(b_bufs, base_b, j0, 3)
+        for cp in a_cps + b_cps:
+            cp.wait()
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (W_rows, 128), 1)
+        row_idx = jax.lax.broadcasted_iota(jnp.int32, (W_rows, 128), 0)
+        flat = row_idx * 128 + lane
+
+        def window(bufs, s, lo, hi):
+            arrs = _roll_flat_left(
+                (bufs[0], bufs[1], bufs[2]), lo - s, W_rows
+            )
+            n_real = hi - lo
+            return tuple(
+                jnp.where(flat < n_real, a, jnp.uint32(_INF))[:T_rows]
+                for a in arrs
+            )
+
+        akh, akl, app = window(a_bufs, sa, i0, i1)
+        bkh, bkl, bpp = window(b_bufs, sb, j0, j1)
+        # concat(A, reverse(B)) is bitonic; reverse = flip rows + lanes
+        cat = tuple(
+            jnp.concatenate([x, jnp.flip(jnp.flip(y, 0), 1)], axis=0)
+            for x, y in ((akh, bkh), (akl, bkl), (app, bpp))
+        )
+        mkh, mkl, mpp = _bitonic_merge_tile(*cat, rows=2 * T_rows)
+        okh[...] = mkh[:T_rows]
+        okl[...] = mkl[:T_rows]
+        opp[...] = mpp[:T_rows]
+
+    out_shape = [jax.ShapeDtypeStruct((N // 128, 128), jnp.uint32)] * 3
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_pairs, n_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        out_specs=[
+            pl.BlockSpec((T_rows, 128),
+                         lambda p, t, splits: (p * n_tiles + t, 0),
+                         memory_space=pltpu.VMEM)
+        ] * 3,
+        scratch_shapes=[
+            pltpu.VMEM((3, W_rows, 128), jnp.uint32),
+            pltpu.VMEM((3, W_rows, 128), jnp.uint32),
+            pltpu.SemaphoreType.DMA((6,)),
+        ],
+    )
+    okh, okl, opp = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(splits, kh.reshape(-1, 128), kl.reshape(-1, 128),
+      pp.reshape(-1, 128))
+    return okh.reshape(-1), okl.reshape(-1), opp.reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("Lt", "T", "interpret"))
+def _sort_merge_kernel_path(key, pay, Lt: int, T: int, interpret: bool):
+    n = key.shape[0]
+    k, p = _phase1(key, pay, Lt)
+    kh = (k >> jnp.uint64(32)).astype(U32).reshape(-1)
+    kl = k.astype(U32).reshape(-1)
+    pp = p.reshape(-1)
+    pad = jnp.full(_G, _INF, U32)
+    kh = jnp.concatenate([kh, pad])
+    kl = jnp.concatenate([kl, pad])
+    pp = jnp.concatenate([pp, pad])
+    L = Lt
+    R = n // Lt
+    while R > 1:
+        kk = ((kh[:n].astype(U64) << jnp.uint64(32))
+              | kl[:n].astype(U64)).reshape(R // 2, 2, L)
+        pv = pp[:n].reshape(R // 2, 2, L)
+        splits = jax.vmap(
+            lambda a, b: merge_path_splits(a[0], b[0], a[1], b[1], T)
+        )((kk[:, 0], kk[:, 1]), (pv[:, 0], pv[:, 1]))
+        okh, okl, opp = _merge_round_kernel(kh, kl, pp, splits, L, T,
+                                            interpret)
+        kh = jnp.concatenate([okh, pad])
+        kl = jnp.concatenate([okl, pad])
+        pp = jnp.concatenate([opp, pad])
+        L *= 2
+        R //= 2
+    key_out = (kh[:n].astype(U64) << jnp.uint64(32)) | kl[:n].astype(U64)
+    return key_out, pp[:n]
+
+
 def sort_kmers_merge(key: jax.Array, pay: jax.Array, Lt: int = 1 << 15,
-                     use_kernel: str = "auto"):
+                     T: int = 1 << 13, use_kernel: bool = False,
+                     interpret: bool = False):
     """Sort (u64 key, u32 payload) lexicographically; equivalent to
     ``lax.sort((key, pay), num_keys=2)``. N must be a power of two and a
     multiple of 2*Lt to take the merge path; otherwise falls back to
-    lax.sort."""
+    lax.sort. ``use_kernel`` routes merge rounds through the Pallas
+    merge-path kernel (TPU; ``interpret=True`` for CPU validation)."""
     n = key.shape[0]
-    if n < 2 * Lt or n % Lt:
+    if n < 2 * Lt or n % Lt or (n & (n - 1)):
         return jax.lax.sort((key, pay), dimension=-1, num_keys=2)
+    if use_kernel:
+        return _sort_merge_kernel_path(key, pay, Lt, T, interpret)
     k, p = _phase1(key, pay, Lt)
     while k.shape[0] > 1:
         k, p = _merge_round_bitonic(k, p)

@@ -73,3 +73,17 @@ def test_small_input_falls_back():
     got_k, got_p = ms.sort_kmers_merge(key, pay)
     want_k, want_p = jax.lax.sort((key, pay), num_keys=2)
     np.testing.assert_array_equal(np.asarray(got_k), np.asarray(want_k))
+
+
+def test_kernel_path_interpret_matches_lax_sort():
+    # Pallas merge kernel in interpret mode (CPU): bit parity with
+    # lax.sort on random and duplicate-heavy data
+    for n, Lt, T, seed, dup in [(1 << 13, 1 << 11, 1 << 9, 0, False),
+                                (1 << 13, 1 << 11, 1 << 9, 1, True),
+                                (1 << 14, 1 << 11, 1 << 10, 2, False)]:
+        key, pay = _rand(n, seed, dup)
+        got_k, got_p = ms.sort_kmers_merge(key, pay, Lt=Lt, T=T,
+                                           use_kernel=True, interpret=True)
+        want_k, want_p = jax.lax.sort((key, pay), num_keys=2)
+        np.testing.assert_array_equal(np.asarray(got_k), np.asarray(want_k))
+        np.testing.assert_array_equal(np.asarray(got_p), np.asarray(want_p))
