@@ -23,6 +23,15 @@ import jax.numpy as jnp
 I32 = jnp.int32
 
 
+def _use_merge_sort() -> bool:
+    """Route full sorts through the hierarchical merge path
+    (ops.merge_sort) when KMH_MERGE_SORT=1 — the Pallas merge kernel on
+    TPU, the XLA bitonic rounds elsewhere."""
+    import os
+
+    return os.environ.get("KMH_MERGE_SORT", "0") == "1"
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def sort_windows(
     hi: jax.Array, lo: jax.Array, pos: jax.Array, valid: jax.Array, k: int
@@ -37,8 +46,30 @@ def sort_windows(
     position-ascending input order — the cheapest XLA sort form. k == 32
     occupies all 64 bits, so it takes a two-key path with the invalid flag
     packed beside ``hi`` and the position beside ``lo``.
+
+    Both cases are lexicographic (u64, u32) sorts, so KMH_MERGE_SORT=1
+    reroutes them through ops.merge_sort.sort_kmers_merge.
     """
     u64 = jnp.uint64
+    if hi.ndim == 1 and _use_merge_sort():
+        from . import merge_sort as ms
+
+        key = (hi.astype(u64) << jnp.uint64(32)) | lo.astype(u64)
+        key = jnp.where(valid, key, jnp.uint64(0xFFFFFFFFFFFFFFFF))
+        if k <= 31:
+            key_s, pos_s = ms.sort_kmers_merge(
+                key, pos.astype(jnp.uint32),
+                use_kernel=jax.default_backend() == "tpu",
+            )
+            s_hi = (key_s >> jnp.uint64(32)).astype(jnp.uint32)
+            return s_hi, key_s.astype(jnp.uint32), pos_s.astype(pos.dtype)
+        k2 = ((~valid).astype(jnp.uint32) << 31) | pos.astype(jnp.uint32)
+        key_s, k2_s = ms.sort_kmers_merge(
+            key, k2, use_kernel=jax.default_backend() == "tpu"
+        )
+        s_hi = (key_s >> jnp.uint64(32)).astype(jnp.uint32)
+        s_pos = (k2_s & jnp.uint32(0x7FFFFFFF)).astype(I32)
+        return s_hi, key_s.astype(jnp.uint32), s_pos
     if k <= 31:
         key = (hi.astype(u64) << jnp.uint64(32)) | lo.astype(u64)
         key = jnp.where(valid, key, jnp.uint64(0xFFFFFFFFFFFFFFFF))

@@ -87,3 +87,22 @@ def test_kernel_path_interpret_matches_lax_sort():
         want_k, want_p = jax.lax.sort((key, pay), num_keys=2)
         np.testing.assert_array_equal(np.asarray(got_k), np.asarray(want_k))
         np.testing.assert_array_equal(np.asarray(got_p), np.asarray(want_p))
+
+
+def test_sort_windows_merge_flag_parity(monkeypatch):
+    monkeypatch.setenv("KMH_MERGE_SORT", "1")
+    from kmer_hasher_tpu.ops import sort as srt
+
+    rng = np.random.default_rng(5)
+    n = 1 << 16
+    for k in (21, 31, 32):
+        hi = jnp.asarray(rng.integers(0, 2 ** 32, n, dtype=np.uint32))
+        lo = jnp.asarray(rng.integers(0, 2 ** 32, n, dtype=np.uint32))
+        pos = jnp.asarray(np.arange(1, n + 1, dtype=np.int32))
+        valid = jnp.asarray(rng.random(n) < 0.9)
+        got = srt.sort_windows.__wrapped__(hi, lo, pos, valid, k)
+        monkeypatch.setenv("KMH_MERGE_SORT", "0")
+        want = srt.sort_windows.__wrapped__(hi, lo, pos, valid, k)
+        monkeypatch.setenv("KMH_MERGE_SORT", "1")
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
