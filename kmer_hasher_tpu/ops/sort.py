@@ -80,14 +80,25 @@ def sort_windows(
         s_lo = key_s.astype(jnp.uint32)
         return s_hi, s_lo, pos_s
     # k == 32: the kmer needs all 64 bits, so invalid entries share the
-    # all-ones sentinel with genuine all-G kmers; a compact u32 second key
-    # (invalid flag above the 31-bit position) breaks that tie — valid
-    # entries first, positions ascending — keeping the comparator at
-    # u64+u32 instead of two u64s.
+    # all-ones sentinel with genuine all-G kmers; a u32 second key
+    # (invalid flag above the 31-bit position) breaks that tie. But a
+    # real all-G 32-mer needs 32 consecutive Gs — absent from virtually
+    # every input — and with no real all-ones key the single-key stable
+    # sort is already correct AND ~1.5x faster (measured 3.62 vs 5.34
+    # ns/elem, tools/chip_probes E5). Branch on a cheap reduction.
     key = (hi.astype(u64) << jnp.uint64(32)) | lo.astype(u64)
     k1 = jnp.where(valid, key, jnp.uint64(0xFFFFFFFFFFFFFFFF))
     k2 = ((~valid).astype(jnp.uint32) << 31) | pos.astype(jnp.uint32)
-    k1_s, k2_s = jax.lax.sort((k1, k2), dimension=-1, num_keys=2)
+    has_all_g = (valid & (key == jnp.uint64(0xFFFFFFFFFFFFFFFF))).any()
+
+    def fast_1key(k1, k2):
+        return jax.lax.sort((k1, k2), dimension=-1, is_stable=True,
+                            num_keys=1)
+
+    def safe_2key(k1, k2):
+        return jax.lax.sort((k1, k2), dimension=-1, num_keys=2)
+
+    k1_s, k2_s = jax.lax.cond(has_all_g, safe_2key, fast_1key, k1, k2)
     s_hi = (k1_s >> jnp.uint64(32)).astype(jnp.uint32)
     s_lo = k1_s.astype(jnp.uint32)
     s_pos = (k2_s & jnp.uint32(0x7FFFFFFF)).astype(I32)

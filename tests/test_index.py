@@ -93,3 +93,25 @@ def test_validation_errors():
         KmerIndex("ACGT", 33)
     with pytest.raises(ValueError):
         KmerIndex("ACGT", 4)
+
+
+def test_k32_all_g_kmers_with_invalid_tail():
+    # 32 consecutive Gs: real all-ones keys share the invalid sentinel and
+    # must still sort live-first with ascending positions (the safe 2-key
+    # branch of sort_windows)
+    import kmer_hasher_tpu.refsem as rs
+    from kmer_hasher_tpu.index import KmerIndex
+
+    seq = "G" * 40 + "A" + "G" * 35 + "N" + "ACGT" * 3
+    idx = KmerIndex(seq, 32)
+    oracle = rs.seq_to_hash(seq.encode(), 32)
+    tab = idx.tables(opt_flag=10)  # pos + count
+    want_total = sum(len(v) for v in oracle.pos.values())
+    assert tab["pos"].shape[0] == want_total
+    all_g = (1 << 64) - 1
+    got = {}
+    kmers_sorted = sorted(oracle.pos)
+    for i, p in tab["pos"]:
+        got.setdefault(kmers_sorted[i - 1], []).append(int(p))
+    assert got == oracle.pos
+    assert len(oracle.pos[all_g]) == 9 + 4  # sanity: the degenerate case
