@@ -231,16 +231,13 @@ def _fused_rp_batch(seq, qual, lengths, has_qual, k: int, counts_n: int,
         flat_hi, flat_lo, flat_ok = (chi.reshape(-1), clo.reshape(-1),
                                      emit.reshape(-1))
     onehot = jnp.zeros(counts_n, jnp.uint32).at[source].set(1)
-    empty = jnp.zeros(0, jnp.uint32)
-    u_hi, u_lo, cnt, n_u = cs._merge(
-        empty, empty, jnp.zeros((0, counts_n), jnp.uint32),
-        jnp.asarray(0, jnp.int32), flat_hi, flat_lo, flat_ok, onehot, k,
+    r_hi, r_lo, r_cnt, n_scalar = cs._build_run_direct(
+        flat_hi, flat_lo, flat_ok, onehot, k
     )
-    run = cs._run_from_merge(u_hi, u_lo, cnt, n_u)
-    n_obs = onehot.astype(jnp.int64) * flat_ok.sum(dtype=jnp.int64)
+    n_obs = onehot.astype(jnp.int64) * n_scalar
     if flags is None:
         flags = jnp.zeros(seq.shape[0], bool)
-    return run[0], run[1], run[2], n_obs, flags
+    return r_hi, r_lo, r_cnt, n_obs, flags
 
 
 def count_kmers(seqs: Sequence[str], k: int, source: int = 0,
@@ -314,14 +311,10 @@ def _fused_threshold_batch(seq, qual, lengths, has_qual, k: int,
     flat_lo = jnp.concatenate([p[1].reshape(-1) for p in parts])
     flat_ok = jnp.concatenate([p[2].reshape(-1) for p in parts])
     onehot = jnp.zeros(counts_n, jnp.uint32).at[0].set(1)
-    empty = jnp.zeros(0, jnp.uint32)
-    u_hi, u_lo, cnt, n_u = cs._merge(
-        empty, empty, jnp.zeros((0, counts_n), jnp.uint32),
-        jnp.asarray(0, jnp.int32), flat_hi, flat_lo, flat_ok, onehot, k,
+    r_hi, r_lo, r_cnt, n_scalar = cs._build_run_direct(
+        flat_hi, flat_lo, flat_ok, onehot, k
     )
-    run = cs._run_from_merge(u_hi, u_lo, cnt, n_u)
-    n_obs = onehot.astype(jnp.int64) * flat_ok.sum(dtype=jnp.int64)
-    return run[0], run[1], run[2], n_obs
+    return r_hi, r_lo, r_cnt, onehot.astype(jnp.int64) * n_scalar
 
 
 def _count_fastq_threshold(path: str, k: int, min_q: int,

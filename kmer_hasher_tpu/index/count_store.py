@@ -86,6 +86,34 @@ def _merge(s_hi, s_lo, s_cnt, n_store, b_hi, b_lo, b_valid, b_src_onehot, k: int
 _DEAD = jnp.uint32(0xFFFFFFFF)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _build_run_direct(hi, lo, valid, onehot, k: int):
+    """Fresh batch -> run, gather-free: one stable single-key sort with
+    the validity as payload, segment counts scatter-added onto each
+    segment's first row, dead rows keyed all-ones. A mixed all-G/dead
+    group (k=32) stays live with the correct count because liveness in
+    run-form is 'count row sum > 0', not a position prefix."""
+    N = hi.shape[0]
+    key = (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(jnp.uint64)
+    key = jnp.where(valid, key, jnp.uint64(0xFFFFFFFFFFFFFFFF))
+    key_s, val_s = jax.lax.sort(
+        (key, valid.astype(U32)), dimension=-1, is_stable=False, num_keys=1
+    )
+    idx = jnp.arange(N, dtype=I32)
+    starts = jnp.zeros(N, bool).at[0].set(True) | (
+        key_s != jnp.roll(key_s, 1)
+    )
+    start_row = jax.lax.cummax(jnp.where(starts, idx, -1))
+    seg_count = jnp.zeros(N, U32).at[start_row].add(val_s, mode="drop")
+    live = starts & (seg_count > 0)
+    run_hi = jnp.where(live, (key_s >> jnp.uint64(32)).astype(U32), _DEAD)
+    run_lo = jnp.where(live, key_s.astype(U32), _DEAD)
+    run_cnt = (onehot[None, :] * seg_count[:, None]
+               * live[:, None].astype(U32))
+    n_obs = val_s.sum(dtype=jnp.int64)
+    return run_hi, run_lo, run_cnt, n_obs
+
+
 @jax.jit
 def _run_from_merge(u_hi, u_lo, cnt, n_unique):
     """Convert _merge output (compact live prefix) into run form."""
@@ -342,12 +370,10 @@ class CountStore:
                 lo = jnp.pad(lo, (0, pad))
                 valid = jnp.pad(valid, (0, pad))
             onehot = jnp.zeros(self.counts_n, U32).at[source].set(1)
-            empty = jnp.zeros(0, U32)
-            u_hi, u_lo, cnt, n_u = _merge(
-                empty, empty, jnp.zeros((0, self.counts_n), U32),
-                jnp.asarray(0, I32), hi, lo, valid, onehot, self.k,
+            r_hi, r_lo, r_cnt, _n = _build_run_direct(
+                hi, lo, valid, onehot, self.k
             )
-            self._runs.append(_run_from_merge(u_hi, u_lo, cnt, n_u))
+            self._runs.append((r_hi, r_lo, r_cnt))
         self._compact_tiers()
 
     def _compact_tiers(self) -> None:

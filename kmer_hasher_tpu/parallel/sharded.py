@@ -660,14 +660,10 @@ class ShardedCountStore:
             r_val = jax.lax.all_to_all(s_val, axis, 0, 0).reshape(-1)
             from ..index import count_store as cs
 
-            empty = jnp.zeros(0, U32)
-            u_hi, u_lo, cnt, n_u = cs._merge(
-                empty, empty, jnp.zeros((0, self.counts_n), U32),
-                jnp.asarray(0, I32), r_hi, r_lo, r_val, onehot, k,
-            )
-            run = cs._run_from_merge(u_hi, u_lo, cnt, n_u)
+            rh, rl, rc, _n = cs._build_run_direct(r_hi, r_lo, r_val,
+                                                  onehot, k)
             ovf_t = jax.lax.psum(ovf.astype(I32), axis)
-            return run[0][None], run[1][None], run[2][None], ovf_t[None]
+            return rh[None], rl[None], rc[None], ovf_t[None]
 
         shard_fn = jax.jit(
             jax.shard_map(
