@@ -187,6 +187,18 @@ def _fused_rp_batch(seq, qual, lengths, has_qual, k: int, counts_n: int,
             seq, qual, lens_q, k, min_ll_f, out_layout="LB"
         )
         hq_bcast = has_qual[None, :]
+    elif fsm == "pallas_hybrid":
+        # hybrid on TPU: the Pallas FSM kernel computes the borderline
+        # flag in-kernel (ROADMAP §2); flagged reads contribute nothing
+        # here and are re-counted exactly by the caller's backlog sweep
+        from .ops.pallas_scan import ll_scan_pallas
+
+        emit, fhi, flo, rhi, rlo, flags = ll_scan_pallas(
+            seq, qual, lens_q, k, min_ll_f, out_layout="LB",
+            return_flags=True,
+        )
+        emit = emit & ~flags[None, :]
+        hq_bcast = has_qual[None, :]
     elif fsm == "hybrid":
         # fast f32 scan with borderline flags; flagged reads contribute
         # NOTHING here (their windows are re-counted exactly by the
@@ -206,7 +218,7 @@ def _fused_rp_batch(seq, qual, lengths, has_qual, k: int, counts_n: int,
     if not with_noq:
         flat_hi, flat_lo = chi.reshape(-1), clo.reshape(-1)
         flat_ok = (emit & hq_bcast).reshape(-1)
-    elif fsm == "pallas":
+    elif fsm in ("pallas", "pallas_hybrid"):
         # pallas outputs are [L, B]; encoder rows are [B, L] — keep both,
         # flatten each and concatenate (multiset equality is all we need)
         no_q = (~has_qual) & (lengths > k)
@@ -436,7 +448,11 @@ def count_kmers_fq_sh_rp(path: str, k: int, prefix_bits: int = 20,
     import os
 
     if exact_ll == "hybrid":
-        fsm = "hybrid"
+        if (jax.default_backend() == "tpu"
+                and os.environ.get("KMH_PALLAS", "1") != "0"):
+            fsm = "pallas_hybrid"  # in-kernel borderline flag
+        else:
+            fsm = "hybrid"
     elif exact_ll:
         fsm = "exact"
     elif (jax.default_backend() == "tpu"
@@ -479,7 +495,7 @@ def count_kmers_fq_sh_rp(path: str, k: int, prefix_bits: int = 20,
             min_ll_f, fsm, with_noq,
         )
         store.add_run(run_hi, run_lo, run_cnt, n_obs)
-        if fsm == "hybrid":
+        if fsm in ("hybrid", "pallas_hybrid"):
             backlog.append((seq, qual, lengths, flags))
             if len(backlog) >= sweep_every:
                 sweep_backlog()

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .scan_iter import analytic_ll_f32
+from .scan_iter import _delta_max, analytic_ll_f32
 
 U32 = jnp.uint32
 F32 = jnp.float32
@@ -36,10 +36,16 @@ _LANES = 128
 _PB = 16  # positions per grid step (DMA amortisation)
 
 
-def _fsm_step(state, c, llv, llnext, on, *, k, min_ll_v, shp):
+def _fsm_step(state, c, llv, llnext, on, *, k, min_ll_v, shp,
+              near_consts=None):
     """One FSM transition over an (8, 128) register set; returns
-    (state', emit). Mirrors ops.scan_iter.ll_scan's step exactly."""
-    rolling, j, fhi, flo, rhi, rlo, acc, emitC = state
+    (state', emit). Mirrors ops.scan_iter.ll_scan's step exactly.
+
+    ``near_consts`` (hybrid mode) = (abs_m, delta, coeff) floats: flag the
+    read when any comparison value falls within the conservative f32 error
+    bound of min_ll — the same ``near`` predicate as
+    ops.scan_iter.ll_scan(return_flags=True)."""
+    rolling, j, fhi, flo, rhi, rlo, acc, emitC, border = state
     zf = jnp.zeros(shp, F32)
     zu = jnp.zeros(shp, U32)
     zi = jnp.zeros(shp, I32)
@@ -54,9 +60,24 @@ def _fsm_step(state, c, llv, llnext, on, *, k, min_ll_v, shp):
     roll_fail = rolling & (v < min_ll_v)
 
     building = ~rolling
-    ok1 = building & ((acc + llv) > min_ll_v)
+    bv = acc + llv
+    ok1 = building & (bv > min_ll_v)
     ok2 = building & ~ok1 & (llv > min_ll_v)
     b_ok = ok1 | ok2
+    if near_consts is not None:
+        abs_m, delta, coeff = near_consts
+
+        def near(val, a):
+            scale = (jnp.abs(val) + jnp.abs(a)
+                     + F32(2.0 * abs_m) + F32(4.0))
+            bound = F32(delta) + F32(coeff) * scale
+            return jnp.abs(val - min_ll_v) <= bound
+
+        border = border | (
+            on & ((rolling & near(v, emitC))
+                  | (building & (near(bv, acc)
+                                 | (~ok1 & near(llv, zf)))))
+        )
     j_base = jnp.where(ok1, j, zi)
     acc_base = jnp.where(ok1, acc, zf)
 
@@ -95,12 +116,20 @@ def _fsm_step(state, c, llv, llnext, on, *, k, min_ll_v, shp):
     acc_new = jnp.where(on, jnp.where(roll_fail, zf, acc_new), acc)
     emitC = jnp.where(completed, acc_new - llv + llnext,
                       jnp.where(roll_fail, zf, emitC))
-    return (rolling_new, j_new, fhi, flo, rhi, rlo, acc_new, emitC), emit
+    return (rolling_new, j_new, fhi, flo, rhi, rlo, acc_new, emitC,
+            border), emit
 
 
-def _kernel(codes_ref, ll_ref, llnext_ref, on_ref, emit_ref, fhi_ref,
-            flo_ref, rhi_ref, rlo_ref, rolling_s, j_s, fhi_s, flo_s, rhi_s,
-            rlo_s, acc_s, emitC_s, *, k: int, min_ll: float, pb: int):
+def _kernel(*refs, k: int, min_ll: float, pb: int, near_consts):
+    if near_consts is not None:
+        (codes_ref, ll_ref, llnext_ref, on_ref, emit_ref, fhi_ref,
+         flo_ref, rhi_ref, rlo_ref, flag_ref, rolling_s, j_s, fhi_s,
+         flo_s, rhi_s, rlo_s, acc_s, emitC_s, border_s) = refs
+    else:
+        (codes_ref, ll_ref, llnext_ref, on_ref, emit_ref, fhi_ref,
+         flo_ref, rhi_ref, rlo_ref, rolling_s, j_s, fhi_s, flo_s, rhi_s,
+         rlo_s, acc_s, emitC_s) = refs
+        flag_ref = border_s = None
     shp = (_SUB, _LANES)
     zf = jnp.zeros(shp, F32)
     zu = jnp.zeros(shp, U32)
@@ -118,15 +147,19 @@ def _kernel(codes_ref, ll_ref, llnext_ref, on_ref, emit_ref, fhi_ref,
         rlo_s[...] = zu
         acc_s[...] = zf
         emitC_s[...] = zf
+        if border_s is not None:
+            border_s[...] = zu
 
     state = (
         rolling_s[...] != 0, j_s[...], fhi_s[...], flo_s[...], rhi_s[...],
         rlo_s[...], acc_s[...], emitC_s[...],
+        (border_s[...] != 0) if border_s is not None else None,
     )
     for r in range(pb):  # statically unrolled register loop
         state, emit = _fsm_step(
             state, codes_ref[r], ll_ref[r], llnext_ref[r],
             on_ref[r] != 0, k=k, min_ll_v=min_ll_v, shp=shp,
+            near_consts=near_consts,
         )
         emit_ref[r] = jnp.where(emit, jnp.ones(shp, U32), zu)
         fhi_ref[r] = state[2]
@@ -141,15 +174,24 @@ def _kernel(codes_ref, ll_ref, llnext_ref, on_ref, emit_ref, fhi_ref,
     rlo_s[...] = state[5]
     acc_s[...] = state[6]
     emitC_s[...] = state[7]
+    if border_s is not None:
+        b = jnp.where(state[8], jnp.ones(shp, U32), zu)
+        border_s[...] = b
+        # the flag block's index map repeats over the (minor) position
+        # grid axis, so it stays resident in VMEM; the final block's
+        # write is the per-read flag
+        flag_ref[...] = b
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "min_ll", "out_layout", "interpret", "pb"),
+    static_argnames=("k", "min_ll", "out_layout", "interpret", "pb",
+                     "return_flags"),
 )
 def ll_scan_pallas(
     ascii_u8: jax.Array, qual_u8: jax.Array, lengths: jax.Array, k: int,
     min_ll, out_layout: str = "BL", interpret: bool = False, pb: int = _PB,
+    return_flags: bool = False,
 ) -> Tuple[jax.Array, ...]:
     """Drop-in for ``ll_scan(..., precision='fast')``: returns
     (emit, fhi, flo, rhi, rlo).
@@ -158,6 +200,10 @@ def ll_scan_pallas(
     transposes and returns [Lp, Bp] device arrays (order-insensitive
     consumers like counting use this — transposes are a large fraction of
     the wall time on TPU).
+
+    return_flags: additionally return the per-read borderline flag (bool,
+    [B] for "BL" / [Bp] for "LB") — same conservative f32 error-bound
+    predicate as ``ll_scan(..., return_flags=True)`` (hybrid mode).
     """
     B, L = ascii_u8.shape
     Bp = -(-B // TILE) * TILE
@@ -189,29 +235,52 @@ def ll_scan_pallas(
     # i32 under jax_enable_x64
     spec = pl.BlockSpec((pb, _SUB, _LANES), lambda i, p: (p, i, i * 0),
                         memory_space=pltpu.VMEM)
-    emit, fhi, flo, rhi, rlo = pl.pallas_call(
-        functools.partial(_kernel, k=k, min_ll=float(min_ll), pb=pb),
+    out_specs = [spec] * 5
+    scratch = [
+        pltpu.VMEM((_SUB, _LANES), U32),   # rolling
+        pltpu.VMEM((_SUB, _LANES), I32),   # j
+        *[pltpu.VMEM((_SUB, _LANES), U32)] * 4,  # fhi/flo/rhi/rlo
+        *[pltpu.VMEM((_SUB, _LANES), F32)] * 2,  # acc/emitC
+    ]
+    near_consts = None
+    if return_flags:
+        near_consts = (
+            abs(float(min_ll)),
+            (k + 1) * _delta_max(),
+            (2 * k + 8) * 2.0 ** -24,
+        )
+        out_shapes.append(
+            jax.ShapeDtypeStruct((G * _SUB, _LANES), U32)
+        )
+        out_specs.append(
+            pl.BlockSpec((_SUB, _LANES), lambda i, p: (i, i * 0),
+                         memory_space=pltpu.VMEM)
+        )
+        scratch.append(pltpu.VMEM((_SUB, _LANES), U32))  # border
+    outs = pl.pallas_call(
+        functools.partial(_kernel, k=k, min_ll=float(min_ll), pb=pb,
+                          near_consts=near_consts),
         grid=(G, Lp // pb),
         in_specs=[spec] * 4,
-        out_specs=[spec] * 5,
+        out_specs=out_specs,
         out_shape=out_shapes,
-        scratch_shapes=[
-            pltpu.VMEM((_SUB, _LANES), U32),   # rolling
-            pltpu.VMEM((_SUB, _LANES), I32),   # j
-            *[pltpu.VMEM((_SUB, _LANES), U32)] * 4,  # fhi/flo/rhi/rlo
-            *[pltpu.VMEM((_SUB, _LANES), F32)] * 2,  # acc/emitC
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(to3d(codes), to3d(ll), to3d(ll_next), to3d(row_on))
+    emit, fhi, flo, rhi, rlo = outs[:5]
+    flag = (outs[5].reshape(-1) != 0) if return_flags else None
 
     if out_layout == "LB":
         def flat(a):
             return a.reshape(Lp, Bp)
 
-        return ((flat(emit) != 0), flat(fhi), flat(flo), flat(rhi),
-                flat(rlo))
+        res = ((flat(emit) != 0), flat(fhi), flat(flo), flat(rhi),
+               flat(rlo))
+        return res + (flag,) if return_flags else res
 
     def back(a):  # [Lp, G*8, 128] -> [B, L]
         return a.reshape(Lp, Bp).T[:B, :L]
 
-    return ((back(emit) != 0), back(fhi), back(flo), back(rhi), back(rlo))
+    res = ((back(emit) != 0), back(fhi), back(flo), back(rhi),
+           back(rlo))
+    return res + (flag[:B],) if return_flags else res

@@ -43,3 +43,18 @@ def test_pallas_fsm_matches_scan_fast(k, min_q):
 def test_pallas_fsm_real_fastq(test_fastq_gz):
     reads = [(s, q) for (_n, s, q) in test_fastq_gz[:48]]
     compare(reads, 21, 20)
+
+
+@pytest.mark.parametrize("k,min_q", [(21, 20), (13, 30)])
+def test_pallas_fsm_borderline_flags(k, min_q):
+    """In-kernel borderline flag == ll_scan(return_flags=True)'s flag
+    (same comparisons, same f32 bound arithmetic)."""
+    reads = random_reads(24, max(2, k - 2), 70, seed=100 + k)
+    pr = pad_records([("r%d" % i, s, q) for i, (s, q) in enumerate(reads)])
+    min_ll = float(Q_TO_LL[33 + min_q])
+    want = si.ll_scan(pr.seq, pr.qual, pr.lengths, k, jnp.asarray(min_ll),
+                      precision="fast", return_flags=True)
+    got = ll_scan_pallas(pr.seq, pr.qual, pr.lengths, k, min_ll,
+                         interpret=True, pb=2, return_flags=True)
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
+    np.testing.assert_array_equal(np.asarray(got[5]), np.asarray(want[5]))
