@@ -71,9 +71,14 @@ def cmd_count(a):
     from .utils import checkpoint as ckpt
     from .utils.metrics import most_common_kmer
 
+    mesh = None
+    if a.mesh:
+        from .parallel.mesh import make_mesh
+
+        mesh = make_mesh(a.mesh)
     store = None
     if a.resume:
-        store = ckpt.load_count_store(a.resume)
+        store = ckpt.load_count_store(a.resume, mesh=mesh)
     for i, path in enumerate(a.files):
         source = a.source if a.source is not None else min(
             i, a.source_n - 1
@@ -83,13 +88,17 @@ def cmd_count(a):
         store = count_kmers_fq_sh_rp(
             path, k=a.k, min_q=a.min_q, source_n=a.source_n, source=source,
             max_reads=a.max_reads, store=store,
-            report_every=a.report_every, exact_ll=exact_ll,
+            report_every=a.report_every, exact_ll=exact_ll, mesh=mesh,
         )
     ckpt.save_count_store(store, a.out)
-    mc = most_common_kmer(store)
-    print(json.dumps({"distinct": store.n_unique,
-                      "total_added": store.total_added.tolist(),
-                      "most_common": mc, "out": a.out}))
+    info = {"distinct": int(np.asarray(store.n_unique).sum()),
+            "total_added": np.asarray(store.total_added).tolist(),
+            "out": a.out}
+    if mesh is None:
+        info["most_common"] = most_common_kmer(store)
+    else:
+        info["shards"] = np.asarray(store.n_unique).tolist()
+    print(json.dumps(info))
 
 
 def cmd_spectrum(a):
@@ -149,6 +158,9 @@ def main(argv=None):
                    default="exact",
                    help="likelihood filter: exact f64 (bit-parity), fast "
                         "f32, or hybrid (bitwise-exact at ~fast speed)")
+    s.add_argument("--mesh", type=int, default=None,
+                   help="count multi-chip over N devices (sharded store; "
+                        "the reference's thread_n, lifted to chips)")
     s.add_argument("--resume", default=None,
                    help="existing store to keep accumulating into")
     s.add_argument("--report-every", type=int, default=None)

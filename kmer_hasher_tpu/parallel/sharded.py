@@ -595,6 +595,7 @@ class ShardedCountStore:
         self.u_lo = self._global_put(np.zeros((D, cap0), np.uint32))
         self.cnt = self._global_put(np.zeros((D, cap0, counts_n), np.uint32))
         self._n_unique = np.zeros(D, np.int64)
+        self.total_added = np.zeros(counts_n, np.int64)
         # per-shard LSM runs: list of (hi [D,C], lo [D,C], cnt [D,C,n]);
         # tier-merged with a vmapped _merge_runs, folded at reads
         self._runs = []
@@ -660,23 +661,33 @@ class ShardedCountStore:
             r_val = jax.lax.all_to_all(s_val, axis, 0, 0).reshape(-1)
             from ..index import count_store as cs
 
-            rh, rl, rc, _n = cs._build_run_direct(r_hi, r_lo, r_val,
-                                                  onehot, k)
-            ovf_t = jax.lax.psum(ovf.astype(I32), axis)
-            return rh[None], rl[None], rc[None], ovf_t[None]
+            rh, rl, rc, n_obs = cs._build_run_direct(r_hi, r_lo, r_val,
+                                                     onehot, k)
+            # one replicated stats vector rides the (already required)
+            # overflow readback: [per-source observations..., overflow]
+            stats = jax.lax.psum(
+                jnp.concatenate([
+                    (onehot.astype(jnp.int64) * n_obs),
+                    ovf.astype(jnp.int64)[None],
+                ]), axis,
+            )
+            return rh[None], rl[None], rc[None], stats
 
         shard_fn = jax.jit(
             jax.shard_map(
                 fn, mesh=self.mesh,
                 in_specs=(P(axis), P(axis), P(axis)),
-                out_specs=(P(axis),) * 4,
+                out_specs=(P(axis), P(axis), P(axis), P()),
             )
         )
-        r_hi, r_lo, r_cnt, ovf = shard_fn(hi, lo, valid)
-        if int(_host_read(ovf)[0]) > 0:
+        r_hi, r_lo, r_cnt, stats = shard_fn(hi, lo, valid)
+        # stats is psum-replicated: every process reads its local copy
+        stats = np.asarray(stats.addressable_data(0))
+        if int(stats[-1]) > 0:
             raise RuntimeError(
                 "routing capacity overflow; raise ShardedCountStore capacity"
             )
+        self.total_added += stats[:-1].astype(np.int64)
         self._runs.append((r_hi, r_lo, r_cnt))
         self._compact_tiers()
 

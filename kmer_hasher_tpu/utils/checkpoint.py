@@ -24,7 +24,11 @@ _MAGIC = "kmer_hasher_tpu"
 _VERSION = 1
 
 
-def save_count_store(store: CountStore, path) -> None:
+def save_count_store(store, path) -> None:
+    """Persist a CountStore or a ShardedCountStore (kind recorded in the
+    meta blob; ``load_count_store`` restores either)."""
+    if hasattr(store, "mesh"):  # ShardedCountStore (import-cycle-free)
+        return _save_sharded_count_store(store, path)
     store.flush()
     meta = {
         "magic": _MAGIC, "version": _VERSION, "kind": "count_store",
@@ -41,9 +45,87 @@ def save_count_store(store: CountStore, path) -> None:
     )
 
 
-def load_count_store(path) -> CountStore:
+def _save_sharded_count_store(store, path) -> None:
+    from ..parallel.sharded import _host_read
+
+    n = store.n_unique  # folds all pending runs first
+    D = store.n_shards
+    u_hi = _host_read(store.u_hi)
+    u_lo = _host_read(store.u_lo)
+    cnt = _host_read(store.cnt)
+    meta = {
+        "magic": _MAGIC, "version": _VERSION, "kind": "sharded_count_store",
+        "k": store.k, "counts_n": store.counts_n, "n_shards": D,
+        "capacity": store.capacity, "n_unique": [int(v) for v in n],
+    }
+    np.savez_compressed(
+        path, meta=json.dumps(meta),
+        u_hi=np.concatenate([u_hi[d, : n[d]] for d in range(D)]),
+        u_lo=np.concatenate([u_lo[d, : n[d]] for d in range(D)]),
+        cnt=np.concatenate([cnt[d, : n[d]] for d in range(D)]),
+        total_added=store.total_added,
+    )
+
+
+def _load_sharded_count_store(z, meta, mesh):
+    """Restore shard tables. With ``mesh`` (same size as at save) the
+    result is a ShardedCountStore; without, the disjoint shard tables are
+    fed as LSM runs into a single-chip CountStore."""
+    import jax.numpy as jnp
+
+    D = int(meta["n_shards"])
+    n = np.asarray(meta["n_unique"], np.int64)
+    offs = np.concatenate([[0], np.cumsum(n)]).astype(np.int64)
+    counts_n = int(meta["counts_n"])
+    if mesh is None:
+        store = CountStore(int(meta["k"]), counts_n=counts_n)
+        for d in range(D):
+            nd = int(n[d])
+            if not nd:
+                continue
+            cap = 1 << max(6, (nd - 1).bit_length())
+            hi = np.full(cap, 0xFFFFFFFF, np.uint32)  # dead-row key
+            lo = np.full(cap, 0xFFFFFFFF, np.uint32)
+            cnt = np.zeros((cap, counts_n), np.uint32)
+            hi[:nd] = z["u_hi"][offs[d]: offs[d + 1]]
+            lo[:nd] = z["u_lo"][offs[d]: offs[d + 1]]
+            cnt[:nd] = z["cnt"][offs[d]: offs[d + 1]]
+            store.add_run(jnp.asarray(hi), jnp.asarray(lo),
+                          jnp.asarray(cnt), np.zeros(counts_n, np.int64))
+        store.total_added = z["total_added"].copy()
+        return store.flush()
+    from ..parallel.sharded import ShardedCountStore
+
+    if mesh.size != D:
+        raise ValueError(
+            f"store was saved with {D} shards; mesh has {mesh.size}"
+        )
+    store = ShardedCountStore(int(meta["k"]), mesh, counts_n=counts_n,
+                              capacity=int(meta["capacity"]))
+    cap = 1 << max(6, int(max(n.max(), 1) - 1).bit_length())
+    u_hi = np.zeros((D, cap), np.uint32)
+    u_lo = np.zeros((D, cap), np.uint32)
+    cnt = np.zeros((D, cap, counts_n), np.uint32)
+    for d in range(D):
+        u_hi[d, : n[d]] = z["u_hi"][offs[d]: offs[d + 1]]
+        u_lo[d, : n[d]] = z["u_lo"][offs[d]: offs[d + 1]]
+        cnt[d, : n[d]] = z["cnt"][offs[d]: offs[d + 1]]
+    store.u_hi = store._global_put(u_hi)
+    store.u_lo = store._global_put(u_lo)
+    store.cnt = store._global_put(cnt)
+    store.n_unique = n
+    store.total_added = z["total_added"].copy()
+    return store
+
+
+def load_count_store(path, mesh=None):
+    """Load a saved store. Plain stores ignore ``mesh``; sharded stores
+    restore onto ``mesh`` (same shard count) or, with ``mesh=None``, fold
+    into a single-chip CountStore."""
     with np.load(path, allow_pickle=False) as z:
         meta = json.loads(str(z["meta"]))
+        if meta.get("kind") == "sharded_count_store":
+            return _load_sharded_count_store(z, meta, mesh)
         if meta.get("magic") != _MAGIC or meta.get("kind") != "count_store":
             raise ValueError(f"{path} is not a kmer_hasher_tpu count store")
         store = CountStore(
