@@ -58,7 +58,8 @@ def _pad_pow2(records: List[Record]):
 
 
 def _iter_padded_batches(path: str, max_reads: Optional[int],
-                         batch_rows: int = 4096, prefetch: int = 2):
+                         batch_rows: Optional[int] = None,
+                         prefetch: int = 2):
     """Yield device-ready (seq, qual, lengths, has_qual) batches, padded to
     power-of-two shapes.
 
@@ -70,6 +71,13 @@ def _iter_padded_batches(path: str, max_reads: Optional[int],
     """
     if max_reads is not None and max_reads < 0:
         max_reads = None
+    if batch_rows is None:
+        # bigger batches amortise the tunnel's ~25-30 ms per-dispatch host
+        # cost over more reads (the counting loop is dispatch-bound once
+        # the store merges are LSM-tiered); KMH_BATCH_ROWS tunes it
+        import os
+
+        batch_rows = int(os.environ.get("KMH_BATCH_ROWS", "16384"))
     from .io import native
 
     if native.available():
@@ -129,7 +137,12 @@ def _pad_from_raw(seq_all, qual_all, offsets, qpres, i: int, j: int,
     """Vectorised batch padding from contiguous record buffers."""
     lens = (offsets[i + 1:j + 1] - offsets[i:j]).astype(np.int64)
     B = j - i
-    Bp = 1 << max(3, (batch_rows - 1).bit_length())
+    # Row bucket scales with the ACTUAL batch (pow-2), capped at the nominal
+    # batch_rows bucket: full batches all share one program; a small file or
+    # the final partial batch gets a proportionally small program instead of
+    # paying the full 16K-row pad (keeps CPU tests fast).
+    Bp = 1 << max(3, (max(B, 1) - 1).bit_length())
+    Bp = min(Bp, 1 << max(3, (batch_rows - 1).bit_length()))
     Lmax = int(lens.max()) if B else 1
     Lp = 1 << max(5, (Lmax - 1).bit_length())
     seq = np.full((Bp, Lp), ord("N"), np.uint8)
