@@ -219,12 +219,35 @@ def window_valid(
     return valid
 
 
+def drop_trailing_mask(ascii_u8: jax.Array, k: int, true_len) -> jax.Array:
+    """False exactly at window starts the trailing-exact-k quirk drops
+    (see :func:`window_valid`); True elsewhere. Works for 1-D sequences
+    (scalar true_len) and (B, L) batches (vector true_len). Used by the
+    Pallas encode branches, whose kernels skip the quirk."""
+    L = ascii_u8.shape[-1]
+    tl = jnp.asarray(true_len, jnp.int32)
+    idx = jnp.arange(L, dtype=jnp.int32)
+    a = jnp.clip(tl - k, 0, L - 1)
+    if ascii_u8.ndim == 1:
+        prev = ascii_u8[jnp.clip(a - 1, 0, L - 1)]
+    else:
+        prev = jnp.take_along_axis(
+            ascii_u8, jnp.clip(a - 1, 0, L - 1)[..., None], axis=-1
+        )[..., 0]
+        idx = idx[None, :]
+        tl = tl[..., None]
+        a = a[..., None]
+        prev = prev[..., None]
+    prev_is_n = (a == 0) | ((prev | jnp.uint8(0x20)) == jnp.uint8(ord("n")))
+    return ~((idx == tl - k) & prev_is_n)
+
+
 def _use_pallas(ascii_u8) -> bool:
     import os
 
     return (
         os.environ.get("KMH_PALLAS", "1") != "0"
-        and ascii_u8.ndim == 1
+        and ascii_u8.ndim in (1, 2)
         and jax.default_backend() == "tpu"
     )
 
@@ -242,22 +265,20 @@ def encode_stream(
     (ops.pallas_encode, bit-identical); batched inputs and other backends
     take the XLA doubling graph. KMH_PALLAS=0 forces the XLA path.
     """
-    if _use_pallas(ascii_u8):
+    if _use_pallas(ascii_u8) and ascii_u8.ndim == 2:
+        from .pallas_encode import pallas_encode_batch
+
+        hi, lo, valid = pallas_encode_batch(ascii_u8, k, true_len)
+        if drop_trailing_exact_k:
+            valid &= drop_trailing_mask(ascii_u8, k, true_len)
+    elif _use_pallas(ascii_u8):
         from .pallas_encode import pallas_encode
 
         hi, lo, valid = pallas_encode(ascii_u8, k, true_len)
         if drop_trailing_exact_k:
             # only the window ending exactly at true_len can be dropped,
             # and only when it starts a fresh region (preceded by N/BOS)
-            L = ascii_u8.shape[-1]
-            tl = jnp.asarray(true_len, jnp.int32)
-            a = jnp.clip(tl - k, 0, L - 1)
-            prev = ascii_u8[jnp.clip(a - 1, 0, L - 1)]
-            prev_is_n = (a == 0) | ((prev | jnp.uint8(0x20))
-                                    == jnp.uint8(ord("n")))
-            valid &= ~(
-                (jnp.arange(L, dtype=jnp.int32) == a) & prev_is_n
-            )
+            valid &= drop_trailing_mask(ascii_u8, k, true_len)
     else:
         codes = base_codes(ascii_u8)
         hi, lo = encode_windows(codes, k)

@@ -106,16 +106,10 @@ def _kernel(seq_hbm, hi_ref, lo_ref, nwin_ref, scratch, sem, *, k: int,
     nwin_ref[...] = has_n
 
 
-@functools.partial(jax.jit, static_argnames=("k", "interpret"))
-def pallas_encode(ascii_u8: jax.Array, k: int, true_len,
-                  interpret: bool = False
-                  ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """(hi, lo, valid) over window starts of a 1-D sequence.
-
-    The input is padded to rows of 128 internally; callers pass the true
-    length for range/drop masking (same contract as encode_stream without
-    the trailing-quirk flag).
-    """
+def _encode_raw(ascii_u8: jax.Array, k: int, interpret: bool
+                ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Run the kernel over a flat byte stream: (hi, lo, n_in_window) per
+    position, each of length L. No range masking — callers own validity."""
     L = ascii_u8.shape[0]
     R_BLK = 256  # 32K elements per block; VMEM use ~ 6 buffers * 132KB
     rows = -(-L // LANES)
@@ -143,10 +137,46 @@ def pallas_encode(ascii_u8: jax.Array, k: int, true_len,
         ],
         interpret=interpret,
     )(seq2)
-    hi = hi.reshape(-1)[:L]
-    lo = lo.reshape(-1)[:L]
-    nwin = nwin.reshape(-1)[:L]
+    return hi.reshape(-1)[:L], lo.reshape(-1)[:L], nwin.reshape(-1)[:L]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def pallas_encode(ascii_u8: jax.Array, k: int, true_len,
+                  interpret: bool = False
+                  ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """(hi, lo, valid) over window starts of a 1-D sequence.
+
+    The input is padded to rows of 128 internally; callers pass the true
+    length for range/drop masking (same contract as encode_stream without
+    the trailing-quirk flag).
+    """
+    L = ascii_u8.shape[0]
+    hi, lo, nwin = _encode_raw(ascii_u8, k, interpret)
     idx = jnp.arange(L, dtype=jnp.int32)
     tl = jnp.asarray(true_len, jnp.int32)
     valid = (nwin == 0) & (idx + k <= tl)
+    return hi, lo, valid
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def pallas_encode_batch(seq2d: jax.Array, k: int, lengths,
+                        interpret: bool = False
+                        ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Batched (B, L) variant: one flat kernel pass over the whole batch.
+
+    Rows are independent reads; the kernel sees them as one concatenated
+    stream. A window that crosses from row b into row b+1 starts at column
+    c > L - k, and since lengths[b] <= L the per-row range mask
+    ``c + k <= lengths[b]`` always kills it — so cross-row contamination of
+    (hi, lo) never reaches a valid output, and no per-row halo or N fence
+    is needed.
+    """
+    B, L = seq2d.shape
+    hi, lo, nwin = _encode_raw(seq2d.reshape(-1), k, interpret)
+    hi = hi.reshape(B, L)
+    lo = lo.reshape(B, L)
+    no_n = (nwin == 0).reshape(B, L)
+    idx = jnp.arange(L, dtype=jnp.int32)
+    tl = jnp.asarray(lengths, jnp.int32)[:, None]
+    valid = no_n & (idx[None, :] + k <= tl)
     return hi, lo, valid
