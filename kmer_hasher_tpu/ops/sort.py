@@ -70,6 +70,21 @@ def sort_windows(
         s_hi = (key_s >> jnp.uint64(32)).astype(jnp.uint32)
         s_pos = (k2_s & jnp.uint32(0x7FFFFFFF)).astype(I32)
         return s_hi, key_s.astype(jnp.uint32), s_pos
+    if k <= 16:
+        # the 2k-bit kmer fits the high u32, the position the low u32: one
+        # packed u64 array, no payload, no stability requirement (keys are
+        # unique because positions are). Cheapest possible sort form —
+        # 8 B/elem through the comparator network instead of 12. A valid
+        # entry can never collide with the all-ones sentinel: that would
+        # need pos == 0xFFFFFFFF, but positions are < 2^31.
+        key = (lo.astype(u64) << jnp.uint64(32)) | pos.astype(
+            jnp.uint32).astype(u64)
+        key = jnp.where(valid, key, jnp.uint64(0xFFFFFFFFFFFFFFFF))
+        key_s = jax.lax.sort(key, dimension=-1, is_stable=False)
+        s_lo = (key_s >> jnp.uint64(32)).astype(jnp.uint32)
+        s_pos = (key_s.astype(jnp.uint32) & jnp.uint32(0x7FFFFFFF)).astype(
+            pos.dtype)
+        return jnp.zeros_like(s_lo), s_lo, s_pos
     if k <= 31:
         key = (hi.astype(u64) << jnp.uint64(32)) | lo.astype(u64)
         key = jnp.where(valid, key, jnp.uint64(0xFFFFFFFFFFFFFFFF))

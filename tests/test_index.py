@@ -115,3 +115,19 @@ def test_k32_all_g_kmers_with_invalid_tail():
         got.setdefault(kmers_sorted[i - 1], []).append(int(p))
     assert got == oracle.pos
     assert len(oracle.pos[all_g]) == 9 + 4  # sanity: the degenerate case
+
+
+def test_k16_all_g_kmers_with_invalid_tail():
+    # 16 consecutive Gs: lo == 0xFFFFFFFF, so the packed single-u64 branch
+    # of sort_windows puts a real all-ones *high word* next to the invalid
+    # sentinel — only the position low word separates them. Must still
+    # sort live-first with ascending positions.
+    seq = "G" * 20 + "A" + "G" * 17 + "N" + "ACGT" * 4
+    k = 16
+    idx = KmerIndex(seq, k)
+    h = rs.make_kmer_hash(seq, k)
+    t = canonical_tables_from_oracle(h, 15)
+    assert idx.kmer_strings() == t["kmer"]
+    np.testing.assert_array_equal(idx.counts(), t["count"])
+    np.testing.assert_array_equal(idx.pos_table(), t["pos"])
+    np.testing.assert_array_equal(idx.pair_table(), t["pair.pos"])
