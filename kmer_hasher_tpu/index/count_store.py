@@ -27,6 +27,7 @@ accounting, not dense allocation.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Sequence
 
 import jax
@@ -246,7 +247,9 @@ class CountStore:
 
     def __init__(self, k: int, counts_n: int = 1, prefix_bits: int = 0,
                  suffix_bits: Optional[int] = None, mode: str = "sh",
-                 max_size_bytes: Optional[int] = None):
+                 max_size_bytes: Optional[int] = None,
+                 spill_bytes: Optional[int] = None,
+                 spill_dir: Optional[str] = None):
         if not 1 <= k <= 32:
             raise ValueError("k must be in 1..32")
         if counts_n < 1:
@@ -286,6 +289,15 @@ class CountStore:
         self._runs = []  # size-tiered sorted runs, smallest-capacity last
         # build a run once this much is pending (elements, pre-dedup)
         self.run_build_size = 1 << 16
+        # -- host/disk spill (ROADMAP §3): when device-resident run bytes
+        # exceed spill_bytes, the largest runs move off-device (host RAM, or
+        # .npy files under spill_dir) and rejoin one at a time at fold time,
+        # so the sum of run capacities may exceed HBM as long as the final
+        # folded table and any single merge still fit.
+        self.spill_bytes = spill_bytes
+        self.spill_dir = spill_dir
+        self._spilled = []  # list of ('mem', (hi, lo, cnt) np) | ('file', path)
+        self._spill_seq = 0
 
     @property
     def capacity(self) -> int:
@@ -385,19 +397,83 @@ class CountStore:
                 by_cap.setdefault(int(r[0].shape[0]), []).append(i)
             pair = next((v for v in by_cap.values() if len(v) >= 2), None)
             if pair is None:
-                return
+                break
             i, j = pair[0], pair[1]
             a, b = self._runs[i], self._runs[j]
             merged = _merge_runs(a[0], a[1], a[2], b[0], b[1], b[2])
             self._runs = [r for t, r in enumerate(self._runs)
                           if t not in (i, j)]
             self._runs.append(merged)
+        self._spill_if_needed()
+
+    # -- host/disk spill ----------------------------------------------------
+    def _device_run_bytes(self) -> int:
+        row = 8 + 4 * self.counts_n
+        return sum(int(r[0].shape[0]) * row for r in self._runs)
+
+    def _spill_one(self) -> None:
+        """Move the largest device-resident run off-device. The run is
+        compacted first (finalize + trim to pow2) so the off-device copy is
+        as small as its unique-key count allows, then stored either as host
+        numpy arrays or as an .npz under spill_dir."""
+        self._runs.sort(key=lambda r: int(r[0].shape[0]))
+        hi, lo, cnt = self._runs.pop()
+        u_hi, u_lo, u_cnt, n_u = _finalize_run(hi, lo, cnt)
+        n_u = int(n_u)
+        cap = _next_pow2(n_u)
+        a_hi = np.asarray(u_hi[:cap]).copy()
+        a_lo = np.asarray(u_lo[:cap]).copy()
+        a_cnt = np.asarray(u_cnt[:cap]).copy()
+        # back to run form: finalize keys dead rows 0; rejoin needs all-ones
+        a_hi[n_u:] = 0xFFFFFFFF
+        a_lo[n_u:] = 0xFFFFFFFF
+        if self.spill_dir is not None:
+            os.makedirs(self.spill_dir, exist_ok=True)
+            path = os.path.join(
+                self.spill_dir, f"kmh_spill_{id(self):x}_{self._spill_seq}.npz"
+            )
+            np.savez(path, hi=a_hi, lo=a_lo, cnt=a_cnt)
+            self._spilled.append(("file", path))
+        else:
+            self._spilled.append(("mem", (a_hi, a_lo, a_cnt)))
+        self._spill_seq += 1
+
+    def _spill_if_needed(self) -> None:
+        if self.spill_bytes is None:
+            return
+        # keep at least one device run so merges have a seed
+        while (len(self._runs) > 1
+               and self._device_run_bytes() > self.spill_bytes):
+            self._spill_one()
+
+    def _fold_spilled(self, hi, lo, cnt):
+        """Merge spilled runs back into the accumulator one at a time
+        (largest resident footprint at any moment: accumulator + one run)."""
+        spilled, self._spilled = self._spilled, []
+        for tag, payload in spilled:
+            if tag == "file":
+                with np.load(payload) as z:
+                    a_hi, a_lo, a_cnt = z["hi"], z["lo"], z["cnt"]
+                os.remove(payload)
+            else:
+                a_hi, a_lo, a_cnt = payload
+            hi, lo, cnt = _merge_runs(
+                hi, lo, cnt,
+                jnp.asarray(a_hi), jnp.asarray(a_lo), jnp.asarray(a_cnt),
+            )
+            cap = _next_pow2(int(hi.shape[0]))
+            if cap != hi.shape[0]:
+                pad = cap - hi.shape[0]
+                hi = jnp.concatenate([hi, jnp.full(pad, _DEAD, U32)])
+                lo = jnp.concatenate([lo, jnp.full(pad, _DEAD, U32)])
+                cnt = jnp.pad(cnt, ((0, pad), (0, 0)))
+        return hi, lo, cnt
 
     def flush(self) -> "CountStore":
         """Fold pending batches and all runs into the compact sorted base
         table (the only point that syncs with the host)."""
         self._build_runs()
-        if not self._runs:
+        if not self._runs and not self._spilled:
             return self
         if self._n_unique > 0:
             self._runs.append(
@@ -408,6 +484,15 @@ class CountStore:
         # accumulator padded to a power of two so merge shapes stay in a
         # small (2^a, 2^b) set and XLA programs are reused across folds
         self._runs.sort(key=lambda r: int(r[0].shape[0]), reverse=True)
+        if not self._runs:  # only spilled runs: seed from the first one
+            spilled0 = self._spilled.pop()
+            if spilled0[0] == "file":
+                with np.load(spilled0[1]) as z:
+                    a = (z["hi"], z["lo"], z["cnt"])
+                os.remove(spilled0[1])
+            else:
+                a = spilled0[1]
+            self._runs.append(tuple(jnp.asarray(x) for x in a))
         hi, lo, cnt = self._runs.pop()
         while self._runs:
             b = self._runs.pop()
@@ -418,6 +503,8 @@ class CountStore:
                 hi = jnp.concatenate([hi, jnp.full(pad, _DEAD, U32)])
                 lo = jnp.concatenate([lo, jnp.full(pad, _DEAD, U32)])
                 cnt = jnp.pad(cnt, ((0, pad), (0, 0)))
+        if self._spilled:
+            hi, lo, cnt = self._fold_spilled(hi, lo, cnt)
         u_hi, u_lo, u_cnt, n_u = _finalize_run(hi, lo, cnt)
         self._n_unique = int(n_u)
         new_cap = _next_pow2(self._n_unique)

@@ -22,6 +22,9 @@ Parallelism map (SURVEY.md §2.2 -> TPU):
 """
 from __future__ import annotations
 
+import os
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -582,7 +585,9 @@ class ShardedCountStore:
     """
 
     def __init__(self, k: int, mesh: Mesh, counts_n: int = 1,
-                 capacity: int = 1 << 14):
+                 capacity: int = 1 << 14,
+                 spill_bytes: "Optional[int]" = None,
+                 spill_dir: "Optional[str]" = None):
         self.k = int(k)
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
@@ -599,6 +604,14 @@ class ShardedCountStore:
         # per-shard LSM runs: list of (hi [D,C], lo [D,C], cnt [D,C,n]);
         # tier-merged with a vmapped _merge_runs, folded at reads
         self._runs = []
+        # host/disk spill like the single-chip store (count_store.py):
+        # past spill_bytes of device-resident run bytes the largest run
+        # sets move off-device (allgathered host np, or an .npz under
+        # spill_dir) and rejoin one at a time at fold time
+        self.spill_bytes = spill_bytes
+        self.spill_dir = spill_dir
+        self._spilled = []  # ('mem', (hi, lo, cnt) np [D,...]) | ('file', p)
+        self._spill_seq = 0
 
     @property
     def n_unique(self) -> np.ndarray:
@@ -721,16 +734,59 @@ class ShardedCountStore:
                 by_cap.setdefault(int(r[0].shape[1]), []).append(i)
             pair = next((v for v in by_cap.values() if len(v) >= 2), None)
             if pair is None:
-                return
+                break
             i, j = pair[0], pair[1]
             merged = self._vmerge_runs(self._runs[i], self._runs[j])
             self._runs = [r for t, r in enumerate(self._runs)
                           if t not in (i, j)]
             self._runs.append(merged)
+        self._spill_if_needed()
+
+    # -- host/disk spill (mirrors count_store.CountStore) -------------------
+    def _device_run_bytes(self) -> int:
+        row = 8 + 4 * self.counts_n
+        return sum(int(r[0].shape[1]) * self.n_shards * row
+                   for r in self._runs)
+
+    def _spill_one(self) -> None:
+        """Allgather the largest per-shard run set to host (every process
+        holds the full [D, C] copy, so rejoining is a plain _global_put)."""
+        self._runs.sort(key=lambda r: int(r[0].shape[1]))
+        hi, lo, cnt = self._runs.pop()
+        a = (_host_read(hi), _host_read(lo), _host_read(cnt))
+        if self.spill_dir is not None:
+            os.makedirs(self.spill_dir, exist_ok=True)
+            path = os.path.join(  # per-process file: each rejoins its own
+                self.spill_dir,
+                f"kmh_sspill_{id(self):x}_p{jax.process_index()}"
+                f"_{self._spill_seq}.npz",
+            )
+            np.savez(path, hi=a[0], lo=a[1], cnt=a[2])
+            self._spilled.append(("file", path))
+        else:
+            self._spilled.append(("mem", a))
+        self._spill_seq += 1
+
+    def _spill_if_needed(self) -> None:
+        if self.spill_bytes is None:
+            return
+        while (len(self._runs) > 1
+               and self._device_run_bytes() > self.spill_bytes):
+            self._spill_one()
+
+    def _load_spilled(self, entry):
+        tag, payload = entry
+        if tag == "file":
+            with np.load(payload) as z:
+                a = (z["hi"], z["lo"], z["cnt"])
+            os.remove(payload)
+        else:
+            a = payload
+        return tuple(self._global_put(x) for x in a)
 
     def _fold(self):
         """Fold runs into the compact per-shard base table (syncs once)."""
-        if not self._runs:
+        if not self._runs and not self._spilled:
             return
         from ..index import count_store as cs
 
@@ -754,9 +810,14 @@ class ShardedCountStore:
                                   .reshape(-1, 1))
             self._runs.append(run_fn(self.u_hi, self.u_lo, self.cnt, ns))
         self._runs.sort(key=lambda r: int(r[0].shape[1]), reverse=True)
+        if not self._runs:  # only spilled runs: seed from the first one
+            self._runs.append(self._load_spilled(self._spilled.pop()))
         acc = self._runs.pop()
         while self._runs:
             acc = self._vmerge_runs(acc, self._runs.pop())
+        while self._spilled:  # rejoin spilled runs one at a time
+            acc = self._vmerge_runs(acc, self._load_spilled(
+                self._spilled.pop()))
 
         def fin(hi, lo, cnt):
             u_hi, u_lo, u_cnt, n_u = cs._finalize_run(

@@ -99,6 +99,50 @@ def test_no_host_sync_on_deferred_path():
     assert not st._pending and not st._runs
 
 
+def _spill_drive(st, seeds=(21, 22, 23, 24, 25, 26), L=1500, k=9):
+    eager = CountStore(k)
+    for s in seeds:
+        rng = np.random.default_rng(s)
+        seq = rng.choice([65, 67, 71, 84], size=L).astype(np.uint8)
+        hi, lo, v = enc.encode_stream(seq, k, L, canonical=True)
+        st.add_kmers(hi, lo, v, defer=True)
+        eager.add_kmers(hi, lo, v)
+    return eager
+
+
+def test_spill_to_host_memory_matches_eager():
+    """With a tiny spill budget, large runs move off-device between adds
+    and fold back transparently at read time."""
+    k = 9
+    st = CountStore(k, spill_bytes=4096)
+    st.run_build_size = 1 << 9
+    eager = _spill_drive(st, k=k)
+    assert st._spilled  # something actually spilled off-device
+    assert st._spilled[0][0] == "mem"
+    assert st.counts_dict() == eager.counts_dict()
+    assert not st._spilled  # fold consumed the spilled runs
+    # store stays usable after a spill-fold cycle
+    rng = np.random.default_rng(99)
+    seq = rng.choice([65, 67, 71, 84], size=500).astype(np.uint8)
+    hi, lo, v = enc.encode_stream(seq, k, 500, canonical=True)
+    st.add_kmers(hi, lo, v)
+    eager.add_kmers(hi, lo, v)
+    assert st.counts_dict() == eager.counts_dict()
+
+
+def test_spill_to_disk_matches_eager(tmp_path):
+    k = 9
+    st = CountStore(k, spill_bytes=4096, spill_dir=str(tmp_path))
+    st.run_build_size = 1 << 9
+    eager = _spill_drive(st, k=k)
+    assert st._spilled and st._spilled[0][0] == "file"
+    import os as _os
+    assert _os.path.exists(st._spilled[0][1])
+    assert st.counts_dict() == eager.counts_dict()
+    assert not st._spilled
+    assert not list(tmp_path.glob("kmh_spill_*"))  # files cleaned up
+
+
 def test_k32_all_g_kmer_survives_dead_sentinel():
     """k=32 all-G kmers share the all-ones key with dead rows; the
     tie-break flag must keep their counts intact through run merges."""

@@ -189,3 +189,33 @@ def test_sharded_tables_match_single_chip(mesh, test_fa):
     chunks = list(sharded.iter_pair_chunks(capacity=1 << 10))
     np.testing.assert_array_equal(np.concatenate(chunks, axis=0),
                                   si["pair.pos"])
+
+
+def test_sharded_store_spill_matches_unspilled(mesh, repeat_40_fq, tmp_path):
+    """With a tiny spill budget, per-shard run sets move off-device between
+    batches and fold back transparently — results identical to no-spill."""
+    from kmer_hasher_tpu.io import pad_records
+
+    k = 7
+    reads = [(s, q) for (_n, s, q) in repeat_40_fq]
+    D = mesh.size
+    spill = ShardedCountStore(k, mesh, counts_n=1, spill_bytes=1 << 12,
+                              spill_dir=str(tmp_path))
+    plain = ShardedCountStore(k, mesh, counts_n=1)
+    for s, q in reads:  # one batch per read -> several tier runs
+        pr = pad_records([("r", s, q)])
+        hi, lo, valid = enc.encode_stream(pr.seq, k, pr.lengths,
+                                          canonical=True)
+        hi = np.pad(np.asarray(hi), ((0, D - 1), (0, 0))).reshape(D, -1)
+        lo = np.pad(np.asarray(lo), ((0, D - 1), (0, 0))).reshape(D, -1)
+        valid = np.pad(np.asarray(valid),
+                       ((0, D - 1), (0, 0))).reshape(D, -1)
+        spill.add_batch(hi, lo, valid)
+        plain.add_batch(hi, lo, valid)
+    assert spill._spill_seq > 0  # the budget actually forced spills
+    assert spill._spilled and spill._spilled[0][0] == "file"
+    np.testing.assert_array_equal(spill.spectrum(600), plain.spectrum(600))
+    np.testing.assert_array_equal(spill.n_unique, plain.n_unique)
+    np.testing.assert_array_equal(spill.total_added, plain.total_added)
+    assert not spill._spilled  # fold consumed + cleaned up
+    assert not list(tmp_path.glob("kmh_sspill_*"))
