@@ -77,9 +77,24 @@ def cmd_count(a):
 
         mesh = make_mesh(a.mesh)
     store = None
+    progress = None
     if a.resume:
         store = ckpt.load_count_store(a.resume, mesh=mesh)
+        progress = ckpt.load_progress(a.resume)
+        if progress:
+            print(f"resuming after {progress['reads_done']} reads of "
+                  f"{progress['path']}", file=sys.stderr)
+    counted_any = False
     for i, path in enumerate(a.files):
+        skip = 0
+        if progress:
+            if progress.get("path") != path:
+                continue  # earlier file: already fully counted in the store
+            if progress.get("done"):
+                progress = None
+                continue  # this file is fully counted in the store
+            skip = int(progress["reads_done"])
+            progress = None
         source = a.source if a.source is not None else min(
             i, a.source_n - 1
         )
@@ -89,8 +104,14 @@ def cmd_count(a):
             path, k=a.k, min_q=a.min_q, source_n=a.source_n, source=source,
             max_reads=a.max_reads, store=store,
             report_every=a.report_every, exact_ll=exact_ll, mesh=mesh,
+            skip_reads=skip, checkpoint_every=a.checkpoint_every,
+            checkpoint_path=(a.out if a.checkpoint_every else None),
         )
-    ckpt.save_count_store(store, a.out)
+        counted_any = True
+    if not (a.checkpoint_every and counted_any):
+        # with --checkpoint-every the counting loop already wrote the final
+        # atomic checkpoint (incl. the resume cursor) to OUT
+        ckpt.save_count_store(store, a.out)
     info = {"distinct": int(np.asarray(store.n_unique).sum()),
             "total_added": np.asarray(store.total_added).tolist(),
             "out": a.out}
@@ -162,7 +183,13 @@ def main(argv=None):
                    help="count multi-chip over N devices (sharded store; "
                         "the reference's thread_n, lifted to chips)")
     s.add_argument("--resume", default=None,
-                   help="existing store to keep accumulating into")
+                   help="existing store to keep accumulating into; if it "
+                        "holds a progress cursor (--checkpoint-every), "
+                        "counting resumes mid-file after the last "
+                        "checkpointed read")
+    s.add_argument("--checkpoint-every", type=int, default=None,
+                   help="atomically checkpoint the store + resume cursor "
+                        "to OUT every N reads")
     s.add_argument("--report-every", type=int, default=None)
     s.add_argument("-o", "--out", required=True)
     s.set_defaults(fn=cmd_count)

@@ -59,9 +59,10 @@ def _pad_pow2(records: List[Record]):
 
 def _iter_padded_batches(path: str, max_reads: Optional[int],
                          batch_rows: Optional[int] = None,
-                         prefetch: int = 2):
+                         prefetch: int = 2, skip: int = 0):
     """Yield device-ready (seq, qual, lengths, has_qual) batches, padded to
-    power-of-two shapes.
+    power-of-two shapes. ``skip`` discards the first N records (mid-file
+    resume); ``max_reads`` then limits the records yielded after the skip.
 
     Fast path: the native parser streams contiguous buffers batch-by-batch
     (constant memory) and a background thread parses/pads batch N+1 while
@@ -71,6 +72,7 @@ def _iter_padded_batches(path: str, max_reads: Optional[int],
     """
     if max_reads is not None and max_reads < 0:
         max_reads = None
+    limit = None if max_reads is None else skip + max_reads
     if batch_rows is None:
         # bigger batches amortise the tunnel's ~25-30 ms per-dispatch host
         # cost over more reads (the counting loop is dispatch-bound once
@@ -82,18 +84,30 @@ def _iter_padded_batches(path: str, max_reads: Optional[int],
 
     if native.available():
         def produce():
-            for raw in native.iter_fastx_raw(path, batch_rows, max_reads):
+            to_skip = skip
+            for raw in native.iter_fastx_raw(path, batch_rows, limit):
                 seq_all, qual_all, offsets, qpres = raw
-                yield _pad_from_raw(seq_all, qual_all, offsets, qpres, 0,
-                                    len(qpres), batch_rows)
+                n = len(qpres)
+                if to_skip >= n:
+                    to_skip -= n
+                    continue
+                start, to_skip = to_skip, 0
+                yield _pad_from_raw(seq_all, qual_all, offsets, qpres,
+                                    start, n, batch_rows)
 
         yield from _prefetch_iter(produce(), prefetch)
         return
     from .io.fastx import iter_fastx
 
     def produce_py():
+        to_skip = skip
         for recs in iter_fastx(path, batch_size=batch_rows,
-                               max_records=max_reads):
+                               max_records=limit):
+            if to_skip >= len(recs):
+                to_skip -= len(recs)
+                continue
+            if to_skip:
+                recs, to_skip = recs[to_skip:], 0
             yield _pad_pow2(recs)
 
     yield from _prefetch_iter(produce_py(), prefetch)
@@ -412,7 +426,10 @@ def count_kmers_fq_sh_rp(path: str, k: int, prefix_bits: int = 20,
                          store: Optional[CountStore] = None,
                          report_every: Optional[int] = None,
                          exact_ll: bool = True,
-                         mesh=None):
+                         mesh=None,
+                         skip_reads: int = 0,
+                         checkpoint_every: Optional[int] = None,
+                         checkpoint_path: Optional[str] = None):
     """The flagship path ``count.kmers.fq.sh.rp`` (src/kmer_hash.c:810-857):
     quality-likelihood filtered, canonical, multi-source counting.
 
@@ -431,11 +448,18 @@ def count_kmers_fq_sh_rp(path: str, k: int, prefix_bits: int = 20,
     the key space (routed via all_to_all); returns a
     parallel.ShardedCountStore. The reference's "thread pool over one
     shared store" becomes chips over a sharded store.
+
+    ``skip_reads`` discards the first N records before counting, and with
+    ``checkpoint_every=N`` the store plus a progress record (file path,
+    reads consumed) is written atomically to ``checkpoint_path`` every N
+    reads — together they give mid-file resume for long runs (see
+    utils.checkpoint.load_progress and the CLI's --checkpoint-every).
     """
     if mesh is not None:
         return _count_rp_sharded(path, k, min_q, max_reads, source_n,
                                  source, store, mesh, exact_ll,
-                                 report_every)
+                                 report_every, skip_reads,
+                                 checkpoint_every, checkpoint_path)
     if not 1 <= k <= MAX_K:
         raise ValueError("k must be a positive integer less than 1+MAX_K")
     if not 1 <= source_n <= 4:
@@ -498,8 +522,10 @@ def count_kmers_fq_sh_rp(path: str, k: int, prefix_bits: int = 20,
             _add_canonical_fsm(store, *ex, source=source)
         backlog.clear()
 
+    reads_done = int(skip_reads)
+    since_ckpt = 0
     for seq, qual, lengths, has_qual in _iter_padded_batches(
-            path, max_reads):
+            path, max_reads, skip=skip_reads):
         n_recs = int((lengths > 0).sum())
         with_noq = bool(((~has_qual) & (lengths > k)).any())
         run_hi, run_lo, run_cnt, n_obs, flags = _fused_rp_batch(
@@ -512,10 +538,43 @@ def count_kmers_fq_sh_rp(path: str, k: int, prefix_bits: int = 20,
             backlog.append((seq, qual, lengths, flags))
             if len(backlog) >= sweep_every:
                 sweep_backlog()
+        reads_done += n_recs
+        since_ckpt += n_recs
+        if checkpoint_every is not None and since_ckpt >= checkpoint_every:
+            since_ckpt = 0
+            sweep_backlog()  # checkpointed state must be exact
+            _checkpoint_progress(store, checkpoint_path, path, reads_done)
         if meter:
             meter.update(n_recs, distinct_kmers=lambda: store.n_unique)
     sweep_backlog()
-    return store.flush()
+    store.flush()
+    if checkpoint_every is not None:
+        # done only when the file was exhausted (a max_reads-limited leg
+        # may have more records left; resume continues from the cursor)
+        consumed = reads_done - int(skip_reads)
+        _checkpoint_progress(
+            store, checkpoint_path, path, reads_done,
+            done=max_reads is None or consumed < max_reads,
+        )
+    return store
+
+
+def _checkpoint_progress(store, ckpt_path, src_path, reads_done,
+                         done: bool = False) -> None:
+    """Atomically persist the store + resume cursor (write tmp, replace)."""
+    import os
+
+    from .utils import checkpoint as ckpt
+
+    if ckpt_path is None:
+        raise ValueError("checkpoint_every requires checkpoint_path")
+    tmp = str(ckpt_path) + ".tmp.npz"  # .npz so numpy doesn't re-suffix
+    ckpt.save_count_store(
+        store, tmp,
+        progress={"path": str(src_path), "reads_done": int(reads_done),
+                  "done": bool(done)},
+    )
+    os.replace(tmp, ckpt_path)
 
 
 def seq_kmer_depth(store: CountStore, seq, k: int) -> np.ndarray:
@@ -553,7 +612,8 @@ def seq_kmer_depth(store: CountStore, seq, k: int) -> np.ndarray:
 
 
 def _count_rp_sharded(path, k, min_q, max_reads, source_n, source, store,
-                      mesh, exact_ll, report_every):
+                      mesh, exact_ll, report_every, skip_reads=0,
+                      checkpoint_every=None, checkpoint_path=None):
     from .parallel.sharded import ShardedCountStore
 
     if store is None:
@@ -566,7 +626,10 @@ def _count_rp_sharded(path, k, min_q, max_reads, source_n, source, store,
     min_ll = jnp.asarray(float(Q_TO_LL[33 + int(min_q)]))
     meter = _progress(report_every, f"count_rp_sharded[{path}]")
     precision = "exact" if exact_ll else "fast"
-    for seq, qual, lengths, has_qual in _iter_padded_batches(path, max_reads):
+    reads_done = int(skip_reads)
+    since_ckpt = 0
+    for seq, qual, lengths, has_qual in _iter_padded_batches(
+            path, max_reads, skip=skip_reads):
         n_recs = int((lengths > 0).sum())
         B = seq.shape[0]
         if B % D:
@@ -600,7 +663,18 @@ def _count_rp_sharded(path, k, min_q, max_reads, source_n, source, store,
             chi.reshape(D, -1), clo.reshape(D, -1), emit.reshape(D, -1),
             source=source,
         )
+        reads_done += n_recs
+        since_ckpt += n_recs
+        if checkpoint_every is not None and since_ckpt >= checkpoint_every:
+            since_ckpt = 0
+            _checkpoint_progress(store, checkpoint_path, path, reads_done)
         if meter:
             meter.update(n_recs,
                          distinct_kmers=lambda: int(store.n_unique.sum()))
+    if checkpoint_every is not None:
+        consumed = reads_done - int(skip_reads)
+        _checkpoint_progress(
+            store, checkpoint_path, path, reads_done,
+            done=max_reads is None or consumed < max_reads,
+        )
     return store

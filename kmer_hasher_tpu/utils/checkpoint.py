@@ -24,11 +24,14 @@ _MAGIC = "kmer_hasher_tpu"
 _VERSION = 1
 
 
-def save_count_store(store, path) -> None:
+def save_count_store(store, path, progress=None) -> None:
     """Persist a CountStore or a ShardedCountStore (kind recorded in the
-    meta blob; ``load_count_store`` restores either)."""
+    meta blob; ``load_count_store`` restores either). ``progress`` is an
+    optional JSON-serialisable resume cursor (e.g. source file + reads
+    consumed) stored in the meta blob — read it back with
+    ``load_progress``."""
     if hasattr(store, "mesh"):  # ShardedCountStore (import-cycle-free)
-        return _save_sharded_count_store(store, path)
+        return _save_sharded_count_store(store, path, progress)
     store.flush()
     meta = {
         "magic": _MAGIC, "version": _VERSION, "kind": "count_store",
@@ -36,6 +39,7 @@ def save_count_store(store, path) -> None:
         "prefix_bits": store.prefix_bits, "suffix_bits": store.suffix_bits,
         "mode": store.mode, "n_unique": store.n_unique,
         "max_size_bytes": store.max_size_bytes,
+        "progress": progress,
     }
     n = store.n_unique
     np.savez_compressed(
@@ -45,7 +49,7 @@ def save_count_store(store, path) -> None:
     )
 
 
-def _save_sharded_count_store(store, path) -> None:
+def _save_sharded_count_store(store, path, progress=None) -> None:
     from ..parallel.sharded import _host_read
 
     n = store.n_unique  # folds all pending runs first
@@ -57,6 +61,7 @@ def _save_sharded_count_store(store, path) -> None:
         "magic": _MAGIC, "version": _VERSION, "kind": "sharded_count_store",
         "k": store.k, "counts_n": store.counts_n, "n_shards": D,
         "capacity": store.capacity, "n_unique": [int(v) for v in n],
+        "progress": progress,
     }
     np.savez_compressed(
         path, meta=json.dumps(meta),
@@ -116,6 +121,15 @@ def _load_sharded_count_store(z, meta, mesh):
     store.n_unique = n
     store.total_added = z["total_added"].copy()
     return store
+
+
+def load_progress(path):
+    """Resume cursor stored by ``save_count_store(..., progress=)`` —
+    ``{"path": ..., "reads_done": N, "done": bool}`` for counting
+    checkpoints, or None for stores saved without one."""
+    with np.load(path, allow_pickle=False) as z:
+        meta = json.loads(str(z["meta"]))
+    return meta.get("progress")
 
 
 def load_count_store(path, mesh=None):
