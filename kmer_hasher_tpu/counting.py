@@ -574,7 +574,8 @@ def _checkpoint_progress(store, ckpt_path, src_path, reads_done,
         progress={"path": str(src_path), "reads_done": int(reads_done),
                   "done": bool(done)},
     )
-    os.replace(tmp, ckpt_path)
+    if os.path.exists(tmp):  # multi-process: only process 0 writes
+        os.replace(tmp, ckpt_path)
 
 
 def seq_kmer_depth(store: CountStore, seq, k: int) -> np.ndarray:
@@ -628,6 +629,14 @@ def _count_rp_sharded(path, k, min_q, max_reads, source_n, source, store,
     precision = "exact" if exact_ll else "fast"
     reads_done = int(skip_reads)
     since_ckpt = 0
+    # multi-process (jax.distributed): every process streams the same file
+    # (lockstep — each add_batch is a collective) but encodes/feeds only
+    # its own row slice of every batch, so each read is counted exactly
+    # once and device work is split across hosts (ROADMAP §4 input
+    # sharding; one shared file set, no per-host file splits needed)
+    n_proc = jax.process_count()
+    p_idx = jax.process_index()
+    D_local = D // n_proc
     for seq, qual, lengths, has_qual in _iter_padded_batches(
             path, max_reads, skip=skip_reads):
         n_recs = int((lengths > 0).sum())
@@ -639,6 +648,11 @@ def _count_rp_sharded(path, k, min_q, max_reads, source_n, source, store,
             qual = np.pad(qual, ((0, padr), (0, 0)))
             lengths = np.pad(lengths, (0, padr))
             has_qual = np.pad(has_qual, (0, padr))
+        if n_proc > 1:  # this process's contiguous row block
+            rpp = seq.shape[0] // n_proc
+            sl = slice(p_idx * rpp, (p_idx + 1) * rpp)
+            seq, qual = seq[sl], qual[sl]
+            lengths, has_qual = lengths[sl], has_qual[sl]
         if has_qual.any():
             out = si.ll_scan(seq, qual, jnp.where(jnp.asarray(has_qual),
                                                   lengths, 0),
@@ -660,8 +674,8 @@ def _count_rp_sharded(path, k, min_q, max_reads, source_n, source, store,
                 clo = jnp.where(jnp.asarray(has_qual)[:, None], clo, lo2)
                 emit = emit | v2
         store.add_batch(
-            chi.reshape(D, -1), clo.reshape(D, -1), emit.reshape(D, -1),
-            source=source,
+            chi.reshape(D_local, -1), clo.reshape(D_local, -1),
+            emit.reshape(D_local, -1), source=source,
         )
         reads_done += n_recs
         since_ckpt += n_recs

@@ -63,6 +63,11 @@ def _save_sharded_count_store(store, path, progress=None) -> None:
         "capacity": store.capacity, "n_unique": [int(v) for v in n],
         "progress": progress,
     }
+    import jax
+
+    if jax.process_index() != 0:
+        return  # the fold + allgather above ran on every process (they are
+        # collectives); only one process may write the shared file
     np.savez_compressed(
         path, meta=json.dumps(meta),
         u_hi=np.concatenate([u_hi[d, : n[d]] for d in range(D)]),

@@ -119,3 +119,79 @@ def test_two_process_distributed_counting(tmp_path):
                                       drop_trailing_exact_k=False)
     store.add_batch(np.asarray(hi), np.asarray(lo), np.asarray(valid))
     np.testing.assert_array_equal(dist_spec, store.spectrum(50))
+
+
+HIGH_LEVEL_WORKER = r"""
+import json, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+coord, pid = sys.argv[1], int(sys.argv[2])
+sys.path.insert(0, {repo!r})
+from kmer_hasher_tpu.parallel.distributed import init_distributed
+init_distributed(coord, num_processes=2, process_id=pid)
+
+import numpy as np
+from jax.sharding import Mesh
+from kmer_hasher_tpu.counting import count_kmers_fq_sh_rp
+
+mesh = Mesh(np.asarray(jax.devices()), ("shards",))
+store = count_kmers_fq_sh_rp("/root/reference/test.fastq.gz", 11, min_q=20,
+                             max_reads=64, mesh=mesh)
+spec = store.spectrum(50)  # collective: every process participates
+if pid == 0:
+    print("SPECTRUM " + json.dumps(spec.tolist()))
+    print("TOTAL " + json.dumps(store.total_added.tolist()))
+print("WORKER_OK", pid)
+"""
+
+
+def test_two_process_high_level_counting(tmp_path):
+    """count_kmers_fq_sh_rp(mesh=) on a 2-process mesh: each process feeds
+    its row slice of every batch (per-host input sharding), results equal
+    the single-process run byte-for-byte."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coord = f"localhost:{port}"
+    script = tmp_path / "worker_hl.py"
+    script.write_text(HIGH_LEVEL_WORKER.format(repo=repo))
+    env = {**os.environ,
+           "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+           "JAX_PLATFORMS": "cpu"}
+    procs = [
+        subprocess.Popen([sys.executable, str(script), coord, str(i)],
+                         stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                         env=env)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("distributed workers timed out")
+        outs.append((p.returncode, out.decode(), err.decode()))
+    for rc, out, err in outs:
+        assert rc == 0, f"worker failed:\n{out}\n{err[-2000:]}"
+        assert "WORKER_OK" in out
+    lines = outs[0][1].splitlines()
+    dist_spec = np.asarray(json.loads(
+        next(ln for ln in lines if ln.startswith("SPECTRUM ")).split(" ", 1)[1]
+    ))
+    dist_total = json.loads(
+        next(ln for ln in lines if ln.startswith("TOTAL ")).split(" ", 1)[1]
+    )
+
+    import jax
+    from jax.sharding import Mesh
+
+    from kmer_hasher_tpu.counting import count_kmers_fq_sh_rp
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("shards",))
+    single = count_kmers_fq_sh_rp("/root/reference/test.fastq.gz", 11,
+                                  min_q=20, max_reads=64, mesh=mesh)
+    np.testing.assert_array_equal(dist_spec, single.spectrum(50))
+    assert dist_total == single.total_added.tolist()
