@@ -432,16 +432,25 @@ class ShardedKmerIndex:
 
     def seq_kmer_pos(self, query, k: int,
                      max_hits_per_shard: int = 1 << 20) -> np.ndarray:
-        """Sharded ``seq.kmer.pos``: replicate the encoded query, let every
-        shard emit (i, j) rows for the k-mers it owns, merge on host.
+        """Sharded ``seq.kmer.pos``: full (i, j) matrix (reference row
+        order); see ``iter_seq_kmer_pos`` for the streaming form."""
+        blocks = list(self.iter_seq_kmer_pos(query, k, max_hits_per_shard))
+        if not blocks:
+            return np.zeros((0, 2), np.int32)
+        return np.concatenate(blocks, axis=0)
 
-        Because the index is key-sharded, all hits of one query window live
-        on exactly one shard, so sorting the gathered rows by (i, j)
-        reproduces the single-chip (reference) row order exactly.
+    def iter_seq_kmer_pos(self, query, k: int,
+                          max_hits_per_shard: int = 1 << 20):
+        """Stream sharded ``seq.kmer.pos`` rows as sorted (i, j) blocks.
 
-        Shards whose hit totals exceed ``max_hits_per_shard`` are drained
-        in further fixed-size chunks (the build path's
+        Replicates the encoded query; every shard emits rows for the
+        k-mers it owns, drained in fixed-size chunks (the build path's
         detect-and-retry discipline; round-1 silently truncated here).
+        Each shard's stream is already (i, j)-sorted and — because the
+        index is key-sharded — no window appears on two shards, so an
+        incremental frontier-bounded merge yields globally sorted blocks
+        (the single-chip/reference row order) without ever holding or
+        lexsorting the full hit matrix on the host (ROADMAP §5).
         """
         if isinstance(query, str):
             query = np.frombuffer(query.encode(), np.uint8)
@@ -497,12 +506,59 @@ class ShardedKmerIndex:
             return shard_fn(self.s_hi, self.s_lo, self.s_pos, n_valid,
                             q_hi, q_lo, q_valid, starts)
 
-        chunks = self._drain_chunks(call, C)
-        out = np.concatenate(chunks, axis=0) if chunks else np.zeros(
-            (0, 2), np.int32
-        )
-        order = np.lexsort((out[:, 1], out[:, 0]))
-        return out[order].astype(np.int32)
+        yield from self._merge_sorted_streams(call, C)
+
+    @staticmethod
+    def _row_keys(rows):
+        return ((rows[:, 0].astype(np.int64) << 32)
+                | rows[:, 1].astype(np.int64))
+
+    def _merge_sorted_streams(self, call, C: int):
+        """Drain per-shard chunk streams (each internally (i, j)-sorted,
+        pairwise disjoint in i) and yield globally sorted row blocks as
+        soon as they are safe: a buffered row is emittable once every
+        still-active shard has drained past it (its future rows are
+        strictly greater than its last drained row)."""
+        D = self.n_shards
+        bufs = [np.zeros((0, 2), np.int32) for _ in range(D)]
+        totals = None
+        start = 0
+        while True:
+            rows, n, total = call(start)
+            rows, n = np.asarray(rows), np.asarray(n)
+            if totals is None:
+                totals = np.asarray(total).astype(np.int64)
+            frontier = None  # min last-drained key among unfinished shards
+            for d in range(D):
+                if n[d]:
+                    chunk = rows[d, : n[d]]
+                    bufs[d] = (np.concatenate([bufs[d], chunk])
+                               if bufs[d].size else chunk.copy())
+                if totals[d] > start + C:  # shard d still has rows coming
+                    fk = int(self._row_keys(rows[d, n[d] - 1: n[d]])[0])
+                    frontier = fk if frontier is None else min(frontier, fk)
+            start += C
+            done = frontier is None
+            out = []
+            for d in range(D):
+                if not bufs[d].size:
+                    continue
+                if done:
+                    out.append(bufs[d])
+                    bufs[d] = np.zeros((0, 2), np.int32)
+                    continue
+                keys = self._row_keys(bufs[d])
+                cut = int(np.searchsorted(keys, frontier, side="right"))
+                if cut:
+                    out.append(bufs[d][:cut])
+                    bufs[d] = bufs[d][cut:]
+            if out:
+                block = np.concatenate(out, axis=0)
+                block = block[np.argsort(self._row_keys(block),
+                                         kind="stable")]
+                yield block.astype(np.int32)
+            if done:
+                return
 
     def _drain_chunks(self, call, C: int):
         """Run a chunked per-shard emitter until every shard's true total is

@@ -219,3 +219,22 @@ def test_sharded_store_spill_matches_unspilled(mesh, repeat_40_fq, tmp_path):
     np.testing.assert_array_equal(spill.total_added, plain.total_added)
     assert not spill._spilled  # fold consumed + cleaned up
     assert not list(tmp_path.glob("kmh_sspill_*"))
+
+
+def test_iter_seq_kmer_pos_streams_sorted_blocks(mesh):
+    """The streaming query yields multiple sorted blocks whose
+    concatenation is exactly the full matrix (no full-size host sort)."""
+    seq = "ACTGG" * 200 + "T" + "ACTGG" * 40
+    k = 7
+    sharded = ShardedKmerIndex(seq, k, mesh)
+    q = seq[:50]
+    blocks = list(sharded.iter_seq_kmer_pos(q, k, max_hits_per_shard=64))
+    assert len(blocks) > 1  # genuinely incremental for multi-chunk drains
+    keys = [(b[:, 0].astype(np.int64) << 32) | b[:, 1] for b in blocks]
+    for kk in keys:  # each block internally sorted
+        assert (np.diff(kk) >= 0).all()
+    for a, b in zip(keys, keys[1:]):  # and blocks are ordered
+        assert a[-1] <= b[0]
+    oracle = rs.seq_kmer_positions(rs.seq_to_hash(seq.encode(), k), q, k)
+    np.testing.assert_array_equal(np.concatenate(blocks, axis=0),
+                                  np.asarray(oracle, np.int32))
