@@ -44,6 +44,10 @@ def main(argv=None):
     ap.add_argument("--read-len", type=int, default=151)
     ap.add_argument("--min-q", type=int, default=20)
     ap.add_argument("--exact-ll", action="store_true")
+    ap.add_argument("--ll-mode", choices=["fast", "exact", "hybrid"],
+                    default=None,
+                    help="overrides --exact-ll; hybrid = bitwise-exact "
+                         "results at ~fast speed")
     ap.add_argument("--keep", default=None,
                     help="reuse/keep the synthetic fastq at this path")
     args = ap.parse_args(argv)
@@ -67,14 +71,18 @@ def main(argv=None):
     np.asarray(jnp.zeros(8, jnp.uint32))
     print(f"device ready in {time.perf_counter() - t0:.1f}s", flush=True)
 
+    exact_ll = args.exact_ll
+    if args.ll_mode is not None:
+        exact_ll = {"fast": False, "exact": True,
+                    "hybrid": "hybrid"}[args.ll_mode]
     t0 = time.perf_counter()
     st = counting.count_kmers_fq_sh_rp(
-        path, k=args.k, min_q=args.min_q, exact_ll=args.exact_ll,
+        path, k=args.k, min_q=args.min_q, exact_ll=exact_ll,
         report_every=50_000,
     )
     n_unique = st.n_unique  # folds + syncs
     dt = time.perf_counter() - t0
-    print(f"reads={args.reads} k={args.k} exact_ll={args.exact_ll} "
+    print(f"reads={args.reads} k={args.k} exact_ll={exact_ll} "
           f"distinct={n_unique} total={int(st.total_added.sum())} "
           f"wall={dt:.1f}s rate={args.reads / dt:.0f} reads/s")
     if not args.keep:

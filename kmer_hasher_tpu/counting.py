@@ -59,7 +59,8 @@ def _pad_pow2(records: List[Record]):
 
 def _iter_padded_batches(path: str, max_reads: Optional[int],
                          batch_rows: Optional[int] = None,
-                         prefetch: int = 2, skip: int = 0):
+                         prefetch: int = 2, skip: int = 0,
+                         to_device: bool = False):
     """Yield device-ready (seq, qual, lengths, has_qual) batches, padded to
     power-of-two shapes. ``skip`` discards the first N records (mid-file
     resume); ``max_reads`` then limits the records yielded after the skip.
@@ -69,6 +70,12 @@ def _iter_padded_batches(path: str, max_reads: Optional[int],
     the caller dispatches batch N to the device — the host->device input
     pipeline of ROADMAP §5. Falls back to streamed Python parsing when the
     native parser is unavailable.
+
+    With ``to_device=True`` the prefetch thread also ``jax.device_put``\\ s
+    seq/qual/lengths/has_qual, so the host->device copy of batch N+1
+    overlaps the device compute of batch N (the upload leg dominates the
+    fused batch over the tunnel: ~220 ms vs ~120 ms compute at 16K rows);
+    batches then carry both device and host views.
     """
     if max_reads is not None and max_reads < 0:
         max_reads = None
@@ -82,6 +89,7 @@ def _iter_padded_batches(path: str, max_reads: Optional[int],
         batch_rows = int(os.environ.get("KMH_BATCH_ROWS", "16384"))
     from .io import native
 
+    ship = _ship_to_device if to_device else (lambda b: b)
     if native.available():
         def produce():
             to_skip = skip
@@ -92,8 +100,8 @@ def _iter_padded_batches(path: str, max_reads: Optional[int],
                     to_skip -= n
                     continue
                 start, to_skip = to_skip, 0
-                yield _pad_from_raw(seq_all, qual_all, offsets, qpres,
-                                    start, n, batch_rows)
+                yield ship(_pad_from_raw(seq_all, qual_all, offsets, qpres,
+                                         start, n, batch_rows))
 
         yield from _prefetch_iter(produce(), prefetch)
         return
@@ -108,9 +116,35 @@ def _iter_padded_batches(path: str, max_reads: Optional[int],
                 continue
             if to_skip:
                 recs, to_skip = recs[to_skip:], 0
-            yield _pad_pow2(recs)
+            yield ship(_pad_pow2(recs))
 
     yield from _prefetch_iter(produce_py(), prefetch)
+
+
+class _DevBatch:
+    """A padded batch shipped to the device in the prefetch thread; keeps
+    the host views for control flow / hybrid backlog re-runs."""
+
+    __slots__ = ("seq", "qual", "lengths", "has_qual",
+                 "seq_h", "qual_h", "lengths_h", "has_qual_h")
+
+    def __init__(self, seq, qual, lengths, has_qual):
+        self.seq_h, self.qual_h = seq, qual
+        self.lengths_h, self.has_qual_h = lengths, has_qual
+        import os
+
+        if os.environ.get("KMH_PREPUT", "1") != "0":
+            self.seq = jax.device_put(seq)
+            self.qual = jax.device_put(qual)
+            self.lengths = jax.device_put(lengths)
+            self.has_qual = jax.device_put(has_qual)
+        else:  # A/B: leave the upload to the consumer dispatch
+            self.seq, self.qual = seq, qual
+            self.lengths, self.has_qual = lengths, has_qual
+
+
+def _ship_to_device(batch) -> "_DevBatch":
+    return _DevBatch(*batch)
 
 
 def _prefetch_iter(it, depth: int = 2):
@@ -524,18 +558,17 @@ def count_kmers_fq_sh_rp(path: str, k: int, prefix_bits: int = 20,
 
     reads_done = int(skip_reads)
     since_ckpt = 0
-    for seq, qual, lengths, has_qual in _iter_padded_batches(
-            path, max_reads, skip=skip_reads):
-        n_recs = int((lengths > 0).sum())
-        with_noq = bool(((~has_qual) & (lengths > k)).any())
+    for b in _iter_padded_batches(
+            path, max_reads, skip=skip_reads, to_device=True):
+        n_recs = int((b.lengths_h > 0).sum())
+        with_noq = bool(((~b.has_qual_h) & (b.lengths_h > k)).any())
         run_hi, run_lo, run_cnt, n_obs, flags = _fused_rp_batch(
-            jnp.asarray(seq), jnp.asarray(qual), jnp.asarray(lengths),
-            jnp.asarray(has_qual), k, store.counts_n, source,
-            min_ll_f, fsm, with_noq,
+            b.seq, b.qual, b.lengths, b.has_qual, k, store.counts_n,
+            source, min_ll_f, fsm, with_noq,
         )
         store.add_run(run_hi, run_lo, run_cnt, n_obs)
         if fsm in ("hybrid", "pallas_hybrid"):
-            backlog.append((seq, qual, lengths, flags))
+            backlog.append((b.seq_h, b.qual_h, b.lengths_h, flags))
             if len(backlog) >= sweep_every:
                 sweep_backlog()
         reads_done += n_recs
