@@ -532,28 +532,27 @@ def count_kmers_fq_sh_rp(path: str, k: int, prefix_bits: int = 20,
     else:
         fsm = "fast"
     min_ll_f = float(Q_TO_LL[33 + int(min_q)])
-    backlog = []  # [(seq, qual, lengths, flags_dev)]
+    backlog = []  # [(seq_dev, qual_dev, lengths_dev, flags_dev)]
     sweep_every = 64
 
     def sweep_backlog():
+        """Re-count the borderline-flagged reads exactly. The batch stays
+        DEVICE-resident in the backlog (no host gather / re-upload) and
+        the sweep reuses the full-batch fused program with ``fsm="exact"``
+        and non-flagged lengths zeroed — the same program shape as every
+        other batch, so hybrid adds at most ONE extra compiled program
+        per batch bucket instead of one per pow-2 flag-count bucket."""
         if not backlog:
             return
         flag_rows = [np.asarray(f) for _s, _q, _l, f in backlog]  # 1 sync
-        for (seq_b, qual_b, len_b, _f), fl in zip(backlog, flag_rows):
-            n_flag = int(fl.sum())
-            if not n_flag:
+        for (seq_b, qual_b, len_b, f_b), fl in zip(backlog, flag_rows):
+            if not fl.any():
                 continue
-            rows = np.where(fl)[0]
-            n_pad = 1 << max(3, (n_flag - 1).bit_length())
-            rows_p = np.concatenate([rows,
-                                     np.zeros(n_pad - n_flag, np.int64)])
-            lens_p = np.concatenate([len_b[rows],
-                                     np.zeros(n_pad - n_flag, np.int32)])
-            ex = si.ll_scan(jnp.asarray(seq_b[rows_p]),
-                            jnp.asarray(qual_b[rows_p]),
-                            jnp.asarray(lens_p), k, min_ll,
-                            precision="exact")
-            _add_canonical_fsm(store, *ex, source=source)
+            lens = jnp.where(f_b, len_b, 0)
+            r = _fused_rp_batch(seq_b, qual_b, lens, f_b, k,
+                                store.counts_n, source, min_ll_f,
+                                "exact", False)
+            store.add_run(r[0], r[1], r[2], r[3])
         backlog.clear()
 
     reads_done = int(skip_reads)
@@ -568,7 +567,7 @@ def count_kmers_fq_sh_rp(path: str, k: int, prefix_bits: int = 20,
         )
         store.add_run(run_hi, run_lo, run_cnt, n_obs)
         if fsm in ("hybrid", "pallas_hybrid"):
-            backlog.append((b.seq_h, b.qual_h, b.lengths_h, flags))
+            backlog.append((b.seq, b.qual, b.lengths, flags))
             if len(backlog) >= sweep_every:
                 sweep_backlog()
         reads_done += n_recs
