@@ -89,17 +89,26 @@ _DEAD = jnp.uint32(0xFFFFFFFF)
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def _build_run_direct(hi, lo, valid, onehot, k: int):
-    """Fresh batch -> run, gather-free: one stable single-key sort with
-    the validity as payload, segment counts scatter-added onto each
-    segment's first row, dead rows keyed all-ones. A mixed all-G/dead
-    group (k=32) stays live with the correct count because liveness in
-    run-form is 'count row sum > 0', not a position prefix."""
+    """Fresh batch -> run, gather-free: one single-key sort, segment
+    counts scatter-added onto each segment's first row, dead rows keyed
+    all-ones. For k < 32 a valid key can never equal the all-ones
+    sentinel (bits above 2k are zero), so the sort carries NO payload and
+    validity is re-derived from the sorted keys — the ROADMAP §1
+    "sort narrower data" economics applied to the counting hot loop. At
+    k=32 a real all-G kmer shares the sentinel, so the validity rides as
+    payload; a mixed all-G/dead group stays live with the correct count
+    because liveness in run-form is 'count row sum > 0'."""
     N = hi.shape[0]
     key = (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(jnp.uint64)
     key = jnp.where(valid, key, jnp.uint64(0xFFFFFFFFFFFFFFFF))
-    key_s, val_s = jax.lax.sort(
-        (key, valid.astype(U32)), dimension=-1, is_stable=False, num_keys=1
-    )
+    if k < 32:
+        key_s = jax.lax.sort(key, dimension=-1, is_stable=False)
+        val_s = (key_s != jnp.uint64(0xFFFFFFFFFFFFFFFF)).astype(U32)
+    else:
+        key_s, val_s = jax.lax.sort(
+            (key, valid.astype(U32)), dimension=-1, is_stable=False,
+            num_keys=1,
+        )
     idx = jnp.arange(N, dtype=I32)
     starts = jnp.zeros(N, bool).at[0].set(True) | (
         key_s != jnp.roll(key_s, 1)
