@@ -133,16 +133,33 @@ def _run_from_merge(u_hi, u_lo, cnt, n_unique):
     return hi, lo, cnt * live[:, None].astype(U32)
 
 
-def _run_sort_ops(hi, lo, cnt):
+def _run_sorted(hi, lo, cnt, k):
+    """Sorted (key_s, live_s, cnt_s) for a run. For k < 32 valid keys
+    cannot equal the all-ones sentinel, so liveness derives from the key
+    and the sort moves one array less (ROADMAP §1 "sort narrower data");
+    k = 32 keeps the dead flag as a second sort key (all-G ambiguity)."""
     key = (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(jnp.uint64)
-    dead = ((key == jnp.uint64(0xFFFFFFFFFFFFFFFF))
-            & (cnt.sum(axis=1) == 0)).astype(U32)
-    return key, dead
+    C = cnt.shape[1]
+    if k < 32:
+        ops = (key,) + tuple(cnt[:, j] for j in range(C))
+        s = jax.lax.sort(ops, num_keys=1)
+        key_s = s[0]
+        cnt_s = jnp.stack(s[1:], axis=1)
+        live = key_s != jnp.uint64(0xFFFFFFFFFFFFFFFF)
+    else:
+        dead = ((key == jnp.uint64(0xFFFFFFFFFFFFFFFF))
+                & (cnt.sum(axis=1) == 0)).astype(U32)
+        ops = (key, dead) + tuple(cnt[:, j] for j in range(C))
+        s = jax.lax.sort(ops, num_keys=2)
+        key_s = s[0]
+        cnt_s = jnp.stack(s[2:], axis=1)
+        live = s[1] == 0
+    return key_s, live, cnt_s
 
 
-@jax.jit
-def _merge_runs(a_hi, a_lo, a_cnt, b_hi, b_lo, b_cnt):
-    """Merge two runs (each with unique live keys): concat + two-key sort +
+@functools.partial(jax.jit, static_argnames=("k",))
+def _merge_runs(a_hi, a_lo, a_cnt, b_hi, b_lo, b_cnt, k: int = 32):
+    """Merge two runs (each with unique live keys): concat + sort +
     neighbour-absorb. Each true key appears at most twice, so the segment
     sum is one elementwise shifted add — no scatter. Output is run-form but
     unsorted (killed duplicates become interior dead rows); callers either
@@ -150,13 +167,7 @@ def _merge_runs(a_hi, a_lo, a_cnt, b_hi, b_lo, b_cnt):
     hi = jnp.concatenate([a_hi, b_hi])
     lo = jnp.concatenate([a_lo, b_lo])
     cnt = jnp.concatenate([a_cnt, b_cnt])
-    key, dead = _run_sort_ops(hi, lo, cnt)
-    C = cnt.shape[1]
-    ops = (key, dead) + tuple(cnt[:, j] for j in range(C))
-    s = jax.lax.sort(ops, num_keys=2)
-    key_s, dead_s = s[0], s[1]
-    cnt_s = jnp.stack(s[2:], axis=1)
-    live = dead_s == 0
+    key_s, live, cnt_s = _run_sorted(hi, lo, cnt, k)
     nxt_same = jnp.concatenate([key_s[1:] == key_s[:-1],
                                 jnp.zeros(1, bool)])
     prv_same = jnp.concatenate([jnp.zeros(1, bool),
@@ -170,17 +181,11 @@ def _merge_runs(a_hi, a_lo, a_cnt, b_hi, b_lo, b_cnt):
     return out_hi, out_lo, out_cnt
 
 
-@jax.jit
-def _finalize_run(hi, lo, cnt):
+@functools.partial(jax.jit, static_argnames=("k",))
+def _finalize_run(hi, lo, cnt, k: int = 32):
     """Sort a run into compact form: live rows first in true key order,
     dead tail zeroed. Returns (u_hi, u_lo, cnt, n_unique)."""
-    key, dead = _run_sort_ops(hi, lo, cnt)
-    C = cnt.shape[1]
-    ops = (key, dead) + tuple(cnt[:, j] for j in range(C))
-    s = jax.lax.sort(ops, num_keys=2)
-    key_s, dead_s = s[0], s[1]
-    cnt_s = jnp.stack(s[2:], axis=1)
-    live = dead_s == 0
+    key_s, live, cnt_s = _run_sorted(hi, lo, cnt, k)
     n_unique = live.sum().astype(I32)
     u_hi = jnp.where(live, (key_s >> jnp.uint64(32)).astype(U32), 0)
     u_lo = jnp.where(live, key_s.astype(U32), 0)
@@ -409,7 +414,8 @@ class CountStore:
                 break
             i, j = pair[0], pair[1]
             a, b = self._runs[i], self._runs[j]
-            merged = _merge_runs(a[0], a[1], a[2], b[0], b[1], b[2])
+            merged = _merge_runs(a[0], a[1], a[2], b[0], b[1], b[2],
+                                 k=self.k)
             self._runs = [r for t, r in enumerate(self._runs)
                           if t not in (i, j)]
             self._runs.append(merged)
@@ -427,7 +433,7 @@ class CountStore:
         numpy arrays or as an .npz under spill_dir."""
         self._runs.sort(key=lambda r: int(r[0].shape[0]))
         hi, lo, cnt = self._runs.pop()
-        u_hi, u_lo, u_cnt, n_u = _finalize_run(hi, lo, cnt)
+        u_hi, u_lo, u_cnt, n_u = _finalize_run(hi, lo, cnt, k=self.k)
         n_u = int(n_u)
         cap = _next_pow2(n_u)
         a_hi = np.asarray(u_hi[:cap]).copy()
@@ -469,6 +475,7 @@ class CountStore:
             hi, lo, cnt = _merge_runs(
                 hi, lo, cnt,
                 jnp.asarray(a_hi), jnp.asarray(a_lo), jnp.asarray(a_cnt),
+                k=self.k,
             )
             cap = _next_pow2(int(hi.shape[0]))
             if cap != hi.shape[0]:
@@ -505,7 +512,8 @@ class CountStore:
         hi, lo, cnt = self._runs.pop()
         while self._runs:
             b = self._runs.pop()
-            hi, lo, cnt = _merge_runs(hi, lo, cnt, b[0], b[1], b[2])
+            hi, lo, cnt = _merge_runs(hi, lo, cnt, b[0], b[1], b[2],
+                                      k=self.k)
             cap = _next_pow2(int(hi.shape[0]))
             if cap != hi.shape[0]:
                 pad = cap - hi.shape[0]
@@ -514,7 +522,7 @@ class CountStore:
                 cnt = jnp.pad(cnt, ((0, pad), (0, 0)))
         if self._spilled:
             hi, lo, cnt = self._fold_spilled(hi, lo, cnt)
-        u_hi, u_lo, u_cnt, n_u = _finalize_run(hi, lo, cnt)
+        u_hi, u_lo, u_cnt, n_u = _finalize_run(hi, lo, cnt, k=self.k)
         self._n_unique = int(n_u)
         new_cap = _next_pow2(self._n_unique)
         if new_cap < u_hi.shape[0]:

@@ -772,6 +772,7 @@ class ShardedCountStore:
                 a_cnt.reshape(a_cnt.shape[1], -1),
                 b_hi.reshape(-1), b_lo.reshape(-1),
                 b_cnt.reshape(b_cnt.shape[1], -1),
+                k=self.k,
             )
             return out[0][None], out[1][None], out[2][None]
 
@@ -878,7 +879,7 @@ class ShardedCountStore:
         def fin(hi, lo, cnt):
             u_hi, u_lo, u_cnt, n_u = cs._finalize_run(
                 hi.reshape(-1), lo.reshape(-1),
-                cnt.reshape(cnt.shape[1], -1),
+                cnt.reshape(cnt.shape[1], -1), k=self.k,
             )
             return u_hi[None], u_lo[None], u_cnt[None], n_u[None]
 
