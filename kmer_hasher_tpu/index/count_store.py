@@ -101,7 +101,12 @@ def _build_run_direct(hi, lo, valid, onehot, k: int):
     N = hi.shape[0]
     key = (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(jnp.uint64)
     key = jnp.where(valid, key, jnp.uint64(0xFFFFFFFFFFFFFFFF))
-    if k < 32:
+    if 2 * k < 32:  # bare u32 comparator (see _run_sorted)
+        k32 = jax.lax.sort(key.astype(U32), dimension=-1, is_stable=False)
+        val_s = (k32 != _DEAD).astype(U32)
+        key_s = jnp.where(k32 == _DEAD, jnp.uint64(0xFFFFFFFFFFFFFFFF),
+                          k32.astype(jnp.uint64))
+    elif k < 32:
         key_s = jax.lax.sort(key, dimension=-1, is_stable=False)
         val_s = (key_s != jnp.uint64(0xFFFFFFFFFFFFFFFF)).astype(U32)
     else:
@@ -134,13 +139,29 @@ def _run_from_merge(u_hi, u_lo, cnt, n_unique):
 
 
 def _run_sorted(hi, lo, cnt, k):
-    """Sorted (key_s, live_s, cnt_s) for a run. For k < 32 valid keys
-    cannot equal the all-ones sentinel, so liveness derives from the key
-    and the sort moves one array less (ROADMAP §1 "sort narrower data");
-    k = 32 keeps the dead flag as a second sort key (all-G ambiguity)."""
+    """Sorted (key_s [u64], live_s, cnt_s) for a run, sorting as little
+    data as possible (ROADMAP §1 "sort narrower data"):
+
+    * k <= 15: the whole key fits 30 bits, so the comparator runs on a
+      bare uint32 (half the key bytes); the sentinel 0xFFFFFFFF cannot be
+      a valid key.
+    * k <= 31: uint64 key, no payload — a valid key cannot equal the
+      all-ones sentinel (bits above 2k are zero; at k=16 all-G is
+      0x00000000FFFFFFFF, still distinct), so liveness derives from the
+      sorted key.
+    * k = 32: a real all-G kmer shares the sentinel, so a dead flag rides
+      as a second sort key."""
     key = (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(jnp.uint64)
     C = cnt.shape[1]
-    if k < 32:
+    if 2 * k < 32:
+        ops = (key.astype(U32),) + tuple(cnt[:, j] for j in range(C))
+        s = jax.lax.sort(ops, num_keys=1)
+        key_s = s[0].astype(jnp.uint64)
+        key_s = jnp.where(key_s == jnp.uint64(0xFFFFFFFF),
+                          jnp.uint64(0xFFFFFFFFFFFFFFFF), key_s)
+        cnt_s = jnp.stack(s[1:], axis=1)
+        live = key_s != jnp.uint64(0xFFFFFFFFFFFFFFFF)
+    elif k < 32:
         ops = (key,) + tuple(cnt[:, j] for j in range(C))
         s = jax.lax.sort(ops, num_keys=1)
         key_s = s[0]
