@@ -5,7 +5,8 @@ used to call ``jax.distributed.initialize`` *before* anything initialises
 the XLA backend (a hard requirement of multi-host bring-up).
 """
 
-__all__ = ["make_mesh", "ShardedKmerIndex", "ShardedCountStore"]
+__all__ = ["make_mesh", "ShardedKmerIndex", "ShardedCountStore",
+           "kmer_pairs_sharded"]
 
 
 def __getattr__(name):
@@ -13,7 +14,8 @@ def __getattr__(name):
         from .mesh import make_mesh
 
         return make_mesh
-    if name in ("ShardedKmerIndex", "ShardedCountStore"):
+    if name in ("ShardedKmerIndex", "ShardedCountStore",
+                "kmer_pairs_sharded"):
         from . import sharded
 
         return getattr(sharded, name)

@@ -207,30 +207,40 @@ class ShardedKmerIndex:
         return shard_fn(seq_padded)
 
     # -- kmer.pos table family (src/kmer_hash.c:1054-1147), sharded --------
-    def _range_partitioned(self, capacity_factor: float = 2.0):
+    def _range_partitioned(self, capacity_factor: float = 2.0,
+                           splitters=None):
         """Re-shard (key, pos) by key *range* (quantile splitters sampled
         from the hash shards) so that shard-major emission is globally
         key-sorted — the multi-chip form of the canonical table order.
-        Cached; returns (r_hi, r_lo, r_pos [D, C], n_valid [D])."""
-        if getattr(self, "_rp", None) is not None:
+        Cached; returns (r_hi, r_lo, r_pos [D, C], n_valid [D]).
+
+        ``splitters=(spl_hi, spl_lo)`` overrides the sampled splitters so
+        a SECOND index can be partitioned into the same key intervals
+        (cross-index pairs, kmer_pairs_sharded); such calls bypass the
+        cache."""
+        if splitters is None and getattr(self, "_rp", None) is not None:
             return self._rp
         D, k, axis = self.n_shards, self.k, self.axis
-        # sample S quantile keys per shard, pick D-1 global splitters
-        S = 64
-        samp_hi = np.zeros((D, S), np.uint32)
-        samp_lo = np.zeros((D, S), np.uint32)
-        s_hi_np = np.asarray(self.s_hi)
-        s_lo_np = np.asarray(self.s_lo)
-        for d in range(D):
-            nv = max(int(self.n_valid[d]), 1)
-            idx = (np.arange(S, dtype=np.int64) * nv) // S
-            samp_hi[d] = s_hi_np[d][idx]
-            samp_lo[d] = s_lo_np[d][idx]
-        keys = (samp_hi.astype(np.uint64) << 32) | samp_lo.astype(np.uint64)
-        keys = np.sort(keys.reshape(-1))
-        spl = keys[[(i + 1) * len(keys) // D for i in range(D - 1)]]
-        spl_hi = jnp.asarray((spl >> 32).astype(np.uint32))
-        spl_lo = jnp.asarray(spl.astype(np.uint32))
+        if splitters is not None:
+            spl_hi, spl_lo = splitters
+        else:
+            # sample S quantile keys per shard, pick D-1 global splitters
+            S = 64
+            samp_hi = np.zeros((D, S), np.uint32)
+            samp_lo = np.zeros((D, S), np.uint32)
+            s_hi_np = np.asarray(self.s_hi)
+            s_lo_np = np.asarray(self.s_lo)
+            for d in range(D):
+                nv = max(int(self.n_valid[d]), 1)
+                idx = (np.arange(S, dtype=np.int64) * nv) // S
+                samp_hi[d] = s_hi_np[d][idx]
+                samp_lo[d] = s_lo_np[d][idx]
+            keys = ((samp_hi.astype(np.uint64) << 32)
+                    | samp_lo.astype(np.uint64))
+            keys = np.sort(keys.reshape(-1))
+            spl = keys[[(i + 1) * len(keys) // D for i in range(D - 1)]]
+            spl_hi = jnp.asarray((spl >> 32).astype(np.uint32))
+            spl_lo = jnp.asarray(spl.astype(np.uint32))
         n_valid = jnp.asarray(self.n_valid, I32)
         cap_shard = int(self.s_hi.shape[1])
         C = 1 << max(4, int(capacity_factor * cap_shard / D - 1)
@@ -274,6 +284,9 @@ class ShardedKmerIndex:
             C *= 2
         else:
             raise RuntimeError("range-partition capacity overflow")
+        if splitters is not None:
+            return (r_hi, r_lo, r_pos, np.asarray(nv))
+        self._rp_spl = (spl_hi, spl_lo)
         self._rp = (r_hi, r_lo, r_pos, np.asarray(nv))
         return self._rp
 
@@ -617,6 +630,72 @@ class ShardedKmerIndex:
         out = (np.concatenate(chunks, axis=0)[:, 0] if chunks
                else np.zeros(0, np.int32))
         return np.sort(out)
+
+
+def kmer_pairs_sharded(a: "ShardedKmerIndex", b: "ShardedKmerIndex",
+                       capacity: int = 1 << 20) -> np.ndarray:
+    """``kmer.pairs`` across two *sharded* indexes (the multi-chip form of
+    index.query.kmer_pairs; intended semantics of the reference's broken
+    hash-vs-hash entry, src/kmer_hash.c:1190-1238).
+
+    Both indexes are re-sharded by key RANGE using ``a``'s splitters, so
+    every shard owns the same key interval in both; each shard emits its
+    (a_pos, b_pos) cross-products in a-sorted order through fixed-size
+    drained chunks, and shard-major concatenation reproduces the
+    single-chip row order exactly — no host-side sort."""
+    if a.mesh is not b.mesh and a.mesh != b.mesh:
+        raise ValueError("both indexes must live on the same mesh")
+    if a.k != b.k:
+        raise ValueError("k mismatch between indexes")
+    axis, D, C = a.axis, a.n_shards, capacity
+    a_hi, a_lo, a_pos, a_nv = a._range_partitioned()
+    spl = a._rp_spl
+    b_hi, b_lo, b_pos, b_nv = b._range_partitioned(splitters=spl)
+    a_nv_d = jnp.asarray(a_nv, I32)
+    b_nv_d = jnp.asarray(b_nv, I32)
+
+    def fn(ah, al, ap, an, bh, bl, bp, bn, start):
+        ah, al, ap = ah.reshape(-1), al.reshape(-1), ap.reshape(-1)
+        bh, bl, bp = bh.reshape(-1), bl.reshape(-1), bp.reshape(-1)
+        lb = srt.searchsorted2(bh, bl, bn[0], ah, al, "left")
+        ub = srt.searchsorted2(bh, bl, bn[0], ah, al, "right")
+        live_a = jnp.arange(ah.shape[0], dtype=I32) < an[0]
+        c = jnp.where(live_a, ub - lb, 0).astype(I32)
+        cum = jnp.cumsum(c.astype(I64))
+        g = start[0] + jnp.arange(C, dtype=I64)
+        w = srt.searchsorted_i64(cum, g, ah.shape[0], "right")
+        t = (g - (cum - c.astype(I64))[w]).astype(I32)
+        j = bp[jnp.clip(lb[w] + t, 0, bp.shape[0] - 1)]
+        ok = g < cum[-1]
+        rows = jnp.stack([jnp.where(ok, ap[w], 0),
+                          jnp.where(ok, j, 0)], axis=1)
+        return rows[None], ok.sum(dtype=I32)[None], cum[-1][None]
+
+    shard_fn = jax.jit(
+        jax.shard_map(
+            fn, mesh=a.mesh,
+            in_specs=(P(axis),) * 4 + (P(axis),) * 4 + (P(axis),),
+            out_specs=(P(axis), P(axis), P(axis)),
+        )
+    )
+
+    per_shard = [[] for _ in range(D)]
+    start = 0
+    while True:
+        starts = jnp.full((D, 1), start, I64)
+        rows, n, total = shard_fn(a_hi, a_lo, a_pos, a_nv_d,
+                                  b_hi, b_lo, b_pos, b_nv_d, starts)
+        rows, n = np.asarray(rows), np.asarray(n)
+        for d in range(D):
+            if n[d]:
+                per_shard[d].append(rows[d, : n[d]])
+        start += C
+        if start >= int(np.asarray(total).max()):
+            break
+    blocks = [blk for d in range(D) for blk in per_shard[d]]
+    if not blocks:
+        return np.zeros((0, 2), np.int32)
+    return np.concatenate(blocks, axis=0).astype(np.int32)
 
 
 def _host_read(x) -> np.ndarray:

@@ -238,3 +238,25 @@ def test_iter_seq_kmer_pos_streams_sorted_blocks(mesh):
     oracle = rs.seq_kmer_positions(rs.seq_to_hash(seq.encode(), k), q, k)
     np.testing.assert_array_equal(np.concatenate(blocks, axis=0),
                                   np.asarray(oracle, np.int32))
+
+
+def test_sharded_kmer_pairs_matches_single_chip(mesh, test_fa):
+    """Cross-index kmer.pairs on sharded indexes: range re-partitioning
+    with shared splitters must reproduce the single-chip row order."""
+    from kmer_hasher_tpu.index.query import kmer_pairs
+    from kmer_hasher_tpu.parallel import kmer_pairs_sharded
+
+    k = 11
+    sa, sb = test_fa[:2500], test_fa[1800:4200]
+    want = kmer_pairs(KmerIndex(sa, k), KmerIndex(sb, k))
+    got = kmer_pairs_sharded(ShardedKmerIndex(sa, k, mesh),
+                             ShardedKmerIndex(sb, k, mesh))
+    np.testing.assert_array_equal(got, want)
+    # chunk drain: tiny capacity must change nothing
+    got2 = kmer_pairs_sharded(ShardedKmerIndex(sa, k, mesh),
+                              ShardedKmerIndex(sb, k, mesh), capacity=256)
+    np.testing.assert_array_equal(got2, want)
+    # k mismatch rejected
+    with pytest.raises(ValueError, match="k mismatch"):
+        kmer_pairs_sharded(ShardedKmerIndex(sa, 9, mesh),
+                           ShardedKmerIndex(sb, k, mesh))
