@@ -73,9 +73,15 @@ def cmd_count(a):
 
     mesh = None
     if a.mesh:
-        from .parallel.mesh import make_mesh
+        if a.mesh_slices:
+            from .parallel.mesh import make_hierarchical_mesh
 
-        mesh = make_mesh(a.mesh)
+            mesh = make_hierarchical_mesh(a.mesh_slices,
+                                          a.mesh // a.mesh_slices)
+        else:
+            from .parallel.mesh import make_mesh
+
+            mesh = make_mesh(a.mesh)
     store = None
     progress = None
     if a.resume:
@@ -182,6 +188,10 @@ def main(argv=None):
     s.add_argument("--mesh", type=int, default=None,
                    help="count multi-chip over N devices (sharded store; "
                         "the reference's thread_n, lifted to chips)")
+    s.add_argument("--mesh-slices", type=int, default=None,
+                   help="with --mesh: treat the N devices as this many "
+                        "DCN-connected slices (hierarchical slice-first "
+                        "key routing)")
     s.add_argument("--resume", default=None,
                    help="existing store to keep accumulating into; if it "
                         "holds a progress cursor (--checkpoint-every), "

@@ -5,15 +5,15 @@ used to call ``jax.distributed.initialize`` *before* anything initialises
 the XLA backend (a hard requirement of multi-host bring-up).
 """
 
-__all__ = ["make_mesh", "ShardedKmerIndex", "ShardedCountStore",
-           "kmer_pairs_sharded"]
+__all__ = ["make_mesh", "make_hierarchical_mesh", "ShardedKmerIndex",
+           "ShardedCountStore", "kmer_pairs_sharded"]
 
 
 def __getattr__(name):
-    if name == "make_mesh":
-        from .mesh import make_mesh
+    if name in ("make_mesh", "make_hierarchical_mesh"):
+        from . import mesh
 
-        return make_mesh
+        return getattr(mesh, name)
     if name in ("ShardedKmerIndex", "ShardedCountStore",
                 "kmer_pairs_sharded"):
         from . import sharded

@@ -725,7 +725,14 @@ class ShardedCountStore:
                  spill_dir: "Optional[str]" = None):
         self.k = int(k)
         self.mesh = mesh
-        self.axis = mesh.axis_names[0]
+        # one mesh axis = flat key sharding; two axes ("dcn", "ici") = a
+        # hierarchical multi-slice mesh (make_hierarchical_mesh): add_batch
+        # then routes slice-first so cross-DCN traffic moves in n_slices
+        # coarse blocks, and every other collective runs over both axes
+        self.axes = tuple(mesh.axis_names)
+        if len(self.axes) > 2:
+            raise ValueError("mesh must have 1 or 2 axes")
+        self.axis = self.axes[0]
         self.n_shards = mesh.size
         self.counts_n = int(counts_n)
         self.capacity = capacity
@@ -765,7 +772,7 @@ class ShardedCountStore:
         from jax.sharding import NamedSharding
 
         full_np = np.asarray(full_np)
-        sharding = NamedSharding(self.mesh, P(self.axis))
+        sharding = NamedSharding(self.mesh, P(self.axes))
         return jax.make_array_from_callback(
             full_np.shape, sharding, lambda idx: full_np[idx]
         )
@@ -777,7 +784,7 @@ class ShardedCountStore:
             return arr
         from jax.sharding import NamedSharding
 
-        sharding = NamedSharding(self.mesh, P(self.axis))
+        sharding = NamedSharding(self.mesh, P(self.axes))
         return jax.make_array_from_process_local_data(
             sharding, np.asarray(arr)
         )
@@ -792,21 +799,49 @@ class ShardedCountStore:
         is only touched when a read folds. The only per-batch host sync is
         the routing-overflow flag (kept so overflow is detected, never
         dropped)."""
-        axis, D, k, C = self.axis, self.n_shards, self.k, self.capacity
+        axes, D, k, C = self.axes, self.n_shards, self.k, self.capacity
         onehot = jnp.zeros(self.counts_n, U32).at[source].set(1)
         hi = self._globalize(hi)
         lo = self._globalize(lo)
         valid = self._globalize(valid)
+        hier = len(axes) == 2
+        if hier:
+            n_dcn, n_ici = self.mesh.devices.shape
+
+        def route(b_hi, b_lo, b_val):
+            """Rows -> owner devices. Flat: one all_to_all over the single
+            axis. Hierarchical ("dcn","ici"): slice-bucketed all_to_all
+            over DCN first (n_dcn coarse blocks), then per-owner
+            all_to_all over ICI — same total volume, DCN moves it in
+            slice-sized transfers (global shard id = slice * n_ici +
+            intra, matching the mesh's row-major device order)."""
+            zero = jnp.zeros_like(b_hi, I32)
+            if not hier:
+                s_hi, s_lo, _sp, s_val, ovf = _bucket_for_send(
+                    b_hi, b_lo, zero, b_val, D, C, k
+                )
+                r_hi = jax.lax.all_to_all(s_hi, axes[0], 0, 0).reshape(-1)
+                r_lo = jax.lax.all_to_all(s_lo, axes[0], 0, 0).reshape(-1)
+                r_val = jax.lax.all_to_all(s_val, axes[0], 0, 0).reshape(-1)
+                return r_hi, r_lo, r_val, ovf
+            own = owner_hash(b_hi, b_lo, D)
+            s1 = _bucket_for_send(b_hi, b_lo, zero, b_val, n_dcn,
+                                  C * n_ici, k, owner=own // n_ici)
+            h1 = jax.lax.all_to_all(s1[0], axes[0], 0, 0).reshape(-1)
+            l1 = jax.lax.all_to_all(s1[1], axes[0], 0, 0).reshape(-1)
+            v1 = jax.lax.all_to_all(s1[3], axes[0], 0, 0).reshape(-1)
+            own2 = owner_hash(h1, l1, D) % n_ici
+            s2 = _bucket_for_send(h1, l1, jnp.zeros_like(h1, I32), v1,
+                                  n_ici, C * n_dcn, k, owner=own2)
+            r_hi = jax.lax.all_to_all(s2[0], axes[1], 0, 0).reshape(-1)
+            r_lo = jax.lax.all_to_all(s2[1], axes[1], 0, 0).reshape(-1)
+            r_val = jax.lax.all_to_all(s2[3], axes[1], 0, 0).reshape(-1)
+            return r_hi, r_lo, r_val, s1[4] | s2[4]
 
         def fn(b_hi, b_lo, b_val):
             b_hi, b_lo, b_val = (b_hi.reshape(-1), b_lo.reshape(-1),
                                  b_val.reshape(-1))
-            s_hi, s_lo, s_pos, s_val, ovf = _bucket_for_send(
-                b_hi, b_lo, jnp.zeros_like(b_hi, I32), b_val, D, C, k
-            )
-            r_hi = jax.lax.all_to_all(s_hi, axis, 0, 0).reshape(-1)
-            r_lo = jax.lax.all_to_all(s_lo, axis, 0, 0).reshape(-1)
-            r_val = jax.lax.all_to_all(s_val, axis, 0, 0).reshape(-1)
+            r_hi, r_lo, r_val, ovf = route(b_hi, b_lo, b_val)
             from ..index import count_store as cs
 
             rh, rl, rc, n_obs = cs._build_run_direct(r_hi, r_lo, r_val,
@@ -817,15 +852,15 @@ class ShardedCountStore:
                 jnp.concatenate([
                     (onehot.astype(jnp.int64) * n_obs),
                     ovf.astype(jnp.int64)[None],
-                ]), axis,
+                ]), axes,
             )
             return rh[None], rl[None], rc[None], stats
 
         shard_fn = jax.jit(
             jax.shard_map(
                 fn, mesh=self.mesh,
-                in_specs=(P(axis), P(axis), P(axis)),
-                out_specs=(P(axis), P(axis), P(axis), P()),
+                in_specs=(P(axes), P(axes), P(axes)),
+                out_specs=(P(axes), P(axes), P(axes), P()),
             )
         )
         r_hi, r_lo, r_cnt, stats = shard_fn(hi, lo, valid)
@@ -857,8 +892,8 @@ class ShardedCountStore:
 
         shard_fn = jax.jit(
             jax.shard_map(
-                fn, mesh=self.mesh, in_specs=(P(self.axis),) * 6,
-                out_specs=(P(self.axis),) * 3,
+                fn, mesh=self.mesh, in_specs=(P(self.axes),) * 6,
+                out_specs=(P(self.axes),) * 3,
             )
         )
         return shard_fn(a[0], a[1], a[2], b[0], b[1], b[2])
@@ -938,8 +973,8 @@ class ShardedCountStore:
 
             run_fn = jax.jit(
                 jax.shard_map(
-                    to_run, mesh=self.mesh, in_specs=(P(self.axis),) * 4,
-                    out_specs=(P(self.axis),) * 3,
+                    to_run, mesh=self.mesh, in_specs=(P(self.axes),) * 4,
+                    out_specs=(P(self.axes),) * 3,
                 )
             )
             ns = self._global_put(self._n_unique.astype(np.int32)
@@ -964,8 +999,8 @@ class ShardedCountStore:
 
         fin_fn = jax.jit(
             jax.shard_map(
-                fin, mesh=self.mesh, in_specs=(P(self.axis),) * 3,
-                out_specs=(P(self.axis),) * 4,
+                fin, mesh=self.mesh, in_specs=(P(self.axes),) * 3,
+                out_specs=(P(self.axes),) * 4,
             )
         )
         u_hi, u_lo, cnt, n_u = fin_fn(acc[0], acc[1], acc[2])
@@ -979,7 +1014,7 @@ class ShardedCountStore:
 
     def spectrum(self, max_count: int) -> np.ndarray:
         """Global count histogram: per-shard bincount + psum."""
-        axis = self.axis
+        axes = self.axes
         nv = self._global_put(self.n_unique.astype(np.int32))
 
         def fn(cnt, ns):
@@ -988,10 +1023,10 @@ class ShardedCountStore:
             c = jnp.minimum(cnt0.astype(I64), max_count)
             c = jnp.where(live, c, max_count + 1)
             spec = jnp.zeros(max_count + 2, jnp.float64).at[c].add(1.0)
-            return jax.lax.psum(spec[: max_count + 1], axis)
+            return jax.lax.psum(spec[: max_count + 1], axes)
 
         shard_fn = jax.jit(
-            jax.shard_map(fn, mesh=self.mesh, in_specs=(P(axis), P(axis)),
+            jax.shard_map(fn, mesh=self.mesh, in_specs=(P(axes), P(axes)),
                           out_specs=P())
         )
         return np.asarray(shard_fn(self.cnt, nv))
@@ -1005,7 +1040,7 @@ class ShardedCountStore:
         comb = np.asarray(comb, np.int32)
         comb_inner = np.asarray(comb_inner, np.int32)
         source_min = np.asarray(source_min, np.int64)
-        axis = self.axis
+        axes = self.axes
         comb_n = int(len(comb))
         nv = self._global_put(self.n_unique.astype(np.int32))
 
@@ -1015,10 +1050,10 @@ class ShardedCountStore:
             out = _spectrum_nc(cnt2, live, max_count, jnp.asarray(comb),
                                jnp.asarray(comb_inner),
                                jnp.asarray(source_min), comb_n)
-            return jax.lax.psum(out, axis)
+            return jax.lax.psum(out, axes)
 
         shard_fn = jax.jit(
-            jax.shard_map(fn, mesh=self.mesh, in_specs=(P(axis), P(axis)),
+            jax.shard_map(fn, mesh=self.mesh, in_specs=(P(axes), P(axes)),
                           out_specs=P())
         )
         return np.asarray(shard_fn(self.cnt, nv))
@@ -1026,7 +1061,7 @@ class ShardedCountStore:
     def lookup(self, q_hi, q_lo) -> np.ndarray:
         """Count rows for queries, merged across shards (each key lives on
         exactly one shard, so psum of per-shard lookups is exact)."""
-        axis = self.axis
+        axes = self.axes
         nv = self._global_put(self.n_unique.astype(np.int32))
 
         def fn(u_hi, u_lo, cnt, ns, qh, ql):
@@ -1036,12 +1071,12 @@ class ShardedCountStore:
             lbc = jnp.clip(lb, 0, u_hi.shape[0] - 1)
             found = (lb < ns[0]) & (u_hi[lbc] == qh) & (u_lo[lbc] == ql)
             rows = jnp.where(found[:, None], cnt2[lbc], 0).astype(I32)
-            return jax.lax.psum(rows, axis)
+            return jax.lax.psum(rows, axes)
 
         shard_fn = jax.jit(
             jax.shard_map(
                 fn, mesh=self.mesh,
-                in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P()),
+                in_specs=(P(axes), P(axes), P(axes), P(axes), P(), P()),
                 out_specs=P(),
             )
         )

@@ -260,3 +260,40 @@ def test_sharded_kmer_pairs_matches_single_chip(mesh, test_fa):
     with pytest.raises(ValueError, match="k mismatch"):
         kmer_pairs_sharded(ShardedKmerIndex(sa, 9, mesh),
                            ShardedKmerIndex(sb, k, mesh))
+
+
+def test_hierarchical_mesh_counting_matches_flat(mesh, repeat_40_fq):
+    """2x4 ("dcn","ici") mesh: slice-first hierarchical routing must place
+    every key on the same owner as the flat 8-shard mesh and produce
+    identical stores."""
+    from kmer_hasher_tpu.io import pad_records
+    from kmer_hasher_tpu.parallel.mesh import make_hierarchical_mesh
+
+    k = 7
+    hmesh = make_hierarchical_mesh(2, 4)
+    assert hmesh.axis_names == ("dcn", "ici") and hmesh.size == 8
+    reads = [(s, q) for (_n, s, q) in repeat_40_fq]
+    hstore = ShardedCountStore(k, hmesh, counts_n=1)
+    fstore = ShardedCountStore(k, mesh, counts_n=1)
+    for s, q in reads:
+        pr = pad_records([("r", s, q)])
+        hi, lo, valid = enc.encode_stream(pr.seq, k, pr.lengths,
+                                          canonical=True)
+        hi = np.pad(np.asarray(hi), ((0, 7), (0, 0))).reshape(8, -1)
+        lo = np.pad(np.asarray(lo), ((0, 7), (0, 0))).reshape(8, -1)
+        valid = np.pad(np.asarray(valid), ((0, 7), (0, 0))).reshape(8, -1)
+        hstore.add_batch(hi, lo, valid)
+        fstore.add_batch(hi, lo, valid)
+    np.testing.assert_array_equal(hstore.n_unique, fstore.n_unique)
+    np.testing.assert_array_equal(hstore.spectrum(600), fstore.spectrum(600))
+    np.testing.assert_array_equal(hstore.total_added, fstore.total_added)
+    u_hi = np.asarray(_host_read_for_test(fstore.u_hi))
+    q_hi = u_hi[0][: int(fstore.n_unique[0])]
+    q_lo = np.asarray(_host_read_for_test(fstore.u_lo))[0][
+        : int(fstore.n_unique[0])]
+    np.testing.assert_array_equal(hstore.lookup(q_hi, q_lo),
+                                  fstore.lookup(q_hi, q_lo))
+
+
+def _host_read_for_test(x):
+    return np.asarray(x)
