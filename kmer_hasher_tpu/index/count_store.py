@@ -45,37 +45,6 @@ def _next_pow2(n: int) -> int:
     return 1 << max(6, int(n - 1).bit_length()) if n > 1 else 64
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _merge(s_hi, s_lo, s_cnt, n_store, b_hi, b_lo, b_valid, b_src_onehot, k: int):
-    """Merge the store's (keys, counts) with a batch of single-count
-    observations. Returns dense (keys, counts, n_unique) of combined size."""
-    cap_s = s_hi.shape[0]
-    cap_b = b_hi.shape[0]
-    C = s_cnt.shape[1]
-    live_s = jnp.arange(cap_s, dtype=I32) < n_store
-    hi = jnp.concatenate([s_hi, b_hi])
-    lo = jnp.concatenate([s_lo, b_lo])
-    valid = jnp.concatenate([live_s, b_valid])
-    idx = jnp.arange(cap_s + cap_b, dtype=I32)
-    o_hi, o_lo, o_idx = srt.sort_windows(hi, lo, idx, valid, k)
-    n_valid = valid.sum().astype(I32)
-    live = jnp.arange(cap_s + cap_b, dtype=I32) < n_valid
-    starts = srt.segment_starts(o_hi, o_lo, live)
-    seg = srt.segment_ids(starts)
-    cnt_all = jnp.concatenate(
-        [s_cnt, jnp.broadcast_to(b_src_onehot[None, :], (cap_b, C)).astype(U32)]
-    )
-    rows = cnt_all[o_idx] * live[:, None].astype(U32)
-    N = cap_s + cap_b
-    tgt = jnp.where(live, seg, N - 1)
-    new_cnt = jnp.zeros((N, C), U32).at[tgt].add(rows, mode="drop")
-    stgt = jnp.where(starts, seg, N - 1)
-    u_hi = jnp.zeros(N, U32).at[stgt].set(o_hi, mode="drop")
-    u_lo = jnp.zeros(N, U32).at[stgt].set(o_lo, mode="drop")
-    n_unique = starts.sum().astype(I32)
-    return u_hi, u_lo, new_cnt, n_unique
-
-
 # ---------------------------------------------------------------------------
 # LSM runs: sorted (key, counts) tables with dead rows keyed all-ones.
 # A "run" is (hi, lo, cnt[C]) where live rows have unique true keys and dead
