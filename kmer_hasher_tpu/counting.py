@@ -57,10 +57,29 @@ def _pad_pow2(records: List[Record]):
     return seq, qual, lengths, has_qual
 
 
+def _pack_np(seq: np.ndarray):
+    """NumPy fallback for the C++ packer: byte plane -> (codes, nmask)
+    in the compact upload form (see io.native.iter_fastx_packed)."""
+    codes = ((seq >> 1) & 3).astype(np.uint8)
+    B, L = seq.shape
+    c4 = codes.reshape(B, L // 4, 4)
+    packed = (c4[..., 0] | (c4[..., 1] << 2) | (c4[..., 2] << 4)
+              | (c4[..., 3] << 6))
+    is_n = (seq | np.uint8(0x20)) == np.uint8(ord("n"))
+    nmask = np.packbits(is_n, axis=-1, bitorder="little")
+    return packed, nmask
+
+
+def _use_packed_upload() -> bool:
+    import os
+
+    return os.environ.get("KMH_PACK_UPLOAD", "1") != "0"
+
+
 def _iter_padded_batches(path: str, max_reads: Optional[int],
                          batch_rows: Optional[int] = None,
                          prefetch: int = 2, skip: int = 0,
-                         to_device: bool = False):
+                         to_device: bool = False, packed: bool = False):
     """Yield device-ready (seq, qual, lengths, has_qual) batches, padded to
     power-of-two shapes. ``skip`` discards the first N records (mid-file
     resume); ``max_reads`` then limits the records yielded after the skip.
@@ -91,6 +110,28 @@ def _iter_padded_batches(path: str, max_reads: Optional[int],
 
     ship = _ship_to_device if to_device else (lambda b: b)
     if native.available():
+        import os as _os
+
+        if _os.environ.get("KMH_NATIVE_PAD", "1") != "0":
+            # padding (and optional 2-bit packing) by per-row memcpy in
+            # C++ — skips the NumPy fancy-index scatter entirely
+            # (KMH_NATIVE_PAD=0 reverts)
+            it_native = (native.iter_fastx_packed if packed
+                         else native.iter_fastx_padded)
+
+            def produce_cpp():
+                for b in it_native(path, batch_rows, max_reads, skip):
+                    yield ship(b)
+
+            yield from _prefetch_iter(produce_cpp(), prefetch)
+            return
+
+        def repack(b):
+            if not packed:
+                return b
+            seq, qual, lengths, has_qual = b
+            return _pack_np(seq), qual, lengths, has_qual
+
         def produce():
             to_skip = skip
             for raw in native.iter_fastx_raw(path, batch_rows, limit):
@@ -100,8 +141,9 @@ def _iter_padded_batches(path: str, max_reads: Optional[int],
                     to_skip -= n
                     continue
                 start, to_skip = to_skip, 0
-                yield ship(_pad_from_raw(seq_all, qual_all, offsets, qpres,
-                                         start, n, batch_rows))
+                yield ship(repack(_pad_from_raw(
+                    seq_all, qual_all, offsets, qpres, start, n,
+                    batch_rows)))
 
         yield from _prefetch_iter(produce(), prefetch)
         return
@@ -116,7 +158,11 @@ def _iter_padded_batches(path: str, max_reads: Optional[int],
                 continue
             if to_skip:
                 recs, to_skip = recs[to_skip:], 0
-            yield ship(_pad_pow2(recs))
+            b = _pad_pow2(recs)
+            if packed:
+                seq, qual, lengths, has_qual = b
+                b = (_pack_np(seq), qual, lengths, has_qual)
+            yield ship(b)
 
     yield from _prefetch_iter(produce_py(), prefetch)
 
@@ -238,6 +284,8 @@ def _fused_rp_batch(seq, qual, lengths, has_qual, k: int, counts_n: int,
     """
     from .index import count_store as cs
 
+    if isinstance(seq, tuple):  # compact upload form: (codes, nmask)
+        seq = enc.unpack_seq(*seq)
     min_ll = jnp.asarray(min_ll_f)
     lens_q = jnp.where(has_qual, lengths, 0)
     flags = None
@@ -364,6 +412,8 @@ def _fused_threshold_batch(seq, qual, lengths, has_qual, k: int,
     dispatch-cost rationale as _fused_rp_batch)."""
     from .index import count_store as cs
 
+    if isinstance(seq, tuple):  # compact upload form: (codes, nmask)
+        seq = enc.unpack_seq(*seq)
     mq = jnp.asarray(min_q_char)
     parts = []
     if with_q:
@@ -397,14 +447,17 @@ def _count_fastq_threshold(path: str, k: int, min_q: int,
     iterator, canonical min(fwd, rc) (src/kmer_hash.c:618-806)."""
     min_q_char = 33 + int(min_q)  # '!' + q, src/kmer_hash.c:633
     meter = _progress(report_every, f"count_fq[{path}]")
-    for seq, qual, lengths, has_qual in _iter_padded_batches(path, max_reads):
+    for seq, qual, lengths, has_qual in _iter_padded_batches(
+            path, max_reads, packed=_use_packed_upload()):
         n_recs = int((lengths > 0).sum())
         with_q = bool(has_qual.any())
         with_noq = bool(((~has_qual) & (lengths > 0)).any())
         if not (with_q or with_noq):
             continue
+        seq_j = (tuple(jnp.asarray(p) for p in seq)
+                 if isinstance(seq, tuple) else jnp.asarray(seq))
         run_hi, run_lo, run_cnt, n_obs = _fused_threshold_batch(
-            jnp.asarray(seq), jnp.asarray(qual), jnp.asarray(lengths),
+            seq_j, jnp.asarray(qual), jnp.asarray(lengths),
             jnp.asarray(has_qual), k, store.counts_n, min_q_char, with_q,
             with_noq,
         )
@@ -558,7 +611,8 @@ def count_kmers_fq_sh_rp(path: str, k: int, prefix_bits: int = 20,
     reads_done = int(skip_reads)
     since_ckpt = 0
     for b in _iter_padded_batches(
-            path, max_reads, skip=skip_reads, to_device=True):
+            path, max_reads, skip=skip_reads, to_device=True,
+            packed=_use_packed_upload()):
         n_recs = int((b.lengths_h > 0).sum())
         with_noq = bool(((~b.has_qual_h) & (b.lengths_h > k)).any())
         run_hi, run_lo, run_cnt, n_obs, flags = _fused_rp_batch(

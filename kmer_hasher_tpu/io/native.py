@@ -62,6 +62,21 @@ def _build() -> Optional[ctypes.CDLL]:
     lib.fastx_read_batch.restype = ctypes.POINTER(_FastxResult)
     lib.fastx_read_batch.argtypes = [ctypes.c_void_p, ctypes.c_int64]
     lib.fastx_close.argtypes = [ctypes.c_void_p]
+    lib.fastx_fill_padded.restype = None
+    lib.fastx_fill_padded.argtypes = [
+        ctypes.POINTER(_FastxResult), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.fastx_fill_packed.restype = None
+    lib.fastx_fill_packed.argtypes = [
+        ctypes.POINTER(_FastxResult), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+    ]
     return lib
 
 
@@ -167,6 +182,110 @@ def iter_fastx_raw(path: str, batch_records: int = 4096,
                 return
     finally:
         _lib.fastx_close(h)
+
+
+def _iter_fastx_filled(path: str, batch_records: int,
+                       max_records: Optional[int], skip: int, packed: bool):
+    """Shared streaming skeleton for the C++-filled padded/packed batch
+    iterators (see :func:`iter_fastx_padded` / :func:`iter_fastx_packed`)."""
+    import numpy as np
+
+    if not available():
+        raise RuntimeError("native fastx parser unavailable")
+    h = _lib.fastx_open(os.fsencode(path))
+    if not h:
+        raise FileNotFoundError(path)
+    row_cap = 1 << max(3, (batch_records - 1).bit_length())
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    try:
+        remaining = max_records
+        to_skip = skip
+        while True:
+            take = (batch_records if remaining is None
+                    else min(batch_records, remaining + to_skip))
+            if take <= 0:
+                return
+            res = _lib.fastx_read_batch(h, take)
+            try:
+                r = res.contents
+                if r.error == 2:
+                    raise ValueError(f"unrecognised fastx content in {path}")
+                if r.error == 3:
+                    raise IOError(f"read error (corrupt stream?) in {path}")
+                n = int(r.n_records)
+                if n == 0:
+                    return
+                if to_skip >= n:
+                    to_skip -= n
+                    if n < take:
+                        return
+                    continue
+                start, to_skip = to_skip, 0
+                offs = np.ctypeslib.as_array(r.offsets, shape=(n + 1,))
+                lmax = int((offs[start + 1:n + 1] - offs[start:n]).max())
+                B = n - start
+                Bp = min(1 << max(3, (B - 1).bit_length()), row_cap)
+                Lp = 1 << max(5, (max(lmax, 1) - 1).bit_length())
+                qual = np.empty((Bp, Lp), np.uint8)
+                lengths = np.empty(Bp, np.int32)
+                qpres = np.empty(Bp, np.uint8)
+                if packed:
+                    codes = np.empty((Bp, Lp // 4), np.uint8)
+                    nmask = np.empty((Bp, Lp // 8), np.uint8)
+                    _lib.fastx_fill_packed(
+                        res, start, n, Bp, Lp,
+                        codes.ctypes.data_as(u8p),
+                        nmask.ctypes.data_as(u8p),
+                        qual.ctypes.data_as(u8p),
+                        lengths.ctypes.data_as(i32p),
+                        qpres.ctypes.data_as(u8p),
+                    )
+                    batch = ((codes, nmask), qual, lengths,
+                             qpres.astype(bool))
+                else:
+                    seq = np.empty((Bp, Lp), np.uint8)
+                    _lib.fastx_fill_padded(
+                        res, start, n, Bp, Lp,
+                        seq.ctypes.data_as(u8p), qual.ctypes.data_as(u8p),
+                        lengths.ctypes.data_as(i32p),
+                        qpres.ctypes.data_as(u8p),
+                    )
+                    batch = (seq, qual, lengths, qpres.astype(bool))
+            finally:
+                _lib.fastx_free(res)
+            if remaining is not None:
+                remaining -= B
+            yield batch
+            if n < take:
+                return
+    finally:
+        _lib.fastx_close(h)
+
+
+def iter_fastx_padded(path: str, batch_records: int = 4096,
+                      max_records: Optional[int] = None, skip: int = 0):
+    """Stream device-ready padded batches (seq, qual, lengths, has_qual)
+    with the padding done by per-row memcpy in C++ (``fastx_fill_padded``)
+    instead of a NumPy fancy-index scatter — the fast input path for
+    throttled hosts. Shapes follow the same power-of-two bucketing as the
+    Python padder: rows to pow2(B) capped at pow2(batch_records), columns
+    to pow2(max record length, min 32). ``skip`` discards the first N
+    records (mid-file resume)."""
+    yield from _iter_fastx_filled(path, batch_records, max_records, skip,
+                                  packed=False)
+
+
+def iter_fastx_packed(path: str, batch_records: int = 4096,
+                      max_records: Optional[int] = None, skip: int = 0):
+    """Like :func:`iter_fastx_padded` but the sequence plane comes out in
+    the compact upload form ``(codes[B, Lp/4], nmask[B, Lp/8])`` — 2-bit
+    base codes + N bitmask, the exact information the device path consumes
+    (ops.encode.base_codes / n_flags) at 4x/8x fewer upload bytes.
+    ``ops.encode.unpack_seq`` reconstructs the canonical byte plane
+    on-device."""
+    yield from _iter_fastx_filled(path, batch_records, max_records, skip,
+                                  packed=True)
 
 
 def read_fastx(

@@ -248,6 +248,83 @@ void fastx_close(FastxReaderHandle* h) {
   delete reinterpret_cast<Reader*>(h);
 }
 
+// Fill caller-allocated padded planes from records [i, j) of res: row r of
+// the output holds record i+r left-justified, 'N'/0-padded to Lp columns
+// (rows beyond j-i are fully padded). This replaces the NumPy fancy-index
+// scatter the Python side otherwise performs per batch — per-row memcpy is
+// a single pass at memory bandwidth, which matters on throttled hosts where
+// building the int64 index vectors dominates the input pipeline.
+// seq_out/qual_out: row-major (Bp, Lp) u8. len_out: i32[Bp]. qpres_out:
+// u8[Bp]. Records longer than Lp are truncated (callers size Lp >= max len).
+void fastx_fill_padded(const FastxResult* res, int64_t i, int64_t j,
+                       int64_t Bp, int64_t Lp, uint8_t* seq_out,
+                       uint8_t* qual_out, int32_t* len_out,
+                       uint8_t* qpres_out) {
+  int64_t B = j - i;
+  for (int64_t r = 0; r < Bp; ++r) {
+    uint8_t* srow = seq_out + r * Lp;
+    uint8_t* qrow = qual_out + r * Lp;
+    int64_t n = 0;
+    if (r < B) {
+      int64_t a = res->offsets[i + r];
+      n = res->offsets[i + r + 1] - a;
+      if (n > Lp) n = Lp;
+      memcpy(srow, res->seq + a, n);
+      memcpy(qrow, res->qual + a, n);
+    }
+    memset(srow + n, 'N', Lp - n);
+    memset(qrow + n, 0, Lp - n);
+    len_out[r] = r < B ? static_cast<int32_t>(n) : 0;
+    qpres_out[r] = r < B ? res->qual_present[i + r] : 0;
+  }
+}
+
+// Like fastx_fill_padded, but emits the sequence in the compact device
+// upload form: 2-bit base codes (code(c) = (c>>1)&3, 4 per byte,
+// little-endian within the byte) plus an N bitmask ((c|0x20)=='n', 8 per
+// byte, little-endian). This is semantically lossless for the device path
+// — it consumes bytes only through those two functions (kmer_util.h:8-10
+// semantics) — and cuts the host->device seq upload 4x. Pad columns/rows
+// encode as 'N' (code 3, N bit set). Lp must be a multiple of 8.
+void fastx_fill_packed(const FastxResult* res, int64_t i, int64_t j,
+                       int64_t Bp, int64_t Lp, uint8_t* codes_out,
+                       uint8_t* nmask_out, uint8_t* qual_out,
+                       int32_t* len_out, uint8_t* qpres_out) {
+  int64_t B = j - i;
+  int64_t Wc = Lp / 4, Wn = Lp / 8;
+  for (int64_t r = 0; r < Bp; ++r) {
+    uint8_t* crow = codes_out + r * Wc;
+    uint8_t* nrow = nmask_out + r * Wn;
+    uint8_t* qrow = qual_out + r * Lp;
+    int64_t n = 0;
+    if (r < B) {
+      int64_t a = res->offsets[i + r];
+      n = res->offsets[i + r + 1] - a;
+      if (n > Lp) n = Lp;
+      const uint8_t* s = res->seq + a;
+      memset(crow, 0xFF, Wc);  // pad tail = code 3 ('N'-like)
+      memset(nrow, 0xFF, Wn);  // pad tail = N
+      for (int64_t p = 0; p < n; ++p) {
+        uint8_t c = s[p];
+        // masked updates so the 0xFF pad survives in partial tail bytes
+        uint8_t code = (c >> 1) & 3;
+        int64_t byte = p >> 2, sh = (p & 3) << 1;
+        crow[byte] = (crow[byte] & ~(3u << sh)) | (code << sh);
+        uint8_t nb = ((c | 0x20) == 'n') ? 1 : 0;
+        int64_t nbyte = p >> 3, nsh = p & 7;
+        nrow[nbyte] = (nrow[nbyte] & ~(1u << nsh)) | (nb << nsh);
+      }
+      memcpy(qrow, res->qual + a, n);
+    } else {
+      memset(crow, 0xFF, Wc);
+      memset(nrow, 0xFF, Wn);
+    }
+    memset(qrow + n, 0, Lp - n);
+    len_out[r] = r < B ? static_cast<int32_t>(n) : 0;
+    qpres_out[r] = r < B ? res->qual_present[i + r] : 0;
+  }
+}
+
 void fastx_free(FastxResult* res) {
   if (!res) return;
   free(res->seq);

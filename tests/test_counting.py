@@ -207,3 +207,19 @@ def test_count_store_rejects_bad_bits():
         CountStore(5, prefix_bits=16)  # suffix would be negative
     with pytest.raises(ValueError):
         CountStore(32, prefix_bits=40)
+
+
+def test_packed_upload_counts_bitwise_equal(monkeypatch):
+    """KMH_PACK_UPLOAD (2-bit seq upload) must not change any store."""
+    from kmer_hasher_tpu import counting
+
+    path = "/root/reference/test.fastq.gz"
+    monkeypatch.setenv("KMH_PACK_UPLOAD", "0")
+    a = counting.count_kmers_fq_sh(path, k=21, min_q=20, max_reads=600)
+    c = counting.count_kmers_fq(path, k=11, min_q=10, max_reads=600)
+    monkeypatch.setenv("KMH_PACK_UPLOAD", "1")
+    b = counting.count_kmers_fq_sh(path, k=21, min_q=20, max_reads=600)
+    d = counting.count_kmers_fq(path, k=11, min_q=10, max_reads=600)
+    assert a.counts_dict() == b.counts_dict()
+    assert np.array_equal(np.asarray(c.spectrum(12)),
+                          np.asarray(d.spectrum(12)))

@@ -74,3 +74,89 @@ def test_streaming_raw_batches_match_whole_file():
     # FASTA streaming across batch boundaries
     fa = list(native.iter_fastx_raw("/root/reference/test.fa", 10))
     assert len(fa) == 1 and len(fa[0][3]) == 1
+
+
+def test_iter_fastx_padded_matches_numpy_padder(tmp_path):
+    """The C++ fill (fastx_fill_padded) must be byte-identical to the NumPy
+    scatter padder across files, batch sizes, limits and skips."""
+    import numpy as np
+
+    from kmer_hasher_tpu.counting import _pad_from_raw
+
+    def old_iter(path, br, mx=None, skip=0):
+        limit = None if mx is None else skip + mx
+        to_skip = skip
+        for raw in native.iter_fastx_raw(path, br, limit):
+            seq_all, qual_all, offsets, qpres = raw
+            n = len(qpres)
+            if to_skip >= n:
+                to_skip -= n
+                continue
+            start, to_skip = to_skip, 0
+            yield _pad_from_raw(seq_all, qual_all, offsets, qpres,
+                                start, n, br)
+
+    # a multi-line FASTQ + mixed-length records exercises the padding edges
+    ml = tmp_path / "ml.fq"
+    ml.write_text("@r1\nACGTAC\nGT\n+\nIIIIII\nII\n@r2\nAC\n+\nII\n"
+                  "@r3\nACGTACGTACGTACGTACGTACGTACGTACGTA\n+\n"
+                  "IIIIIIIIIIIIIIIIIIIIIIIIIIIIIIIII\n")
+    cases = [(str(REF / "test.fastq.gz"), 512, None, 0),
+             (str(REF / "test.fastq.gz"), 128, 300, 0),
+             (str(REF / "test.fastq.gz"), 512, None, 700),
+             (str(REF / "test.fastq.gz"), 256, 1000, 100),
+             (str(REF / "test.fa"), 512, None, 0),
+             (str(REF / "repeat_40.fq"), 8, 9, 3),
+             (str(ml), 2, None, 0), (str(ml), 8, None, 1)]
+    for path, br, mx, skip in cases:
+        a = list(old_iter(path, br, mx, skip))
+        b = list(native.iter_fastx_padded(path, br, mx, skip))
+        assert len(a) == len(b), (path, br, mx, skip)
+        for (s1, q1, l1, h1), (s2, q2, l2, h2) in zip(a, b):
+            assert s1.shape == s2.shape
+            np.testing.assert_array_equal(s1, s2)
+            np.testing.assert_array_equal(q1, q2)
+            np.testing.assert_array_equal(l1, l2)
+            np.testing.assert_array_equal(h1, h2)
+
+
+def test_packed_fill_matches_numpy_packer(tmp_path):
+    """fastx_fill_packed's (codes, nmask) must equal the NumPy packer
+    applied to the padded byte plane, including partial tail bytes."""
+    import numpy as np
+
+    from kmer_hasher_tpu.counting import _pack_np
+
+    odd = tmp_path / "odd.fq"  # lengths 5/2/33: partial code/nmask bytes
+    odd.write_text("@r1\nACGTN\n+\nIIIII\n@r2\nnA\n+\nII\n"
+                   "@r3\nACGTACGTACGTACGTACGTACGTACGTACGTA\n+\n"
+                   "IIIIIIIIIIIIIIIIIIIIIIIIIIIIIIIII\n")
+    for path in [str(REF / "test.fastq.gz"), str(REF / "test.fa"), str(odd)]:
+        pairs = list(zip(native.iter_fastx_padded(path, 512),
+                         native.iter_fastx_packed(path, 512)))
+        assert pairs
+        for (s1, q1, l1, h1), (s2, q2, l2, h2) in pairs:
+            c_np, n_np = _pack_np(s1)
+            np.testing.assert_array_equal(c_np, s2[0])
+            np.testing.assert_array_equal(n_np, s2[1])
+            np.testing.assert_array_equal(q1, q2)
+            np.testing.assert_array_equal(l1, l2)
+            np.testing.assert_array_equal(h1, h2)
+
+
+def test_unpack_seq_roundtrip_semantics():
+    """unpack_seq(pack(x)) must reproduce (base_codes, n_flags) for
+    arbitrary bytes — the only sequence reads the device path performs."""
+    import numpy as np
+
+    from kmer_hasher_tpu.counting import _pack_np
+    from kmer_hasher_tpu.ops import encode as enc
+
+    rng = np.random.default_rng(0)
+    raw = rng.integers(33, 127, (16, 64), np.uint8)
+    raw[0, :8] = np.frombuffer(b"ACGTNacg", np.uint8)
+    rec = np.asarray(enc.unpack_seq(*_pack_np(raw)))
+    np.testing.assert_array_equal(np.asarray(enc.base_codes(rec)),
+                                  np.asarray(enc.base_codes(raw)))
+    np.testing.assert_array_equal(np.asarray(enc.n_flags(rec)),
+                                  np.asarray(enc.n_flags(raw)))
