@@ -710,7 +710,6 @@ def _count_rp_sharded(path, k, min_q, max_reads, source_n, source, store,
     if source >= store.counts_n:
         raise ValueError("Value of source is too large")
     D = store.n_shards
-    min_ll = jnp.asarray(float(Q_TO_LL[33 + int(min_q)]))
     meter = _progress(report_every, f"count_rp_sharded[{path}]")
     precision = "exact" if exact_ll else "fast"
     reads_done = int(skip_reads)
@@ -722,47 +721,41 @@ def _count_rp_sharded(path, k, min_q, max_reads, source_n, source, store,
     # sharding; one shared file set, no per-host file splits needed)
     n_proc = jax.process_count()
     p_idx = jax.process_index()
-    D_local = D // n_proc
+    min_ll_f = float(Q_TO_LL[33 + int(min_q)])
     for seq, qual, lengths, has_qual in _iter_padded_batches(
-            path, max_reads, skip=skip_reads):
+            path, max_reads, skip=skip_reads,
+            packed=_use_packed_upload()):
         n_recs = int((lengths > 0).sum())
-        B = seq.shape[0]
+        packed = isinstance(seq, tuple)
+        B = qual.shape[0]
+        # program-structure flags come from the FULL batch so they agree
+        # across processes (every process streams the same file)
+        with_q = bool(has_qual.any())
+        with_noq = bool(((~has_qual) & (lengths > 0)).any())
         if B % D:
             padr = D - B % D
-            seq = np.pad(seq, ((0, padr), (0, 0)),
-                         constant_values=ord("N"))
+            if packed:  # 0xFF = all-N pad in the compact form
+                seq = tuple(np.pad(p, ((0, padr), (0, 0)),
+                                   constant_values=0xFF) for p in seq)
+            else:
+                seq = np.pad(seq, ((0, padr), (0, 0)),
+                             constant_values=ord("N"))
             qual = np.pad(qual, ((0, padr), (0, 0)))
             lengths = np.pad(lengths, (0, padr))
             has_qual = np.pad(has_qual, (0, padr))
         if n_proc > 1:  # this process's contiguous row block
-            rpp = seq.shape[0] // n_proc
+            rpp = qual.shape[0] // n_proc
             sl = slice(p_idx * rpp, (p_idx + 1) * rpp)
-            seq, qual = seq[sl], qual[sl]
+            seq = (tuple(p[sl] for p in seq) if packed else seq[sl])
+            qual = qual[sl]
             lengths, has_qual = lengths[sl], has_qual[sl]
-        if has_qual.any():
-            out = si.ll_scan(seq, qual, jnp.where(jnp.asarray(has_qual),
-                                                  lengths, 0),
-                             k, min_ll, precision=precision)
-            chi, clo = enc.canonical_windows(out[1], out[2], out[3], out[4])
-            emit = out[0]
-        else:
-            chi = clo = emit = None
-        if ((~has_qual) & (lengths > 0)).any():
-            hi2, lo2, v2 = enc.encode_stream(
-                seq, k, jnp.where(jnp.asarray(~has_qual), lengths, 0),
-                canonical=True, drop_trailing_exact_k=False,
-            )
-            v2 &= jnp.asarray(lengths > k)[:, None]
-            if chi is None:
-                chi, clo, emit = hi2, lo2, v2
-            else:
-                chi = jnp.where(jnp.asarray(has_qual)[:, None], chi, hi2)
-                clo = jnp.where(jnp.asarray(has_qual)[:, None], clo, lo2)
-                emit = emit | v2
-        store.add_batch(
-            chi.reshape(D_local, -1), clo.reshape(D_local, -1),
-            emit.reshape(D_local, -1), source=source,
-        )
+        if not (with_q or with_noq):
+            continue
+        # ONE fused shard_map program per batch: FSM + canonical +
+        # routing + run build (the sharded twin of _fused_rp_batch)
+        store.add_reads(seq, qual, lengths, has_qual, min_ll_f,
+                        precision=precision, source=source,
+                        with_q=with_q, with_noq=with_noq)
         reads_done += n_recs
         since_ckpt += n_recs
         if checkpoint_every is not None and since_ckpt >= checkpoint_every:

@@ -225,9 +225,13 @@ def ll_scan(
         out = (emit,) + regs
         return (rolling_new, j_new, regs, acc_new, emitC_new, border), out
 
+    # input-derived zeros: under shard_map the scan body mixes in per-shard
+    # (varying) data, so the init carry must carry the same varying status
+    # or lax.scan rejects the carry types (same trick as sort.searchsorted2)
+    z = lengths.astype(jnp.int32) & 0
     init = (
-        jnp.zeros(B, bool), jnp.zeros(B, jnp.int32), _zero_regs(B),
-        jnp.zeros(B, fdt), jnp.zeros(B, fdt), jnp.zeros(B, bool),
+        z != 0, z, tuple(g + z.astype(U32) for g in _zero_regs(B)),
+        z.astype(fdt), z.astype(fdt), z != 0,
     )
     xs = (
         codes.T, ll.T, ll_next.T, row_on.T,
@@ -297,7 +301,10 @@ def threshold_scan(
         out = (emit,) + regs
         return (rolling_new, j_new, regs), out
 
-    init = (jnp.zeros(B, bool), jnp.zeros(B, jnp.int32), _zero_regs(B))
+    # input-derived zeros: keep the init carry's shard_map varying status
+    # equal to the body's (see ll_scan / sort.searchsorted2)
+    z = lengths.astype(jnp.int32) & 0
+    init = (z != 0, z, tuple(g + z.astype(U32) for g in _zero_regs(B)))
     xs = (codes.T, build_gate.T, roll_gate.T, row_on.T, last_pos.T)
     _, outs = jax.lax.scan(step, init, xs, unroll=4)
     emit, fhi, flo, rhi, rlo = (o.T for o in outs)

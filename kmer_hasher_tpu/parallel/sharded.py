@@ -789,6 +789,81 @@ class ShardedCountStore:
             sharding, np.asarray(arr)
         )
 
+    def _route(self, b_hi, b_lo, b_val):
+        """Traced inside shard_map: rows -> owner devices. Flat: one
+        all_to_all over the single axis. Hierarchical ("dcn","ici"):
+        slice-bucketed all_to_all over DCN first (n_dcn coarse blocks),
+        then per-owner all_to_all over ICI — same total volume, DCN moves
+        it in slice-sized transfers (global shard id = slice * n_ici +
+        intra, matching the mesh's row-major device order)."""
+        axes, D, k, C = self.axes, self.n_shards, self.k, self.capacity
+        zero = jnp.zeros_like(b_hi, I32)
+        if len(axes) == 1:
+            s_hi, s_lo, _sp, s_val, ovf = _bucket_for_send(
+                b_hi, b_lo, zero, b_val, D, C, k
+            )
+            r_hi = jax.lax.all_to_all(s_hi, axes[0], 0, 0).reshape(-1)
+            r_lo = jax.lax.all_to_all(s_lo, axes[0], 0, 0).reshape(-1)
+            r_val = jax.lax.all_to_all(s_val, axes[0], 0, 0).reshape(-1)
+            return r_hi, r_lo, r_val, ovf
+        n_dcn, n_ici = self.mesh.devices.shape
+        own = owner_hash(b_hi, b_lo, D)
+        s1 = _bucket_for_send(b_hi, b_lo, zero, b_val, n_dcn,
+                              C * n_ici, k, owner=own // n_ici)
+        h1 = jax.lax.all_to_all(s1[0], axes[0], 0, 0).reshape(-1)
+        l1 = jax.lax.all_to_all(s1[1], axes[0], 0, 0).reshape(-1)
+        v1 = jax.lax.all_to_all(s1[3], axes[0], 0, 0).reshape(-1)
+        own2 = owner_hash(h1, l1, D) % n_ici
+        s2 = _bucket_for_send(h1, l1, jnp.zeros_like(h1, I32), v1,
+                              n_ici, C * n_dcn, k, owner=own2)
+        r_hi = jax.lax.all_to_all(s2[0], axes[1], 0, 0).reshape(-1)
+        r_lo = jax.lax.all_to_all(s2[1], axes[1], 0, 0).reshape(-1)
+        r_val = jax.lax.all_to_all(s2[3], axes[1], 0, 0).reshape(-1)
+        return r_hi, r_lo, r_val, s1[4] | s2[4]
+
+    def _route_build(self, b_hi, b_lo, b_val, onehot):
+        """Traced inside shard_map: route flat observations to their owner
+        shards and build this shard's sorted run; one replicated stats
+        vector rides the (already required) overflow readback:
+        [per-source observations..., overflow]."""
+        from ..index import count_store as cs
+
+        r_hi, r_lo, r_val, ovf = self._route(b_hi, b_lo, b_val)
+        rh, rl, rc, n_obs = cs._build_run_direct(r_hi, r_lo, r_val,
+                                                 onehot, self.k)
+        stats = jax.lax.psum(
+            jnp.concatenate([
+                (onehot.astype(jnp.int64) * n_obs),
+                ovf.astype(jnp.int64)[None],
+            ]), self.axes,
+        )
+        return rh[None], rl[None], rc[None], stats
+
+    def _append_run(self, r_hi, r_lo, r_cnt, stats) -> None:
+        """Common tail of the batch entries: overflow check, stats fold,
+        LSM tiering."""
+        # stats is psum-replicated: every process reads its local copy
+        stats = np.asarray(stats.addressable_data(0))
+        if int(stats[-1]) > 0:
+            raise RuntimeError(
+                "routing capacity overflow; raise ShardedCountStore capacity"
+            )
+        self.total_added += stats[:-1].astype(np.int64)
+        self._runs.append((r_hi, r_lo, r_cnt))
+        self._compact_tiers()
+
+    def _program(self, key, build):
+        """Per-store cache of jitted shard_map programs: the batch entries
+        run once per input batch, and rebuilding jax.jit wrappers there
+        would re-trace every call (expensive on a throttled host)."""
+        cache = getattr(self, "_programs", None)
+        if cache is None:
+            cache = self._programs = {}
+        fn = cache.get(key)
+        if fn is None:
+            fn = cache[key] = build()
+        return fn
+
     def add_batch(self, hi, lo, valid, source: int = 0):
         """hi/lo/valid: [D, n] observations (each device's slice of the
         read batch, already canonical). On a multi-process mesh pass the
@@ -799,80 +874,100 @@ class ShardedCountStore:
         is only touched when a read folds. The only per-batch host sync is
         the routing-overflow flag (kept so overflow is detected, never
         dropped)."""
-        axes, D, k, C = self.axes, self.n_shards, self.k, self.capacity
+        axes = self.axes
         onehot = jnp.zeros(self.counts_n, U32).at[source].set(1)
         hi = self._globalize(hi)
         lo = self._globalize(lo)
         valid = self._globalize(valid)
-        hier = len(axes) == 2
-        if hier:
-            n_dcn, n_ici = self.mesh.devices.shape
 
-        def route(b_hi, b_lo, b_val):
-            """Rows -> owner devices. Flat: one all_to_all over the single
-            axis. Hierarchical ("dcn","ici"): slice-bucketed all_to_all
-            over DCN first (n_dcn coarse blocks), then per-owner
-            all_to_all over ICI — same total volume, DCN moves it in
-            slice-sized transfers (global shard id = slice * n_ici +
-            intra, matching the mesh's row-major device order)."""
-            zero = jnp.zeros_like(b_hi, I32)
-            if not hier:
-                s_hi, s_lo, _sp, s_val, ovf = _bucket_for_send(
-                    b_hi, b_lo, zero, b_val, D, C, k
+        def build():
+            def fn(b_hi, b_lo, b_val):
+                return self._route_build(b_hi.reshape(-1),
+                                         b_lo.reshape(-1),
+                                         b_val.reshape(-1), onehot)
+
+            return jax.jit(
+                jax.shard_map(
+                    fn, mesh=self.mesh,
+                    in_specs=(P(axes), P(axes), P(axes)),
+                    out_specs=(P(axes), P(axes), P(axes), P()),
                 )
-                r_hi = jax.lax.all_to_all(s_hi, axes[0], 0, 0).reshape(-1)
-                r_lo = jax.lax.all_to_all(s_lo, axes[0], 0, 0).reshape(-1)
-                r_val = jax.lax.all_to_all(s_val, axes[0], 0, 0).reshape(-1)
-                return r_hi, r_lo, r_val, ovf
-            own = owner_hash(b_hi, b_lo, D)
-            s1 = _bucket_for_send(b_hi, b_lo, zero, b_val, n_dcn,
-                                  C * n_ici, k, owner=own // n_ici)
-            h1 = jax.lax.all_to_all(s1[0], axes[0], 0, 0).reshape(-1)
-            l1 = jax.lax.all_to_all(s1[1], axes[0], 0, 0).reshape(-1)
-            v1 = jax.lax.all_to_all(s1[3], axes[0], 0, 0).reshape(-1)
-            own2 = owner_hash(h1, l1, D) % n_ici
-            s2 = _bucket_for_send(h1, l1, jnp.zeros_like(h1, I32), v1,
-                                  n_ici, C * n_dcn, k, owner=own2)
-            r_hi = jax.lax.all_to_all(s2[0], axes[1], 0, 0).reshape(-1)
-            r_lo = jax.lax.all_to_all(s2[1], axes[1], 0, 0).reshape(-1)
-            r_val = jax.lax.all_to_all(s2[3], axes[1], 0, 0).reshape(-1)
-            return r_hi, r_lo, r_val, s1[4] | s2[4]
-
-        def fn(b_hi, b_lo, b_val):
-            b_hi, b_lo, b_val = (b_hi.reshape(-1), b_lo.reshape(-1),
-                                 b_val.reshape(-1))
-            r_hi, r_lo, r_val, ovf = route(b_hi, b_lo, b_val)
-            from ..index import count_store as cs
-
-            rh, rl, rc, n_obs = cs._build_run_direct(r_hi, r_lo, r_val,
-                                                     onehot, k)
-            # one replicated stats vector rides the (already required)
-            # overflow readback: [per-source observations..., overflow]
-            stats = jax.lax.psum(
-                jnp.concatenate([
-                    (onehot.astype(jnp.int64) * n_obs),
-                    ovf.astype(jnp.int64)[None],
-                ]), axes,
             )
-            return rh[None], rl[None], rc[None], stats
 
-        shard_fn = jax.jit(
-            jax.shard_map(
-                fn, mesh=self.mesh,
-                in_specs=(P(axes), P(axes), P(axes)),
-                out_specs=(P(axes), P(axes), P(axes), P()),
-            )
-        )
+        shard_fn = self._program(("add_batch", source), build)
         r_hi, r_lo, r_cnt, stats = shard_fn(hi, lo, valid)
-        # stats is psum-replicated: every process reads its local copy
-        stats = np.asarray(stats.addressable_data(0))
-        if int(stats[-1]) > 0:
-            raise RuntimeError(
-                "routing capacity overflow; raise ShardedCountStore capacity"
+        self._append_run(r_hi, r_lo, r_cnt, stats)
+
+    def add_reads(self, seq, qual, lengths, has_qual, min_ll_f: float,
+                  precision: str = "fast", source: int = 0,
+                  with_q: bool = True, with_noq: bool = False):
+        """Fused sharded counterpart of counting._fused_rp_batch: the
+        whole read batch — quality-likelihood FSM (+ no-quality encoder
+        rows) -> canonical -> all_to_all routing -> per-shard sorted run —
+        as ONE shard_map program, so a batch costs one dispatch instead of
+        several eager FSM/canonical rounds plus the routing program.
+
+        ``seq`` is a [B, L] byte plane or the packed (codes, nmask) upload
+        tuple (io.native.iter_fastx_packed); rows are this process's local
+        slice with B divisible by its local device count. ``with_q`` /
+        ``with_noq`` must be computed from the FULL batch (identical on
+        every process — they select program structure, which has to match
+        across the collective)."""
+        from ..ops import encode as enc
+        from ..ops import scan_iter as si
+
+        axes, k = self.axes, self.k
+        onehot = jnp.zeros(self.counts_n, U32).at[source].set(1)
+        seq = (tuple(self._globalize(p) for p in seq)
+               if isinstance(seq, tuple) else self._globalize(seq))
+        qual = self._globalize(qual)
+        lengths = self._globalize(lengths)
+        has_qual = self._globalize(has_qual)
+        packed = isinstance(seq, tuple)
+
+        def build():
+            min_ll = jnp.asarray(float(min_ll_f))
+
+            def fn(seq, qual, lens, hq):
+                if packed:
+                    seq = enc.unpack_seq(*seq)
+                chi = clo = emit = None
+                if with_q:
+                    out = si.ll_scan(seq, qual, jnp.where(hq, lens, 0), k,
+                                     min_ll, precision=precision)
+                    chi, clo = enc.canonical_windows(out[1], out[2],
+                                                     out[3], out[4])
+                    emit = out[0]
+                if with_noq:
+                    hi2, lo2, v2 = enc.encode_stream(
+                        seq, k, jnp.where(~hq, lens, 0), canonical=True,
+                        drop_trailing_exact_k=False,
+                    )
+                    v2 = v2 & (lens > k)[:, None]
+                    if chi is None:
+                        chi, clo, emit = hi2, lo2, v2
+                    else:
+                        chi = jnp.where(hq[:, None], chi, hi2)
+                        clo = jnp.where(hq[:, None], clo, lo2)
+                        emit = emit | v2
+                return self._route_build(chi.reshape(-1), clo.reshape(-1),
+                                         emit.reshape(-1), onehot)
+
+            seq_spec = ((P(axes), P(axes)) if packed else P(axes))
+            return jax.jit(
+                jax.shard_map(
+                    fn, mesh=self.mesh,
+                    in_specs=(seq_spec, P(axes), P(axes), P(axes)),
+                    out_specs=(P(axes), P(axes), P(axes), P()),
+                )
             )
-        self.total_added += stats[:-1].astype(np.int64)
-        self._runs.append((r_hi, r_lo, r_cnt))
-        self._compact_tiers()
+
+        shard_fn = self._program(
+            ("add_reads", source, float(min_ll_f), precision, with_q,
+             with_noq, packed), build,
+        )
+        r_hi, r_lo, r_cnt, stats = shard_fn(seq, qual, lengths, has_qual)
+        self._append_run(r_hi, r_lo, r_cnt, stats)
 
     def _vmerge_runs(self, a, b):
         """Tier-merge two per-shard run sets: [D, Ca] + [D, Cb] -> [D,
