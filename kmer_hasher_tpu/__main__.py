@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 import numpy as np
@@ -71,6 +72,10 @@ def cmd_count(a):
     from .utils import checkpoint as ckpt
     from .utils.metrics import most_common_kmer
 
+    if a.batch_rows:
+        os.environ["KMH_BATCH_ROWS"] = str(a.batch_rows)
+    if a.no_pack:
+        os.environ["KMH_PACK_UPLOAD"] = "0"
     mesh = None
     if a.mesh:
         if a.mesh_slices:
@@ -201,6 +206,13 @@ def main(argv=None):
                    help="atomically checkpoint the store + resume cursor "
                         "to OUT every N reads")
     s.add_argument("--report-every", type=int, default=None)
+    s.add_argument("--batch-rows", type=int, default=None,
+                   help="reads per device batch (default 16384; sets "
+                        "KMH_BATCH_ROWS)")
+    s.add_argument("--no-pack", action="store_true",
+                   help="disable the 2-bit packed seq upload "
+                        "(KMH_PACK_UPLOAD=0); results are identical "
+                        "either way")
     s.add_argument("-o", "--out", required=True)
     s.set_defaults(fn=cmd_count)
 

@@ -447,19 +447,16 @@ def _count_fastq_threshold(path: str, k: int, min_q: int,
     iterator, canonical min(fwd, rc) (src/kmer_hash.c:618-806)."""
     min_q_char = 33 + int(min_q)  # '!' + q, src/kmer_hash.c:633
     meter = _progress(report_every, f"count_fq[{path}]")
-    for seq, qual, lengths, has_qual in _iter_padded_batches(
-            path, max_reads, packed=_use_packed_upload()):
-        n_recs = int((lengths > 0).sum())
-        with_q = bool(has_qual.any())
-        with_noq = bool(((~has_qual) & (lengths > 0)).any())
+    for b in _iter_padded_batches(
+            path, max_reads, packed=_use_packed_upload(), to_device=True):
+        n_recs = int((b.lengths_h > 0).sum())
+        with_q = bool(b.has_qual_h.any())
+        with_noq = bool(((~b.has_qual_h) & (b.lengths_h > 0)).any())
         if not (with_q or with_noq):
             continue
-        seq_j = (tuple(jnp.asarray(p) for p in seq)
-                 if isinstance(seq, tuple) else jnp.asarray(seq))
         run_hi, run_lo, run_cnt, n_obs = _fused_threshold_batch(
-            seq_j, jnp.asarray(qual), jnp.asarray(lengths),
-            jnp.asarray(has_qual), k, store.counts_n, min_q_char, with_q,
-            with_noq,
+            b.seq, b.qual, b.lengths, b.has_qual, k, store.counts_n,
+            min_q_char, with_q, with_noq,
         )
         store.add_run(run_hi, run_lo, run_cnt, n_obs)
         if meter:
