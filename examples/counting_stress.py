@@ -50,6 +50,10 @@ def main(argv=None):
                          "results at ~fast speed")
     ap.add_argument("--keep", default=None,
                     help="reuse/keep the synthetic fastq at this path")
+    ap.add_argument("--report-every", type=int, default=50_000,
+                    help="progress-meter interval; each report folds the "
+                         "store to evaluate n_unique, which is real work "
+                         "at large store sizes — 0 disables")
     args = ap.parse_args(argv)
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
@@ -78,7 +82,7 @@ def main(argv=None):
     t0 = time.perf_counter()
     st = counting.count_kmers_fq_sh_rp(
         path, k=args.k, min_q=args.min_q, exact_ll=exact_ll,
-        report_every=50_000,
+        report_every=args.report_every or None,
     )
     n_unique = st.n_unique  # folds + syncs
     dt = time.perf_counter() - t0

@@ -223,3 +223,38 @@ def test_packed_upload_counts_bitwise_equal(monkeypatch):
     assert a.counts_dict() == b.counts_dict()
     assert np.array_equal(np.asarray(c.spectrum(12)),
                           np.asarray(d.spectrum(12)))
+
+
+def test_fasta_records_counted_without_quality(monkeypatch):
+    """FASTA input through the fq entries takes the no-quality branch
+    (encoder windows, no likelihood filter) — single-chip and sharded,
+    packed and unpacked uploads all bitwise equal."""
+    from kmer_hasher_tpu import counting
+    from kmer_hasher_tpu.io import read_fastx
+    from kmer_hasher_tpu.ops import encode as enc
+
+    path = "/root/reference/test.fa"
+    k = 15
+    monkeypatch.setenv("KMH_PACK_UPLOAD", "1")
+    a = counting.count_kmers_fq_sh(path, k=k, min_q=20)
+    monkeypatch.setenv("KMH_PACK_UPLOAD", "0")
+    b = counting.count_kmers_fq_sh(path, k=k, min_q=20)
+    assert a.counts_dict() == b.counts_dict()
+    # expected: canonical windows of the raw sequence (no trailing-k drop),
+    # emitted only because len > k
+    _n, seq, _q = read_fastx(path)[0]
+    arr = np.frombuffer(seq, np.uint8)
+    L = len(arr)
+    Lp = 1 << (L - 1).bit_length()
+    arr = np.concatenate([arr, np.full(Lp - L, ord("N"), np.uint8)])
+    hi, lo, valid = enc.encode_stream(arr, k, L, canonical=True,
+                                      drop_trailing_exact_k=False)
+    assert int(a.total_added.sum()) == int(np.asarray(valid).sum())
+    # sharded path, packed upload
+    from kmer_hasher_tpu.parallel.mesh import make_mesh
+
+    monkeypatch.setenv("KMH_PACK_UPLOAD", "1")
+    c = counting.count_kmers_fq_sh_rp(path, k=k, min_q=20,
+                                      mesh=make_mesh(8))
+    assert int(c.total_added.sum()) == int(a.total_added.sum())
+    assert int(c.n_unique.sum()) == a.n_unique

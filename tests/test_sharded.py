@@ -197,7 +197,9 @@ def test_sharded_store_spill_matches_unspilled(mesh, repeat_40_fq, tmp_path):
     from kmer_hasher_tpu.io import pad_records
 
     k = 7
-    reads = [(s, q) for (_n, s, q) in repeat_40_fq]
+    # 6 single-read batches: enough to force several tier runs + spills
+    # while keeping this (allgather-heavy) test's wall time in budget
+    reads = [(s, q) for (_n, s, q) in repeat_40_fq][:6]
     D = mesh.size
     spill = ShardedCountStore(k, mesh, counts_n=1, spill_bytes=1 << 12,
                               spill_dir=str(tmp_path))
@@ -272,7 +274,8 @@ def test_hierarchical_mesh_counting_matches_flat(mesh, repeat_40_fq):
     k = 7
     hmesh = make_hierarchical_mesh(2, 4)
     assert hmesh.axis_names == ("dcn", "ici") and hmesh.size == 8
-    reads = [(s, q) for (_n, s, q) in repeat_40_fq]
+    # 5 single-read batches exercise routing + tier merges on both meshes
+    reads = [(s, q) for (_n, s, q) in repeat_40_fq][:5]
     hstore = ShardedCountStore(k, hmesh, counts_n=1)
     fstore = ShardedCountStore(k, mesh, counts_n=1)
     for s, q in reads:
