@@ -251,12 +251,11 @@ def test_sharded_kmer_pairs_matches_single_chip(mesh, test_fa):
     k = 11
     sa, sb = test_fa[:2500], test_fa[1800:4200]
     want = kmer_pairs(KmerIndex(sa, k), KmerIndex(sb, k))
-    got = kmer_pairs_sharded(ShardedKmerIndex(sa, k, mesh),
-                             ShardedKmerIndex(sb, k, mesh))
+    ia, ib = ShardedKmerIndex(sa, k, mesh), ShardedKmerIndex(sb, k, mesh)
+    got = kmer_pairs_sharded(ia, ib)
     np.testing.assert_array_equal(got, want)
     # chunk drain: tiny capacity must change nothing
-    got2 = kmer_pairs_sharded(ShardedKmerIndex(sa, k, mesh),
-                              ShardedKmerIndex(sb, k, mesh), capacity=256)
+    got2 = kmer_pairs_sharded(ia, ib, capacity=256)
     np.testing.assert_array_equal(got2, want)
     # k mismatch rejected
     with pytest.raises(ValueError, match="k mismatch"):
