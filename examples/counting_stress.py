@@ -84,8 +84,11 @@ def main(argv=None):
         path, k=args.k, min_q=args.min_q, exact_ll=exact_ll,
         report_every=args.report_every or None,
     )
+    t_pipe = time.perf_counter() - t0  # includes flush; excludes final fold
     n_unique = st.n_unique  # folds + syncs
     dt = time.perf_counter() - t0
+    print(f"pipeline+flush={t_pipe:.1f}s final fold+sync={dt - t_pipe:.1f}s",
+          flush=True)
     print(f"reads={args.reads} k={args.k} exact_ll={exact_ll} "
           f"distinct={n_unique} total={int(st.total_added.sum())} "
           f"wall={dt:.1f}s rate={args.reads / dt:.0f} reads/s")
