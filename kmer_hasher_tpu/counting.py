@@ -286,6 +286,8 @@ def _fused_rp_batch(seq, qual, lengths, has_qual, k: int, counts_n: int,
 
     if isinstance(seq, tuple):  # compact upload form: (codes, nmask)
         seq = enc.unpack_seq(*seq)
+    if isinstance(qual, tuple):  # 4-bit dictionary form: (qnib, qdict)
+        qual = enc.unpack_qual(*qual)
     min_ll = jnp.asarray(min_ll_f)
     lens_q = jnp.where(has_qual, lengths, 0)
     flags = None
@@ -414,6 +416,8 @@ def _fused_threshold_batch(seq, qual, lengths, has_qual, k: int,
 
     if isinstance(seq, tuple):  # compact upload form: (codes, nmask)
         seq = enc.unpack_seq(*seq)
+    if isinstance(qual, tuple):  # 4-bit dictionary form: (qnib, qdict)
+        qual = enc.unpack_qual(*qual)
     mq = jnp.asarray(min_q_char)
     parts = []
     if with_q:
@@ -724,7 +728,8 @@ def _count_rp_sharded(path, k, min_q, max_reads, source_n, source, store,
             packed=_use_packed_upload()):
         n_recs = int((lengths > 0).sum())
         packed = isinstance(seq, tuple)
-        B = qual.shape[0]
+        packed_q = isinstance(qual, tuple)
+        B = lengths.shape[0]
         # program-structure flags come from the FULL batch so they agree
         # across processes (every process streams the same file)
         with_q = bool(has_qual.any())
@@ -737,14 +742,17 @@ def _count_rp_sharded(path, k, min_q, max_reads, source_n, source, store,
             else:
                 seq = np.pad(seq, ((0, padr), (0, 0)),
                              constant_values=ord("N"))
-            qual = np.pad(qual, ((0, padr), (0, 0)))
+            if packed_q:  # nibble 0 unpacks to qdict[0] == 0 == qual pad
+                qual = (np.pad(qual[0], ((0, padr), (0, 0))), qual[1])
+            else:
+                qual = np.pad(qual, ((0, padr), (0, 0)))
             lengths = np.pad(lengths, (0, padr))
             has_qual = np.pad(has_qual, (0, padr))
         if n_proc > 1:  # this process's contiguous row block
-            rpp = qual.shape[0] // n_proc
+            rpp = lengths.shape[0] // n_proc
             sl = slice(p_idx * rpp, (p_idx + 1) * rpp)
             seq = (tuple(p[sl] for p in seq) if packed else seq[sl])
-            qual = qual[sl]
+            qual = (qual[0][sl], qual[1]) if packed_q else qual[sl]
             lengths, has_qual = lengths[sl], has_qual[sl]
         if not (with_q or with_noq):
             continue

@@ -77,6 +77,15 @@ def _build() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
     ]
+    lib.fastx_fill_packed2.restype = None
+    lib.fastx_fill_packed2.argtypes = [
+        ctypes.POINTER(_FastxResult), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+    ]
     return lib
 
 
@@ -233,15 +242,22 @@ def _iter_fastx_filled(path: str, batch_records: int,
                 if packed:
                     codes = np.empty((Bp, Lp // 4), np.uint8)
                     nmask = np.empty((Bp, Lp // 8), np.uint8)
-                    _lib.fastx_fill_packed(
+                    qnib = np.empty((Bp, Lp // 2), np.uint8)
+                    qdict = np.empty(16, np.uint8)
+                    qflag = np.empty(1, np.int32)
+                    _lib.fastx_fill_packed2(
                         res, start, n, Bp, Lp,
                         codes.ctypes.data_as(u8p),
                         nmask.ctypes.data_as(u8p),
                         qual.ctypes.data_as(u8p),
+                        qnib.ctypes.data_as(u8p),
+                        qdict.ctypes.data_as(u8p),
+                        qflag.ctypes.data_as(i32p),
                         lengths.ctypes.data_as(i32p),
                         qpres.ctypes.data_as(u8p),
                     )
-                    batch = ((codes, nmask), qual, lengths,
+                    q_out = (qnib, qdict) if qflag[0] else qual
+                    batch = ((codes, nmask), q_out, lengths,
                              qpres.astype(bool))
                 else:
                     seq = np.empty((Bp, Lp), np.uint8)
@@ -283,7 +299,11 @@ def iter_fastx_packed(path: str, batch_records: int = 4096,
     base codes + N bitmask, the exact information the device path consumes
     (ops.encode.base_codes / n_flags) at 4x/8x fewer upload bytes.
     ``ops.encode.unpack_seq`` reconstructs the canonical byte plane
-    on-device."""
+    on-device. The quality plane comes out as ``(qnib[B, Lp/2], qdict[16])``
+    (4-bit dictionary indices; byte-exact reconstruction via
+    ``ops.encode.unpack_qual``) whenever the batch has <= 16 distinct
+    quality byte values — the norm on binned-quality Illumina data — and
+    as the raw [B, Lp] byte plane otherwise."""
     yield from _iter_fastx_filled(path, batch_records, max_records, skip,
                                   packed=True)
 

@@ -325,6 +325,102 @@ void fastx_fill_packed(const FastxResult* res, int64_t i, int64_t j,
   }
 }
 
+// Like fastx_fill_packed, but additionally dictionary-packs the quality
+// plane when the batch has at most 16 distinct quality byte values
+// (including the 0 used for pad/absent-quality positions) — the common
+// case on modern binned-quality Illumina data (4-8 distinct values).
+// Reconstruction (nibble -> dict[nibble]) is byte-EXACT, so even the
+// f64 bit-parity likelihood path is unaffected. Outputs:
+//   *qflag = 1 -> qualnib_out[Bp, Lp/2] + qdict_out[16] are filled
+//            (dict ascending, dict[0] == 0; unused tail repeats last);
+//   *qflag = 0 -> qual_out[Bp, Lp] holds raw bytes (> 16 distinct).
+void fastx_fill_packed2(const FastxResult* res, int64_t i, int64_t j,
+                        int64_t Bp, int64_t Lp, uint8_t* codes_out,
+                        uint8_t* nmask_out, uint8_t* qual_out,
+                        uint8_t* qualnib_out, uint8_t* qdict_out,
+                        int32_t* qflag, int32_t* len_out,
+                        uint8_t* qpres_out) {
+  // pass 1: which quality byte values occur? (pad contributes 0)
+  bool seen[256] = {false};
+  seen[0] = true;
+  for (int64_t r = i; r < j; ++r) {
+    int64_t a = res->offsets[r], b = res->offsets[r + 1];
+    if (b - a > Lp) b = a + Lp;  // clamp like the fill below
+    if (res->qual_present[r]) {
+      for (int64_t p = a; p < b; ++p) seen[res->qual[p]] = true;
+    }
+  }
+  int n_distinct = 0;
+  uint8_t inv[256];
+  for (int v = 0; v < 256 && n_distinct <= 16; ++v) {
+    if (seen[v]) {
+      if (n_distinct < 16) {
+        qdict_out[n_distinct] = static_cast<uint8_t>(v);
+        inv[v] = static_cast<uint8_t>(n_distinct);
+      }
+      ++n_distinct;
+    }
+  }
+  bool dict = n_distinct <= 16;
+  *qflag = dict ? 1 : 0;
+  if (dict) {
+    for (int d = n_distinct; d < 16; ++d)
+      qdict_out[d] = qdict_out[n_distinct ? n_distinct - 1 : 0];
+  }
+  int64_t B = j - i;
+  int64_t Wc = Lp / 4, Wn = Lp / 8, Wq = Lp / 2;
+  for (int64_t r = 0; r < Bp; ++r) {
+    uint8_t* crow = codes_out + r * Wc;
+    uint8_t* nrow = nmask_out + r * Wn;
+    int64_t n = 0;
+    memset(crow, 0xFF, Wc);
+    memset(nrow, 0xFF, Wn);
+    if (dict) {
+      uint8_t* qrow = qualnib_out + r * Wq;
+      memset(qrow, 0, Wq);  // nibble 0 == dict[0] == 0 == pad
+      if (r < B) {
+        int64_t a = res->offsets[i + r];
+        n = res->offsets[i + r + 1] - a;
+        if (n > Lp) n = Lp;
+        const uint8_t* s = res->seq + a;
+        const uint8_t* q = res->qual + a;
+        for (int64_t p = 0; p < n; ++p) {
+          uint8_t c = s[p];
+          uint8_t code = (c >> 1) & 3;
+          int64_t byte = p >> 2, sh = (p & 3) << 1;
+          crow[byte] = (crow[byte] & ~(3u << sh)) | (code << sh);
+          uint8_t nb = ((c | 0x20) == 'n') ? 1 : 0;
+          int64_t nbyte = p >> 3, nsh = p & 7;
+          nrow[nbyte] = (nrow[nbyte] & ~(1u << nsh)) | (nb << nsh);
+          uint8_t nib = inv[q[p]];
+          qrow[p >> 1] |= nib << ((p & 1) << 2);
+        }
+      }
+    } else {
+      uint8_t* qrow = qual_out + r * Lp;
+      if (r < B) {
+        int64_t a = res->offsets[i + r];
+        n = res->offsets[i + r + 1] - a;
+        if (n > Lp) n = Lp;
+        const uint8_t* s = res->seq + a;
+        for (int64_t p = 0; p < n; ++p) {
+          uint8_t c = s[p];
+          uint8_t code = (c >> 1) & 3;
+          int64_t byte = p >> 2, sh = (p & 3) << 1;
+          crow[byte] = (crow[byte] & ~(3u << sh)) | (code << sh);
+          uint8_t nb = ((c | 0x20) == 'n') ? 1 : 0;
+          int64_t nbyte = p >> 3, nsh = p & 7;
+          nrow[nbyte] = (nrow[nbyte] & ~(1u << nsh)) | (nb << nsh);
+        }
+        memcpy(qrow, res->qual + a, n);
+      }
+      memset(qrow + n, 0, Lp - n);
+    }
+    len_out[r] = r < B ? static_cast<int32_t>(n) : 0;
+    qpres_out[r] = r < B ? res->qual_present[i + r] : 0;
+  }
+}
+
 void fastx_free(FastxResult* res) {
   if (!res) return;
   free(res->seq);

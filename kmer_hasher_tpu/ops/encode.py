@@ -68,6 +68,21 @@ def unpack_seq(codes_packed: jax.Array, nmask: jax.Array) -> jax.Array:
     return jnp.where(n, jnp.uint8(ord("N")), b)
 
 
+def unpack_qual(qnib: jax.Array, qdict: jax.Array) -> jax.Array:
+    """Reconstruct the quality byte plane from the 4-bit dictionary form
+    (io.native.iter_fastx_packed): ``qnib[..., Lp/2]`` holds dict indices
+    little-endian within each byte, ``qdict[16]`` the actual byte values.
+    Byte-EXACT — even the f64 bit-parity likelihood path sees identical
+    input. Select chain instead of a table gather (XLA:TPU gathers are
+    slow; 15 vector selects are cheap on the VPU)."""
+    q = (qnib[..., :, None] >> jnp.asarray([0, 4], jnp.uint8)) & jnp.uint8(15)
+    q = q.reshape(qnib.shape[:-1] + (qnib.shape[-1] * 2,))
+    out = jnp.broadcast_to(qdict[0], q.shape)
+    for i in range(1, 16):
+        out = jnp.where(q == jnp.uint8(i), qdict[i], out)
+    return out
+
+
 def _advance(arr: jax.Array, s: int) -> jax.Array:
     """arr shifted toward index 0 by ``s`` along the last axis, zero padded:
     out[..., i] = arr[..., i+s]. Static shift."""

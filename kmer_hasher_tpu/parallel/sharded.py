@@ -920,7 +920,18 @@ class ShardedCountStore:
         onehot = jnp.zeros(self.counts_n, U32).at[source].set(1)
         seq = (tuple(self._globalize(p) for p in seq)
                if isinstance(seq, tuple) else self._globalize(seq))
-        qual = self._globalize(qual)
+        packed_q = isinstance(qual, tuple)
+        if packed_q:
+            # 4-bit dictionary form (io.native.iter_fastx_packed): route
+            # the nibble plane like the rows and give every shard its own
+            # [1, 16] dict row (safe even if per-process dicts differed)
+            qnib, qdict = qual
+            n_loc = self.n_shards // jax.process_count()
+            qdict_t = np.ascontiguousarray(np.broadcast_to(
+                np.asarray(qdict, np.uint8), (n_loc, 16)))
+            qual = (self._globalize(qnib), self._globalize(qdict_t))
+        else:
+            qual = self._globalize(qual)
         lengths = self._globalize(lengths)
         has_qual = self._globalize(has_qual)
         packed = isinstance(seq, tuple)
@@ -931,6 +942,8 @@ class ShardedCountStore:
             def fn(seq, qual, lens, hq):
                 if packed:
                     seq = enc.unpack_seq(*seq)
+                if packed_q:
+                    qual = enc.unpack_qual(qual[0], qual[1][0])
                 chi = clo = emit = None
                 if with_q:
                     out = si.ll_scan(seq, qual, jnp.where(hq, lens, 0), k,
@@ -954,17 +967,18 @@ class ShardedCountStore:
                                          emit.reshape(-1), onehot)
 
             seq_spec = ((P(axes), P(axes)) if packed else P(axes))
+            qual_spec = ((P(axes), P(axes)) if packed_q else P(axes))
             return jax.jit(
                 jax.shard_map(
                     fn, mesh=self.mesh,
-                    in_specs=(seq_spec, P(axes), P(axes), P(axes)),
+                    in_specs=(seq_spec, qual_spec, P(axes), P(axes)),
                     out_specs=(P(axes), P(axes), P(axes), P()),
                 )
             )
 
         shard_fn = self._program(
             ("add_reads", source, float(min_ll_f), precision, with_q,
-             with_noq, packed), build,
+             with_noq, packed, packed_q), build,
         )
         r_hi, r_lo, r_cnt, stats = shard_fn(seq, qual, lengths, has_qual)
         self._append_run(r_hi, r_lo, r_cnt, stats)

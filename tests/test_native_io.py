@@ -139,9 +139,41 @@ def test_packed_fill_matches_numpy_packer(tmp_path):
             c_np, n_np = _pack_np(s1)
             np.testing.assert_array_equal(c_np, s2[0])
             np.testing.assert_array_equal(n_np, s2[1])
+            if isinstance(q2, tuple):  # 4-bit dictionary form
+                from kmer_hasher_tpu.ops import encode as enc
+
+                q2 = np.asarray(enc.unpack_qual(*q2))
             np.testing.assert_array_equal(q1, q2)
             np.testing.assert_array_equal(l1, l2)
             np.testing.assert_array_equal(h1, h2)
+
+
+def test_packed_qual_dictionary_branches(tmp_path):
+    """The packed iterator must dictionary-pack the qual plane when a
+    batch has <= 16 distinct quality bytes (byte-exact reconstruction)
+    and fall back to the raw byte plane above 16."""
+    import numpy as np
+
+    from kmer_hasher_tpu.ops import encode as enc
+
+    few = tmp_path / "few.fq"  # 4 distinct qual values (binned Illumina)
+    few.write_text("@r1\nACGTACGT\n+\n#,:FF:,#\n@r2\nGGGTTT\n+\nFFF##:\n")
+    (s1, q1, l1, h1), = native.iter_fastx_padded(str(few), 64)
+    (s2, q2, l2, h2), = native.iter_fastx_packed(str(few), 64)
+    assert isinstance(q2, tuple)
+    qnib, qdict = q2
+    assert qnib.shape[-1] == q1.shape[-1] // 2 and qdict.shape == (16,)
+    assert qdict[0] == 0  # pad nibble must decode to 0
+    np.testing.assert_array_equal(np.asarray(enc.unpack_qual(qnib, qdict)),
+                                  q1)
+
+    many = tmp_path / "many.fq"  # 20 distinct qual values -> raw plane
+    quals = "".join(chr(33 + i) for i in range(20))
+    many.write_text(f"@r1\n{'A' * 20}\n+\n{quals}\n")
+    (_, q1m, _, _), = native.iter_fastx_padded(str(many), 64)
+    (_, q2m, _, _), = native.iter_fastx_packed(str(many), 64)
+    assert not isinstance(q2m, tuple)
+    np.testing.assert_array_equal(q1m, q2m)
 
 
 def test_unpack_seq_roundtrip_semantics():
