@@ -19,11 +19,26 @@ import time
 import numpy as np
 
 
-def make_reads(path: str, n: int, read_len: int, seed: int = 0) -> None:
+def make_reads(path: str, n: int, read_len: int, seed: int = 0,
+               binned: bool = False) -> None:
     """Write n synthetic FASTQ reads with uniform bases and mixed
-    qualities (phred 2..40, so the likelihood filter does real work)."""
+    qualities (phred 2..40, so the likelihood filter does real work).
+    ``binned`` uses the NovaSeq RTA3 4-value quality alphabet
+    ('#', ',', ':', 'F') instead — triggers the 4-bit dictionary upload
+    packing (io.native.iter_fastx_packed)."""
     rng = np.random.default_rng(seed)
     bases = np.frombuffer(b"ACGT", np.uint8)
+    if binned:
+        bins = np.frombuffer(b"F:,#", np.uint8)  # phred 37/25/11/2
+        pick = rng.choice(4, size=(n, read_len), p=[0.88, 0.08, 0.02, 0.02])
+        quals = bins[pick]
+        seqs = bases[rng.integers(0, 4, size=(n, read_len), dtype=np.uint8)]
+        nl = np.full((n, 1), ord("\n"), np.uint8)
+        hdr = np.tile(np.frombuffer(b"@r\n", np.uint8), (n, 1))
+        plus = np.tile(np.frombuffer(b"+\n", np.uint8), (n, 1))
+        rows = np.concatenate([hdr, seqs, nl, plus, quals, nl], axis=1)
+        rows.tofile(path)
+        return
     # realistic qualities: mostly phred 30-40 with ~2% low-quality bases,
     # so the likelihood filter rejects some windows but not all
     quals = rng.integers(63, 74, size=(n, read_len), dtype=np.uint8)
@@ -50,6 +65,9 @@ def main(argv=None):
                          "results at ~fast speed")
     ap.add_argument("--keep", default=None,
                     help="reuse/keep the synthetic fastq at this path")
+    ap.add_argument("--binned-quals", action="store_true",
+                    help="NovaSeq-style 4-value quality alphabet "
+                         "(exercises the 4-bit qual dictionary upload)")
     ap.add_argument("--report-every", type=int, default=50_000,
                     help="progress-meter interval; each report folds the "
                          "store to evaluate n_unique, which is real work "
@@ -59,11 +77,13 @@ def main(argv=None):
     sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
     from kmer_hasher_tpu import counting
 
+    suffix = "b" if args.binned_quals else ""
     path = args.keep or os.path.join(tempfile.gettempdir(),
-                                     f"stress_{args.reads}.fq")
+                                     f"stress_{args.reads}{suffix}.fq")
     if not os.path.exists(path):
         t0 = time.perf_counter()
-        make_reads(path, args.reads, args.read_len)
+        make_reads(path, args.reads, args.read_len,
+                   binned=args.binned_quals)
         print(f"generated {args.reads} reads in "
               f"{time.perf_counter() - t0:.1f}s -> {path}")
 

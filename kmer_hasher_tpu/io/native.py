@@ -239,7 +239,22 @@ def _iter_fastx_filled(path: str, batch_records: int,
                 qual = np.empty((Bp, Lp), np.uint8)
                 lengths = np.empty(Bp, np.int32)
                 qpres = np.empty(Bp, np.uint8)
-                if packed:
+                if packed and os.environ.get("KMH_QDICT", "1") == "0":
+                    # A/B gate: 2-bit seq packing without the 4-bit qual
+                    # dictionary (raw qual byte plane)
+                    codes = np.empty((Bp, Lp // 4), np.uint8)
+                    nmask = np.empty((Bp, Lp // 8), np.uint8)
+                    _lib.fastx_fill_packed(
+                        res, start, n, Bp, Lp,
+                        codes.ctypes.data_as(u8p),
+                        nmask.ctypes.data_as(u8p),
+                        qual.ctypes.data_as(u8p),
+                        lengths.ctypes.data_as(i32p),
+                        qpres.ctypes.data_as(u8p),
+                    )
+                    batch = ((codes, nmask), qual, lengths,
+                             qpres.astype(bool))
+                elif packed:
                     codes = np.empty((Bp, Lp // 4), np.uint8)
                     nmask = np.empty((Bp, Lp // 8), np.uint8)
                     qnib = np.empty((Bp, Lp // 2), np.uint8)

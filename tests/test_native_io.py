@@ -176,6 +176,23 @@ def test_packed_qual_dictionary_branches(tmp_path):
     np.testing.assert_array_equal(q1m, q2m)
 
 
+def test_qdict_env_gate(tmp_path, monkeypatch):
+    """KMH_QDICT=0 must force the raw qual plane (A/B revert switch)
+    with identical bytes."""
+    import numpy as np
+
+    few = tmp_path / "few.fq"
+    few.write_text("@r1\nACGTACGT\n+\n#,:FF:,#\n")
+    (_, qd, _, _), = native.iter_fastx_packed(str(few), 64)
+    assert isinstance(qd, tuple)
+    monkeypatch.setenv("KMH_QDICT", "0")
+    (_, qr, _, _), = native.iter_fastx_packed(str(few), 64)
+    assert not isinstance(qr, tuple)
+    from kmer_hasher_tpu.ops import encode as enc
+
+    np.testing.assert_array_equal(np.asarray(enc.unpack_qual(*qd)), qr)
+
+
 def test_unpack_seq_roundtrip_semantics():
     """unpack_seq(pack(x)) must reproduce (base_codes, n_flags) for
     arbitrary bytes — the only sequence reads the device path performs."""
