@@ -67,6 +67,18 @@ def cmd_query(a):
     print(json.dumps({"hits": int(m.shape[0]), "out": a.out}))
 
 
+def _same_file(a: str, b: str) -> bool:
+    """Whether two CLI paths name the same input file (the resume cursor
+    stores the path string the original run was given, which may differ
+    lexically — './f.fq' vs 'f.fq', or a different cwd)."""
+    if a == b:
+        return True
+    try:
+        return os.path.samefile(a, b)
+    except OSError:
+        return os.path.abspath(a) == os.path.abspath(b)
+
+
 def cmd_count(a):
     from .api import count_kmers_fq_sh_rp
     from .utils import checkpoint as ckpt
@@ -81,6 +93,10 @@ def cmd_count(a):
         if a.mesh_slices:
             from .parallel.mesh import make_hierarchical_mesh
 
+            if a.mesh % a.mesh_slices:
+                raise SystemExit(
+                    f"--mesh {a.mesh} is not divisible by "
+                    f"--mesh-slices {a.mesh_slices}")
             mesh = make_hierarchical_mesh(a.mesh_slices,
                                           a.mesh // a.mesh_slices)
         else:
@@ -99,7 +115,7 @@ def cmd_count(a):
     for i, path in enumerate(a.files):
         skip = 0
         if progress:
-            if progress.get("path") != path:
+            if not _same_file(progress.get("path", ""), path):
                 continue  # earlier file: already fully counted in the store
             if progress.get("done"):
                 progress = None
@@ -119,6 +135,12 @@ def cmd_count(a):
             checkpoint_path=(a.out if a.checkpoint_every else None),
         )
         counted_any = True
+    if progress is not None:
+        # a non-None cursor after the loop means it matched none of the
+        # given files: every input was skipped as "already counted"
+        raise SystemExit(
+            f"resume cursor points at {progress['path']!r}, which matches "
+            f"none of the given input files — refusing to skip everything")
     if not (a.checkpoint_every and counted_any):
         # with --checkpoint-every the counting loop already wrote the final
         # atomic checkpoint (incl. the resume cursor) to OUT

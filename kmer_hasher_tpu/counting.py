@@ -529,7 +529,9 @@ def count_kmers_fq_sh_rp(path: str, k: int, prefix_bits: int = 20,
     TPU, where float64 is emulated); ``exact_ll="hybrid"`` runs float32
     with borderline-flagging and re-runs only flagged reads in float64 —
     bitwise-equal results to ``exact_ll=True`` at near-fast speed; see
-    ops.scan_iter.ll_scan.
+    ops.scan_iter.ll_scan. With ``mesh=`` hybrid runs per-shard: shards
+    whose batch rows flagged no read skip the f64 re-scan entirely
+    (lax.cond inside the fused program).
 
     With ``mesh=`` (a jax.sharding.Mesh) counting runs multi-chip: reads
     are data-parallel across devices and each device owns a hash shard of
@@ -543,6 +545,10 @@ def count_kmers_fq_sh_rp(path: str, k: int, prefix_bits: int = 20,
     reads — together they give mid-file resume for long runs (see
     utils.checkpoint.load_progress and the CLI's --checkpoint-every).
     """
+    if checkpoint_every is not None and checkpoint_path is None:
+        # statically invalid — fail now, not after checkpoint_every reads
+        # of counting when the first checkpoint fires
+        raise ValueError("checkpoint_every requires checkpoint_path")
     if mesh is not None:
         return _count_rp_sharded(path, k, min_q, max_reads, source_n,
                                  source, store, mesh, exact_ll,
@@ -712,7 +718,8 @@ def _count_rp_sharded(path, k, min_q, max_reads, source_n, source, store,
         raise ValueError("Value of source is too large")
     D = store.n_shards
     meter = _progress(report_every, f"count_rp_sharded[{path}]")
-    precision = "exact" if exact_ll else "fast"
+    precision = ("hybrid" if exact_ll == "hybrid"
+                 else "exact" if exact_ll else "fast")
     reads_done = int(skip_reads)
     since_ckpt = 0
     # multi-process (jax.distributed): every process streams the same file

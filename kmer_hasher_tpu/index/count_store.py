@@ -56,6 +56,25 @@ def _next_pow2(n: int) -> int:
 _DEAD = jnp.uint32(0xFFFFFFFF)
 
 
+def lsm_compact(runs: list, cap_of, merge_two) -> list:
+    """Size-tiered LSM compaction policy, shared by CountStore and
+    parallel.ShardedCountStore: merge runs of equal capacity pairwise until
+    all capacities are distinct (binomial-heap invariant — at most O(log N)
+    runs, each observation in O(log(N/B)) merges total). ``cap_of`` reads a
+    run's capacity; ``merge_two`` merges two runs into one."""
+    while True:
+        by_cap: dict = {}
+        for i, r in enumerate(runs):
+            by_cap.setdefault(cap_of(r), []).append(i)
+        pair = next((v for v in by_cap.values() if len(v) >= 2), None)
+        if pair is None:
+            return runs
+        i, j = pair[0], pair[1]
+        merged = merge_two(runs[i], runs[j])
+        runs = [r for t, r in enumerate(runs) if t not in (i, j)]
+        runs.append(merged)
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def _build_run_direct(hi, lo, valid, onehot, k: int):
     """Fresh batch -> run, gather-free: one single-key sort, segment
@@ -393,22 +412,11 @@ class CountStore:
         self._compact_tiers()
 
     def _compact_tiers(self) -> None:
-        """Merge runs of equal capacity until all capacities are distinct
-        (binomial-heap invariant: at most O(log N) runs)."""
-        while True:
-            by_cap: dict = {}
-            for i, r in enumerate(self._runs):
-                by_cap.setdefault(int(r[0].shape[0]), []).append(i)
-            pair = next((v for v in by_cap.values() if len(v) >= 2), None)
-            if pair is None:
-                break
-            i, j = pair[0], pair[1]
-            a, b = self._runs[i], self._runs[j]
-            merged = _merge_runs(a[0], a[1], a[2], b[0], b[1], b[2],
-                                 k=self.k)
-            self._runs = [r for t, r in enumerate(self._runs)
-                          if t not in (i, j)]
-            self._runs.append(merged)
+        self._runs = lsm_compact(
+            self._runs, lambda r: int(r[0].shape[0]),
+            lambda a, b: _merge_runs(a[0], a[1], a[2], b[0], b[1], b[2],
+                                     k=self.k),
+        )
         self._spill_if_needed()
 
     # -- host/disk spill ----------------------------------------------------

@@ -53,23 +53,46 @@ _LN10_OVER_10 = 0.23025850929940458
 _LL_SENTINEL = float(Q_TO_LL[33])
 
 # max |table_f64[q] - analytic_f32(q)| over all non-sentinel q — the
-# per-term component of the hybrid-mode error bound (computed once, host).
+# per-term component of the hybrid-mode error bound. Cached per backend.
 _DELTA_MAX = None
 
 
 def _delta_max() -> float:
-    global _DELTA_MAX
-    if _DELTA_MAX is None:
-        import numpy as np
+    """Per-term error bound between the exact path's f64 table terms and
+    the fast path's f32 analytic terms.
 
-        q = np.arange(34, 256, dtype=np.float64) - 33.0
-        analytic = np.float32(
-            np.log1p(-np.exp(q * -_LN10_OVER_10)).astype(np.float32)
+    The analytic term is evaluated BY THE ACTIVE BACKEND via the very
+    :func:`analytic_ll_f32` both fast paths call (ll_scan's traced fast
+    branch, and pallas_ll_scan's XLA precompute at pallas_scan.py:222), so
+    the measured per-q deltas are those of the arithmetic actually
+    executed — not an f64-evaluated-then-cast proxy, which understates the
+    true delta ~3.6x (f32 exp/log1p round differently than casting the f64
+    result). A host-numpy f32 evaluation is folded in, and the result
+    carries a 2x + 2^-22 safety margin to cover eager-vs-jit lowering
+    differences on the device. Sentinel q (phred <= 0) is excluded: the
+    fast path emits the identical constant there (see _LL_SENTINEL).
+    """
+    global _DELTA_MAX
+    import numpy as np
+
+    backend = jax.default_backend()
+    if _DELTA_MAX is None or _DELTA_MAX[0] != backend:
+        table = np.asarray(Q_TO_LL)[34:]
+        qf = np.arange(34, 256, dtype=np.float32) - np.float32(33.0)
+        host = np.log1p(-np.exp(qf * np.float32(-_LN10_OVER_10)))
+        # first call may happen mid-trace (ll_scan is jitted and also runs
+        # inside shard_map programs): escape to a real eager evaluation so
+        # the result is a concrete measurement, not a tracer
+        with jax.ensure_compile_time_eval():
+            dev = np.asarray(
+                analytic_ll_f32(jnp.arange(34, 256, dtype=jnp.uint8))
+            ).astype(np.float64)
+        d = max(
+            float(np.max(np.abs(table - host.astype(np.float64)))),
+            float(np.max(np.abs(table - dev))),
         )
-        _DELTA_MAX = float(
-            np.max(np.abs(np.asarray(Q_TO_LL)[34:] - analytic))
-        )
-    return _DELTA_MAX
+        _DELTA_MAX = (backend, 2.0 * d + 2.0 ** -22)
+    return _DELTA_MAX[1]
 
 
 def analytic_ll_f32(qual_u8: jax.Array) -> jax.Array:

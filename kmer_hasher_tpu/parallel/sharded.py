@@ -946,8 +946,36 @@ class ShardedCountStore:
                     qual = enc.unpack_qual(qual[0], qual[1][0])
                 chi = clo = emit = None
                 if with_q:
-                    out = si.ll_scan(seq, qual, jnp.where(hq, lens, 0), k,
-                                     min_ll, precision=precision)
+                    q_lens = jnp.where(hq, lens, 0)
+                    if precision == "hybrid":
+                        # fast f32 FSM with borderline flags; shards that
+                        # flagged any read re-run their whole row block in
+                        # exact f64 and splice the flagged rows — bitwise
+                        # -equal to precision="exact" (unflagged reads are
+                        # proven identical by the ll_scan(return_flags)
+                        # bound; flagged ones are recomputed exactly). The
+                        # lax.cond predicate is per-shard and the branches
+                        # hold no collectives, so unflagged shards skip
+                        # the emulated-f64 work entirely.
+                        fast = si.ll_scan(seq, qual, q_lens, k, min_ll,
+                                          precision="fast",
+                                          return_flags=True)
+                        flags = fast[5]
+
+                        def _exact(_):
+                            ex = si.ll_scan(seq, qual, q_lens, k, min_ll,
+                                            precision="exact")
+                            f = flags[:, None]
+                            return tuple(
+                                jnp.where(f, ex[i], fast[i])
+                                for i in range(5)
+                            )
+
+                        out = jax.lax.cond(
+                            flags.any(), _exact, lambda _: fast[:5], None)
+                    else:
+                        out = si.ll_scan(seq, qual, q_lens, k, min_ll,
+                                         precision=precision)
                     chi, clo = enc.canonical_windows(out[1], out[2],
                                                      out[3], out[4])
                     emit = out[0]
@@ -989,37 +1017,36 @@ class ShardedCountStore:
         merges only its own rows)."""
         from ..index import count_store as cs
 
-        def fn(a_hi, a_lo, a_cnt, b_hi, b_lo, b_cnt):
-            out = cs._merge_runs(
-                a_hi.reshape(-1), a_lo.reshape(-1),
-                a_cnt.reshape(a_cnt.shape[1], -1),
-                b_hi.reshape(-1), b_lo.reshape(-1),
-                b_cnt.reshape(b_cnt.shape[1], -1),
-                k=self.k,
-            )
-            return out[0][None], out[1][None], out[2][None]
+        def build():
+            def fn(a_hi, a_lo, a_cnt, b_hi, b_lo, b_cnt):
+                out = cs._merge_runs(
+                    a_hi.reshape(-1), a_lo.reshape(-1),
+                    a_cnt.reshape(a_cnt.shape[1], -1),
+                    b_hi.reshape(-1), b_lo.reshape(-1),
+                    b_cnt.reshape(b_cnt.shape[1], -1),
+                    k=self.k,
+                )
+                return out[0][None], out[1][None], out[2][None]
 
-        shard_fn = jax.jit(
-            jax.shard_map(
-                fn, mesh=self.mesh, in_specs=(P(self.axes),) * 6,
-                out_specs=(P(self.axes),) * 3,
+            return jax.jit(
+                jax.shard_map(
+                    fn, mesh=self.mesh, in_specs=(P(self.axes),) * 6,
+                    out_specs=(P(self.axes),) * 3,
+                )
             )
-        )
+
+        # one cached wrapper per (Ca, Cb) capacity pair: _compact_tiers
+        # runs ~once per batch, and a fresh jit wrapper per call would
+        # re-trace the merge program on the hot path
+        shard_fn = self._program(
+            ("vmerge", int(a[0].shape[1]), int(b[0].shape[1])), build)
         return shard_fn(a[0], a[1], a[2], b[0], b[1], b[2])
 
     def _compact_tiers(self):
-        while True:
-            by_cap: dict = {}
-            for i, r in enumerate(self._runs):
-                by_cap.setdefault(int(r[0].shape[1]), []).append(i)
-            pair = next((v for v in by_cap.values() if len(v) >= 2), None)
-            if pair is None:
-                break
-            i, j = pair[0], pair[1]
-            merged = self._vmerge_runs(self._runs[i], self._runs[j])
-            self._runs = [r for t, r in enumerate(self._runs)
-                          if t not in (i, j)]
-            self._runs.append(merged)
+        from ..index.count_store import lsm_compact
+
+        self._runs = lsm_compact(
+            self._runs, lambda r: int(r[0].shape[1]), self._vmerge_runs)
         self._spill_if_needed()
 
     # -- host/disk spill (mirrors count_store.CountStore) -------------------

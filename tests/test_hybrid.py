@@ -13,8 +13,25 @@ from kmer_hasher_tpu.qll import Q_TO_LL
 
 
 def test_delta_max_is_tiny():
-    # analytic f32 vs embedded table: per-term delta must be ~1 ulp-ish
+    # analytic f32 vs embedded table: per-term delta must be ~ulps-ish
     assert 0 < si._delta_max() < 1e-6
+
+
+def test_delta_max_covers_true_f32_evaluation():
+    """Regression: the bound must cover the delta of a genuine end-to-end
+    f32 evaluation (f32 exp/log1p), which is ~3.6x larger than the
+    f64-evaluated-then-cast proxy an earlier version measured, AND the
+    actual backend evaluation the fast paths execute."""
+    qf = np.arange(34, 256, dtype=np.float32) - np.float32(33.0)
+    host = np.log1p(-np.exp(qf * np.float32(-si._LN10_OVER_10)))
+    host_delta = np.max(np.abs(
+        np.asarray(Q_TO_LL)[34:] - host.astype(np.float64)))
+    dev = np.asarray(
+        si.analytic_ll_f32(jnp.arange(34, 256, dtype=jnp.uint8))
+    ).astype(np.float64)
+    dev_delta = np.max(np.abs(np.asarray(Q_TO_LL)[34:] - dev))
+    # strict margin: the bound is 2x the worst measured + 2^-22
+    assert si._delta_max() >= 2.0 * max(host_delta, dev_delta)
 
 
 def _random_batch(rng, B=64, L=128, lowq_frac=0.1):
@@ -106,3 +123,19 @@ def test_hybrid_counting_on_borderline_rich_reads(tmp_path):
     hybrid = counting.count_kmers_fq_sh_rp(str(fq), k=k, min_q=min_q,
                                            exact_ll="hybrid")
     assert hybrid.counts_dict() == exact.counts_dict()
+    # the sharded twin on the same adversarial reads: per-shard lax.cond
+    # f64 re-scan must reproduce the exact store bitwise
+    from kmer_hasher_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(4)
+    sh_ex = counting.count_kmers_fq_sh_rp(str(fq), k=k, min_q=min_q,
+                                          exact_ll=True, mesh=mesh)
+    # simulate a fresh process: the first _delta_max call then happens
+    # inside the shard_map trace (regression for the mid-trace eval)
+    si._DELTA_MAX = None
+    sh_hy = counting.count_kmers_fq_sh_rp(str(fq), k=k, min_q=min_q,
+                                          exact_ll="hybrid", mesh=mesh)
+    np.testing.assert_array_equal(sh_hy.n_unique, sh_ex.n_unique)
+    np.testing.assert_array_equal(sh_hy.spectrum(600), sh_ex.spectrum(600))
+    np.testing.assert_array_equal(np.asarray(exact.spectrum(600)),
+                                  np.asarray(sh_hy.spectrum(600)))

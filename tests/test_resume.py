@@ -59,6 +59,36 @@ def test_checkpoint_requires_path():
                              checkpoint_every=10)
 
 
+def test_cli_resume_cursor_mismatch_refuses(tmp_path):
+    """A resume cursor that matches none of the given inputs must abort
+    instead of skipping every file as 'already counted' and re-saving the
+    store unchanged."""
+    from kmer_hasher_tpu.__main__ import main
+
+    out = str(tmp_path / "s.npz")
+    count_kmers_fq_sh_rp(FQ, 21, min_q=20, max_reads=20,
+                         checkpoint_every=10, checkpoint_path=out)
+    with pytest.raises(SystemExit, match="matches none"):
+        main(["count", "/root/reference/repeat_40.fq", "-k", "21",
+              "--resume", out, "-o", str(tmp_path / "o.npz")])
+
+
+def test_cli_resume_matches_same_file_spelled_differently(tmp_path):
+    """The cursor stores the path string of the original run; resuming with
+    a different lexical spelling of the same file must still match."""
+    from kmer_hasher_tpu.__main__ import main
+
+    out = str(tmp_path / "s.npz")
+    count_kmers_fq_sh_rp(FQ, 21, min_q=20, max_reads=20,
+                         checkpoint_every=10, checkpoint_path=out)
+    alias = "/root/reference/../reference/test.fastq.gz"
+    main(["count", alias, "-k", "21", "--min-q", "20", "--max-reads", "10",
+          "--resume", out, "-o", str(tmp_path / "o.npz")])
+    whole = count_kmers_fq_sh_rp(FQ, 21, min_q=20, max_reads=30)
+    got = ckpt.load_count_store(str(tmp_path / "o.npz"))
+    assert got.n_unique == whole.n_unique
+
+
 @pytest.mark.slow
 def test_cli_checkpoint_resume_flow(tmp_path):
     out = str(tmp_path / "store.npz")

@@ -107,6 +107,22 @@ def test_sharded_count_store_matches_single(mesh, repeat_40_fq):
     )
 
 
+def test_sharded_hybrid_bitwise_equals_exact(mesh):
+    """mesh= hybrid counting (per-shard fast-f32 + lax.cond f64 re-scan of
+    flagged shards) must produce a store bitwise-equal to exact f64."""
+    from kmer_hasher_tpu.api import count_kmers_fq_sh_rp
+
+    for path, k in (("/root/reference/repeat_40.fq", 7),
+                    ("/root/reference/test.fastq.gz", 21)):
+        exact = count_kmers_fq_sh_rp(path, k=k, min_q=20, exact_ll=True,
+                                     mesh=mesh, max_reads=300)
+        hyb = count_kmers_fq_sh_rp(path, k=k, min_q=20, exact_ll="hybrid",
+                                   mesh=mesh, max_reads=300)
+        np.testing.assert_array_equal(hyb.n_unique, exact.n_unique)
+        np.testing.assert_array_equal(hyb.spectrum(600), exact.spectrum(600))
+        np.testing.assert_array_equal(hyb.total_added, exact.total_added)
+
+
 def test_sharded_rp_counting_matches_single(mesh):
     from kmer_hasher_tpu.api import count_kmers_fq_sh_rp
 
