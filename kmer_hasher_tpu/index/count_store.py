@@ -13,6 +13,22 @@ time. Here counts live in **size-tiered sorted runs** (a proper LSM):
 * reads fold all runs into one compact sorted table (cached until the next
   add).
 
+Two run representations exist, selected by ``KMH_BITONIC_MERGE`` (default
+on):
+
+* **sorted shadow runs** (default): every run is sorted by key ascending
+  with dead padding (all-ones key, zero counts) at the tail; duplicate
+  keys may appear as adjacent *shadow* rows whose counts sum to the true
+  count. Because both merge inputs are sorted, a tier merge is a single
+  gather-free **bitonic merge** — concat(A, sentinel pad, reverse(B)) is
+  bitonic, so log2(P) static-stride compare-exchange stages sort it
+  (~log2(P) fused HBM passes) instead of the ~60-90 passes a full
+  ``lax.sort`` re-sort costs (PERF.md). Consolidation (segment-summing the
+  shadows) happens once, at fold time.
+* **consolidated runs** (``KMH_BITONIC_MERGE=0``): unique live keys per
+  run, interior dead rows allowed (unsorted); every merge is a full
+  re-sort + neighbour-absorb.
+
 Everything between adds is device-resident with **no host syncs**: run
 shapes are static per tier, validity is carried in the sort keys (dead rows
 key as all-ones with a tie-break flag), and ``n_unique`` / ``total_added``
@@ -76,7 +92,7 @@ def lsm_compact(runs: list, cap_of, merge_two) -> list:
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
-def _build_run_direct(hi, lo, valid, onehot, k: int):
+def _build_run_direct_consolidated(hi, lo, valid, onehot, k: int):
     """Fresh batch -> run, gather-free: one single-key sort, segment
     counts scatter-added onto each segment's first row, dead rows keyed
     all-ones. For k < 32 a valid key can never equal the all-ones
@@ -167,7 +183,7 @@ def _run_sorted(hi, lo, cnt, k):
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
-def _merge_runs(a_hi, a_lo, a_cnt, b_hi, b_lo, b_cnt, k: int = 32):
+def _merge_runs_resort(a_hi, a_lo, a_cnt, b_hi, b_lo, b_cnt, k: int = 32):
     """Merge two runs (each with unique live keys): concat + sort +
     neighbour-absorb. Each true key appears at most twice, so the segment
     sum is one elementwise shifted add — no scatter. Output is run-form but
@@ -191,7 +207,7 @@ def _merge_runs(a_hi, a_lo, a_cnt, b_hi, b_lo, b_cnt, k: int = 32):
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
-def _finalize_run(hi, lo, cnt, k: int = 32):
+def _finalize_run_resort(hi, lo, cnt, k: int = 32):
     """Sort a run into compact form: live rows first in true key order,
     dead tail zeroed. Returns (u_hi, u_lo, cnt, n_unique)."""
     key_s, live, cnt_s = _run_sorted(hi, lo, cnt, k)
@@ -199,6 +215,194 @@ def _finalize_run(hi, lo, cnt, k: int = 32):
     u_hi = jnp.where(live, (key_s >> jnp.uint64(32)).astype(U32), 0)
     u_lo = jnp.where(live, key_s.astype(U32), 0)
     return u_hi, u_lo, cnt_s * live[:, None].astype(U32), n_unique
+
+
+# ---------------------------------------------------------------------------
+# Sorted-shadow-run representation (KMH_BITONIC_MERGE, the default): runs
+# stay sorted so tier merges are gather-free bitonic merges instead of full
+# re-sorts. See the module docstring for the invariant.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _build_run_direct_sorted(hi, lo, valid, onehot, k: int):
+    """Fresh batch -> SORTED run with duplicate shadows: one key sort,
+    per-row counts = validity one-hot (consolidation deferred to fold
+    time), dead rows keyed all-ones sort to the tail. Cheaper than the
+    consolidated build (no segment scatter-add), and the output sortedness
+    is what lets tier merges be bitonic. Same narrow-comparator ladder as
+    _run_sorted: bare u32 for 2k<32, payload-free u64 for k<32, (key,
+    valid) at k=32 where a real all-G kmer shares the all-ones key."""
+    key = (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(jnp.uint64)
+    key = jnp.where(valid, key, jnp.uint64(0xFFFFFFFFFFFFFFFF))
+    if 2 * k < 32:
+        k32 = jax.lax.sort(key.astype(U32), dimension=-1, is_stable=False)
+        val_s = (k32 != _DEAD).astype(U32)
+        run_hi = jnp.where(k32 == _DEAD, _DEAD, jnp.uint32(0))
+        run_lo = k32
+    elif k < 32:
+        key_s = jax.lax.sort(key, dimension=-1, is_stable=False)
+        val_s = (key_s != jnp.uint64(0xFFFFFFFFFFFFFFFF)).astype(U32)
+        run_hi = (key_s >> jnp.uint64(32)).astype(U32)
+        run_lo = key_s.astype(U32)
+    else:
+        # k=32: a real all-G kmer shares the all-ones key with dead rows;
+        # sort (key, dead) so live rows precede dead within equal keys —
+        # the extended order the bitonic merge preserves and its output
+        # trim relies on (dead rows are the only ones safe to cut)
+        key_s, dead_s = jax.lax.sort(
+            (key, (~valid).astype(U32)), dimension=-1, is_stable=False,
+            num_keys=2,
+        )
+        val_s = jnp.uint32(1) - dead_s
+        run_hi = (key_s >> jnp.uint64(32)).astype(U32)
+        run_lo = key_s.astype(U32)
+    run_cnt = onehot[None, :] * val_s[:, None]
+    n_obs = val_s.sum(dtype=jnp.int64)
+    return run_hi, run_lo, run_cnt, n_obs
+
+
+def _bitonic_merge_lanes(lanes, n_keys: int):
+    """Sort a bitonic sequence carried in parallel u32 lanes: log2(M)
+    static-stride compare-exchange stages (pure reshapes + selects — no
+    gather/scatter, each stage one fused HBM pass). ``lanes[:n_keys]``
+    compare lexicographically; the rest follow as payload. M must be a
+    power of two."""
+    M = lanes[0].shape[0]
+    stride = M // 2
+    while stride >= 1:
+        v = [a.reshape(-1, 2, stride) for a in lanes]
+        x = [a[:, 0, :] for a in v]
+        y = [a[:, 1, :] for a in v]
+        if n_keys == 1:
+            le = x[0] <= y[0]
+        elif n_keys == 2:
+            le = (x[0] < y[0]) | ((x[0] == y[0]) & (x[1] <= y[1]))
+        else:
+            eq01 = (x[0] == y[0]) & (x[1] == y[1])
+            le = ((x[0] < y[0])
+                  | ((x[0] == y[0]) & (x[1] < y[1]))
+                  | (eq01 & (x[2] <= y[2])))
+        lanes = [
+            jnp.stack([jnp.where(le, xa, ya), jnp.where(le, ya, xa)],
+                      axis=1).reshape(M)
+            for xa, ya in zip(x, y)
+        ]
+        stride //= 2
+    return lanes
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _merge_runs_bitonic(a_hi, a_lo, a_cnt, b_hi, b_lo, b_cnt, k: int = 32):
+    """Merge two SORTED shadow-runs without re-sorting: concat(A, sentinel
+    pad, reverse(B)) is bitonic (ascending, peak, descending), so log2(P)
+    compare-exchange stages sort it — one fused HBM pass per stage vs the
+    ~60-90 passes of a full lax.sort (PERF.md "the sort is the gate").
+    Works for any input lengths: the all-ones pad rows behave exactly like
+    dead padding and sort past the trimmed output. Output: sorted run of
+    length Na+Nb; duplicate keys remain adjacent shadow rows (consolidated
+    at _finalize_run). Replaces the khash incremental-insert economics
+    (src/suffix_hash.c:66-97) on the tier-merge hot path."""
+    Na, Nb = a_hi.shape[0], b_hi.shape[0]
+    M = Na + Nb
+    P = 1 << max(1, int(M - 1).bit_length())
+    pad = P - M
+    C = a_cnt.shape[1]
+
+    def lane(a, b_rev, fill):
+        parts = [a]
+        if pad:
+            parts.append(jnp.full(pad, fill, a.dtype))
+        parts.append(b_rev)
+        return jnp.concatenate(parts)
+
+    cnt_lanes = [lane(a_cnt[:, j], b_cnt[::-1, j], jnp.uint32(0))
+                 for j in range(C)]
+    if 2 * k < 32:
+        # hi is derivable (0 for live, all-ones for dead) — 1 key lane
+        lanes = [lane(a_lo, b_lo[::-1], _DEAD)] + cnt_lanes
+        lanes = _bitonic_merge_lanes(lanes, 1)
+        out_lo = lanes[0][:M]
+        out_hi = jnp.where(out_lo == _DEAD, _DEAD, jnp.uint32(0))
+        out_cnt = jnp.stack([c[:M] for c in lanes[1:]], axis=1)
+    elif k < 32:
+        lanes = [lane(a_hi, b_hi[::-1], _DEAD),
+                 lane(a_lo, b_lo[::-1], _DEAD)] + cnt_lanes
+        lanes = _bitonic_merge_lanes(lanes, 2)
+        out_hi = lanes[0][:M]
+        out_lo = lanes[1][:M]
+        out_cnt = jnp.stack([c[:M] for c in lanes[2:]], axis=1)
+    else:
+        # k=32: a dead flag rides as a third key lane so live all-G rows
+        # (all-ones key, count>0) sort before dead rows and survive the
+        # output trim (the only rows the trim may cut are dead)
+        a_dead = (a_cnt.astype(jnp.int64).sum(axis=1) == 0).astype(U32)
+        b_dead = (b_cnt.astype(jnp.int64).sum(axis=1) == 0).astype(U32)
+        lanes = [lane(a_hi, b_hi[::-1], _DEAD),
+                 lane(a_lo, b_lo[::-1], _DEAD),
+                 lane(a_dead, b_dead[::-1], jnp.uint32(1))] + cnt_lanes
+        lanes = _bitonic_merge_lanes(lanes, 3)
+        out_hi = lanes[0][:M]
+        out_lo = lanes[1][:M]
+        out_cnt = jnp.stack([c[:M] for c in lanes[3:]], axis=1)
+    return out_hi, out_lo, out_cnt
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _finalize_run_sorted(hi, lo, cnt, k: int = 32):
+    """Finalize a SORTED shadow-run: consolidate duplicates (segment
+    scatter-add onto each key's first row — the one scatter pass of the
+    whole LSM path, paid once per fold), then compact live rows to the
+    front. Liveness = segment count-sum > 0, which uniformly handles dead
+    padding and, at k=32, a real all-G kmer sharing the all-ones key with
+    the padding. Returns (u_hi, u_lo, cnt, n_unique)."""
+    N = hi.shape[0]
+    C = cnt.shape[1]
+    key = (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(jnp.uint64)
+    idx = jnp.arange(N, dtype=I32)
+    starts = jnp.zeros(N, bool).at[0].set(True) | (key != jnp.roll(key, 1))
+    start_row = jax.lax.cummax(jnp.where(starts, idx, -1))
+    seg_cnt = jnp.zeros_like(cnt).at[start_row].add(cnt, mode="drop")
+    live = starts & (seg_cnt.astype(jnp.int64).sum(axis=1) > 0)
+    key_c = jnp.where(live, key, jnp.uint64(0xFFFFFFFFFFFFFFFF))
+    cnt_c = seg_cnt * live[:, None].astype(U32)
+    if 2 * k < 32:
+        ops = (key_c.astype(U32),) + tuple(cnt_c[:, j] for j in range(C))
+        s = jax.lax.sort(ops, num_keys=1)
+        hi_s = jnp.zeros(N, U32)
+        lo_s = s[0]
+        cnt_s = jnp.stack(s[1:], axis=1)
+    elif k < 32:
+        ops = (key_c,) + tuple(cnt_c[:, j] for j in range(C))
+        s = jax.lax.sort(ops, num_keys=1)
+        hi_s = (s[0] >> jnp.uint64(32)).astype(U32)
+        lo_s = s[0].astype(U32)
+        cnt_s = jnp.stack(s[1:], axis=1)
+    else:
+        deadf = (~live).astype(U32)
+        ops = (key_c, deadf) + tuple(cnt_c[:, j] for j in range(C))
+        s = jax.lax.sort(ops, num_keys=2)
+        hi_s = (s[0] >> jnp.uint64(32)).astype(U32)
+        lo_s = s[0].astype(U32)
+        cnt_s = jnp.stack(s[2:], axis=1)
+    n_unique = live.sum().astype(I32)
+    live_s = jnp.arange(N, dtype=I32) < n_unique
+    u_hi = jnp.where(live_s, hi_s, 0)
+    u_lo = jnp.where(live_s, lo_s, 0)
+    return u_hi, u_lo, cnt_s * live_s[:, None].astype(U32), n_unique
+
+
+# KMH_BITONIC_MERGE=0 reverts to the consolidated-run (full re-sort per
+# merge) representation. The three functions form a coherent set — the run
+# invariant differs — so they switch together.
+_BITONIC_MERGE = os.environ.get("KMH_BITONIC_MERGE", "1") != "0"
+if _BITONIC_MERGE:
+    _build_run_direct = _build_run_direct_sorted
+    _merge_runs = _merge_runs_bitonic
+    _finalize_run = _finalize_run_sorted
+else:
+    _build_run_direct = _build_run_direct_consolidated
+    _merge_runs = _merge_runs_resort
+    _finalize_run = _finalize_run_resort
 
 
 @jax.jit

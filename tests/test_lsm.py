@@ -158,3 +158,120 @@ def test_k32_all_g_kmer_survives_dead_sentinel():
     # windows of all-G: 9 per pass from the 40-G head, 2 from the 33-G tail
     assert d[all_g] == [3 * (9 + 2)]
     assert all(vv[0] > 0 for vv in d.values())
+
+
+# ---------------------------------------------------------------------------
+# The two run representations (sorted shadow runs + bitonic merges vs
+# consolidated runs + re-sort merges, KMH_BITONIC_MERGE) must agree.
+# ---------------------------------------------------------------------------
+import jax.numpy as jnp
+import pytest
+
+from kmer_hasher_tpu.index import count_store as cs
+
+
+def _shadow_run(rng, n, k, counts_n, fill=0.8, max_dup=3):
+    """Random sorted shadow-run: sorted keys with duplicate shadow rows
+    (each carrying its own count), dead all-ones tail."""
+    live = int(n * fill)
+    base = rng.integers(0, 1 << min(63, 2 * k), max(1, live // 2),
+                        dtype=np.uint64)
+    keys = np.sort(rng.choice(base, live))  # duplicates likely
+    hi = np.full(n, 0xFFFFFFFF, np.uint32)
+    lo = np.full(n, 0xFFFFFFFF, np.uint32)
+    hi[:live] = (keys >> np.uint64(32)).astype(np.uint32)
+    lo[:live] = (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    cnt = np.zeros((n, counts_n), np.uint32)
+    cnt[:live] = rng.integers(1, max_dup + 1, (live, counts_n),
+                              dtype=np.uint32)
+    return jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(cnt)
+
+
+def _consolidate_host(hi, lo, cnt):
+    """Host-side reference: dict key -> summed count rows."""
+    key = ((np.asarray(hi).astype(np.uint64) << np.uint64(32))
+           | np.asarray(lo).astype(np.uint64))
+    out = {}
+    for kk, row in zip(key, np.asarray(cnt)):
+        if row.sum() == 0:
+            continue
+        acc = out.setdefault(int(kk), np.zeros(row.shape, np.uint64))
+        acc += row
+    return {k_: v.tolist() for k_, v in out.items()}
+
+
+@pytest.mark.parametrize("k,counts_n,na,nb", [
+    (9, 1, 256, 256),    # u32 comparator, equal caps
+    (16, 1, 256, 64),    # u64 boundary, unequal caps (middle pad)
+    (21, 2, 128, 512),   # multi-source
+    (32, 1, 256, 128),   # all-ones aliasing regime
+])
+def test_bitonic_merge_matches_resort(k, counts_n, na, nb):
+    rng = np.random.default_rng(k * 1000 + na + nb)
+    a = _shadow_run(rng, na, k, counts_n)
+    b = _shadow_run(rng, nb, k, counts_n)
+    want = _consolidate_host(*a)
+    for kk, row in _consolidate_host(*b).items():
+        acc = want.setdefault(kk, [0] * counts_n)
+        want[kk] = [x + y for x, y in zip(acc, row)]
+    out = cs._merge_runs_bitonic(*a, *b, k=k)
+    # output sorted (by key; shadows allowed), same multiset of counts
+    key = ((np.asarray(out[0]).astype(np.uint64) << np.uint64(32))
+           | np.asarray(out[1]).astype(np.uint64))
+    assert (key[1:] >= key[:-1]).all()
+    assert _consolidate_host(*out) == want
+    # finalize of the bitonic merge == finalize of the re-sort merge on
+    # consolidated versions of the same inputs
+    fb = cs._finalize_run_sorted(*out, k=k)
+    n_u = int(fb[3])
+    assert n_u == len(want)
+    fkey = ((np.asarray(fb[0]).astype(np.uint64) << np.uint64(32))
+            | np.asarray(fb[1]).astype(np.uint64))[:n_u]
+    fin = {int(kk): np.asarray(fb[2])[i].tolist()
+           for i, kk in enumerate(fkey)}
+    assert fin == want
+
+
+def test_k32_all_g_vs_dead_rows_in_bitonic_merge():
+    """Live all-G rows (all-ones key) must survive the output trim even
+    when outnumbered by dead rows."""
+    k = 32
+    allg = (1 << 64) - 1
+    def run(keys, cnts, cap):
+        hi = np.full(cap, 0xFFFFFFFF, np.uint32)
+        lo = np.full(cap, 0xFFFFFFFF, np.uint32)
+        c = np.zeros((cap, 1), np.uint32)
+        for i, (kk, cc) in enumerate(zip(keys, cnts)):
+            hi[i], lo[i], c[i, 0] = kk >> 32, kk & 0xFFFFFFFF, cc
+        return jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(c)
+    a = run([7, allg, allg], [1, 2, 3], 128)      # mostly dead
+    b = run([allg], [5], 64)
+    out = cs._merge_runs_bitonic(*a, *b, k=k)
+    assert _consolidate_host(*out) == {7: [1], allg: [10]}
+    fb = cs._finalize_run_sorted(*out, k=k)
+    assert int(fb[3]) == 2
+
+
+def test_build_run_representations_agree():
+    rng = np.random.default_rng(3)
+    for k in (5, 9, 16, 31, 32):
+        n = 512
+        hi = rng.integers(0, 1 << min(32, max(1, 2 * k - 32)),
+                          n, dtype=np.uint64).astype(np.uint32)
+        lo = rng.integers(0, 1 << min(32, 2 * k), n,
+                          dtype=np.uint64).astype(np.uint32)
+        if k < 16:
+            hi = np.zeros(n, np.uint32)
+        valid = rng.random(n) < 0.7
+        onehot = jnp.asarray(np.array([1], np.uint32))
+        args = (jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(valid),
+                onehot)
+        r_sorted = cs._build_run_direct_sorted(*args, k)
+        r_cons = cs._build_run_direct_consolidated(*args, k)
+        assert int(r_sorted[3]) == int(r_cons[3])
+        assert (_consolidate_host(*r_sorted[:3])
+                == _consolidate_host(*r_cons[:3]))
+        # sorted representation really is sorted
+        key = ((np.asarray(r_sorted[0]).astype(np.uint64) << np.uint64(32))
+               | np.asarray(r_sorted[1]).astype(np.uint64))
+        assert (key[1:] >= key[:-1]).all()
