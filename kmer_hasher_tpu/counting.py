@@ -268,11 +268,11 @@ def _add_canonical_fsm(store: CountStore, emit, fhi, flo, rhi, rlo,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "counts_n", "source", "min_ll_f", "fsm",
-                     "with_noq"),
+                     "with_noq", "keyonly"),
 )
 def _fused_rp_batch(seq, qual, lengths, has_qual, k: int, counts_n: int,
                     source: int, min_ll_f: float, fsm: str,
-                    with_noq: bool = False):
+                    with_noq: bool = False, keyonly: bool = False):
     """One fused device program for the whole flagship batch pipeline:
     quality-likelihood FSM (+ no-quality encoder rows) -> canonical
     min(fwd, rc) -> batch sort + segment-reduce -> LSM run.
@@ -354,9 +354,14 @@ def _fused_rp_batch(seq, qual, lengths, has_qual, k: int, counts_n: int,
         flat_hi, flat_lo, flat_ok = (chi.reshape(-1), clo.reshape(-1),
                                      emit.reshape(-1))
     onehot = jnp.zeros(counts_n, jnp.uint32).at[source].set(1)
-    r_hi, r_lo, r_cnt, n_scalar = cs._build_run_direct(
-        flat_hi, flat_lo, flat_ok, onehot, k
-    )
+    if keyonly:  # key-only unit run: no count column (CountStore derives)
+        r_hi, r_lo, n_scalar = cs._build_run_keys(flat_hi, flat_lo,
+                                                  flat_ok, k)
+        r_cnt = None
+    else:
+        r_hi, r_lo, r_cnt, n_scalar = cs._build_run_direct(
+            flat_hi, flat_lo, flat_ok, onehot, k
+        )
     n_obs = onehot.astype(jnp.int64) * n_scalar
     if flags is None:
         flags = jnp.zeros(seq.shape[0], bool)
@@ -405,11 +410,11 @@ def _progress(report_every: Optional[int], name: str):
 
 @functools.partial(
     jax.jit, static_argnames=("k", "counts_n", "min_q_char", "with_q",
-                              "with_noq")
+                              "with_noq", "keyonly")
 )
 def _fused_threshold_batch(seq, qual, lengths, has_qual, k: int,
                            counts_n: int, min_q_char: int, with_q: bool,
-                           with_noq: bool):
+                           with_noq: bool, keyonly: bool = False):
     """Fused batch program for the per-base-threshold entries (same
     dispatch-cost rationale as _fused_rp_batch)."""
     from .index import count_store as cs
@@ -438,9 +443,14 @@ def _fused_threshold_batch(seq, qual, lengths, has_qual, k: int,
     flat_lo = jnp.concatenate([p[1].reshape(-1) for p in parts])
     flat_ok = jnp.concatenate([p[2].reshape(-1) for p in parts])
     onehot = jnp.zeros(counts_n, jnp.uint32).at[0].set(1)
-    r_hi, r_lo, r_cnt, n_scalar = cs._build_run_direct(
-        flat_hi, flat_lo, flat_ok, onehot, k
-    )
+    if keyonly:
+        r_hi, r_lo, n_scalar = cs._build_run_keys(flat_hi, flat_lo,
+                                                  flat_ok, k)
+        r_cnt = None
+    else:
+        r_hi, r_lo, r_cnt, n_scalar = cs._build_run_direct(
+            flat_hi, flat_lo, flat_ok, onehot, k
+        )
     return r_hi, r_lo, r_cnt, onehot.astype(jnp.int64) * n_scalar
 
 
@@ -460,7 +470,7 @@ def _count_fastq_threshold(path: str, k: int, min_q: int,
             continue
         run_hi, run_lo, run_cnt, n_obs = _fused_threshold_batch(
             b.seq, b.qual, b.lengths, b.has_qual, k, store.counts_n,
-            min_q_char, with_q, with_noq,
+            min_q_char, with_q, with_noq, keyonly=store.keyonly_runs,
         )
         store.add_run(run_hi, run_lo, run_cnt, n_obs)
         if meter:
@@ -611,7 +621,8 @@ def count_kmers_fq_sh_rp(path: str, k: int, prefix_bits: int = 20,
             lens = jnp.where(f_b, len_b, 0)
             r = _fused_rp_batch(seq_b, qual_b, lens, f_b, k,
                                 store.counts_n, source, min_ll_f,
-                                "exact", False)
+                                "exact", False,
+                                keyonly=store.keyonly_runs)
             store.add_run(r[0], r[1], r[2], r[3])
         backlog.clear()
 
@@ -624,7 +635,7 @@ def count_kmers_fq_sh_rp(path: str, k: int, prefix_bits: int = 20,
         with_noq = bool(((~b.has_qual_h) & (b.lengths_h > k)).any())
         run_hi, run_lo, run_cnt, n_obs, flags = _fused_rp_batch(
             b.seq, b.qual, b.lengths, b.has_qual, k, store.counts_n,
-            source, min_ll_f, fsm, with_noq,
+            source, min_ll_f, fsm, with_noq, keyonly=store.keyonly_runs,
         )
         store.add_run(run_hi, run_lo, run_cnt, n_obs)
         if fsm in ("hybrid", "pallas_hybrid"):

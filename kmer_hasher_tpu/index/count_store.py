@@ -391,6 +391,78 @@ def _finalize_run_sorted(hi, lo, cnt, k: int = 32):
     return u_hi, u_lo, cnt_s * live_s[:, None].astype(U32), n_unique
 
 
+# ---------------------------------------------------------------------------
+# Key-only unit runs (KMH_KEYONLY_MERGE, default on): for single-source
+# stores (counts_n == 1) at k < 32, a sorted shadow-run's count column is
+# fully derivable from its keys — every live row is exactly one observation
+# (count 1) and dead rows key as all-ones, which no valid k<32 key can
+# equal. Such runs carry NO count array (cnt is None), so tier merges move
+# one u32 lane at 2k<32 / two at k<32 instead of two/three — a 1.5-2x HBM
+# -traffic cut on the counting hot path. k = 32 is excluded (a live all-G
+# kmer aliases the sentinel). Counts materialise at fold/spill time.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _build_run_keys(hi, lo, valid, k: int):
+    """Fresh batch -> SORTED key-only unit run: like
+    _build_run_direct_sorted but without materialising the count column.
+    Only valid for k < 32 (liveness derivable from the sentinel)."""
+    key = (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(jnp.uint64)
+    key = jnp.where(valid, key, jnp.uint64(0xFFFFFFFFFFFFFFFF))
+    if 2 * k < 32:
+        k32 = jax.lax.sort(key.astype(U32), dimension=-1, is_stable=False)
+        run_hi = jnp.where(k32 == _DEAD, _DEAD, jnp.uint32(0))
+        run_lo = k32
+        n_obs = (k32 != _DEAD).sum(dtype=jnp.int64)
+    else:
+        key_s = jax.lax.sort(key, dimension=-1, is_stable=False)
+        run_hi = (key_s >> jnp.uint64(32)).astype(U32)
+        run_lo = key_s.astype(U32)
+        n_obs = (key_s != jnp.uint64(0xFFFFFFFFFFFFFFFF)).sum(
+            dtype=jnp.int64)
+    return run_hi, run_lo, n_obs
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _merge_runs_keyonly(a_hi, a_lo, b_hi, b_lo, k: int):
+    """Bitonic merge of two key-only unit runs: the count lanes of
+    _merge_runs_bitonic simply don't exist, so each stage moves only the
+    key lane(s)."""
+    Na, Nb = a_hi.shape[0], b_hi.shape[0]
+    M = Na + Nb
+    P = 1 << max(1, int(M - 1).bit_length())
+    pad = P - M
+
+    def lane(a, b_rev):
+        parts = [a]
+        if pad:
+            parts.append(jnp.full(pad, _DEAD, a.dtype))
+        parts.append(b_rev)
+        return jnp.concatenate(parts)
+
+    if 2 * k < 32:
+        lanes = _bitonic_merge_lanes([lane(a_lo, b_lo[::-1])], 1)
+        out_lo = lanes[0][:M]
+        out_hi = jnp.where(out_lo == _DEAD, _DEAD, jnp.uint32(0))
+    else:
+        lanes = _bitonic_merge_lanes(
+            [lane(a_hi, b_hi[::-1]), lane(a_lo, b_lo[::-1])], 2)
+        out_hi = lanes[0][:M]
+        out_lo = lanes[1][:M]
+    return out_hi, out_lo
+
+
+@jax.jit
+def _unit_run_cnt(hi, lo):
+    """Materialise the derived count column of a key-only unit run
+    (k < 32): 1 for live rows, 0 for the all-ones dead sentinel."""
+    live = ~((hi == _DEAD) & (lo == _DEAD))
+    return live[:, None].astype(U32)
+
+
+_KEYONLY_MERGE = os.environ.get("KMH_KEYONLY_MERGE", "1") != "0"
+
+
 # KMH_BITONIC_MERGE=0 reverts to the consolidated-run (full re-sort per
 # merge) representation. The three functions form a coherent set — the run
 # invariant differs — so they switch together.
@@ -531,6 +603,14 @@ class CountStore:
         return int(self.u_hi.shape[0])
 
     @property
+    def keyonly_runs(self) -> bool:
+        """True when this store's tier runs may omit the count column
+        (key-only unit runs): single source, k < 32 (liveness derivable
+        from the all-ones sentinel), sorted-shadow representation."""
+        return (_KEYONLY_MERGE and _BITONIC_MERGE
+                and self.counts_n == 1 and self.k < 32)
+
+    @property
     def n_unique(self) -> int:
         """Distinct k-mers; folds pending runs (syncs) when dirty."""
         self.flush()
@@ -582,7 +662,10 @@ class CountStore:
         ``n_obs`` is the [counts_n] device vector of observations folded
         into the run — accounted into total_added. This is the zero-eager
         -dispatch fast path: callers fuse FSM + canonicalise + run build
-        into one jit and hand the result straight to the store."""
+        into one jit and hand the result straight to the store. ``cnt``
+        may be None for a key-only unit run (see ``keyonly_runs``)."""
+        if cnt is None and not self.keyonly_runs:
+            raise ValueError("key-only runs not supported by this store")
         self._total_added_dev = self._total_added_dev + n_obs.astype(I64)
         self._runs.append((hi, lo, cnt))
         self._compact_tiers()
@@ -608,25 +691,40 @@ class CountStore:
                 hi = jnp.pad(hi, (0, pad))
                 lo = jnp.pad(lo, (0, pad))
                 valid = jnp.pad(valid, (0, pad))
-            onehot = jnp.zeros(self.counts_n, U32).at[source].set(1)
-            r_hi, r_lo, r_cnt, _n = _build_run_direct(
-                hi, lo, valid, onehot, self.k
-            )
-            self._runs.append((r_hi, r_lo, r_cnt))
+            if self.keyonly_runs:
+                r_hi, r_lo, _n = _build_run_keys(hi, lo, valid, self.k)
+                self._runs.append((r_hi, r_lo, None))
+            else:
+                onehot = jnp.zeros(self.counts_n, U32).at[source].set(1)
+                r_hi, r_lo, r_cnt, _n = _build_run_direct(
+                    hi, lo, valid, onehot, self.k
+                )
+                self._runs.append((r_hi, r_lo, r_cnt))
         self._compact_tiers()
+
+    def _merge_two(self, a, b):
+        """Tier-merge two runs, staying key-only when both inputs are
+        (the hot case); a mixed pair materialises the derived counts."""
+        if a[2] is None and b[2] is None:
+            oh, ol = _merge_runs_keyonly(a[0], a[1], b[0], b[1], k=self.k)
+            return (oh, ol, None)
+        ac = a[2] if a[2] is not None else _unit_run_cnt(a[0], a[1])
+        bc = b[2] if b[2] is not None else _unit_run_cnt(b[0], b[1])
+        return _merge_runs(a[0], a[1], ac, b[0], b[1], bc, k=self.k)
 
     def _compact_tiers(self) -> None:
         self._runs = lsm_compact(
-            self._runs, lambda r: int(r[0].shape[0]),
-            lambda a, b: _merge_runs(a[0], a[1], a[2], b[0], b[1], b[2],
-                                     k=self.k),
+            self._runs, lambda r: int(r[0].shape[0]), self._merge_two,
         )
         self._spill_if_needed()
 
     # -- host/disk spill ----------------------------------------------------
     def _device_run_bytes(self) -> int:
-        row = 8 + 4 * self.counts_n
-        return sum(int(r[0].shape[0]) * row for r in self._runs)
+        return sum(
+            int(r[0].shape[0])
+            * (8 + (4 * self.counts_n if r[2] is not None else 0))
+            for r in self._runs
+        )
 
     def _spill_one(self) -> None:
         """Move the largest device-resident run off-device. The run is
@@ -635,6 +733,8 @@ class CountStore:
         numpy arrays or as an .npz under spill_dir."""
         self._runs.sort(key=lambda r: int(r[0].shape[0]))
         hi, lo, cnt = self._runs.pop()
+        if cnt is None:
+            cnt = _unit_run_cnt(hi, lo)
         u_hi, u_lo, u_cnt, n_u = _finalize_run(hi, lo, cnt, k=self.k)
         n_u = int(n_u)
         cap = _next_pow2(n_u)
@@ -714,14 +814,16 @@ class CountStore:
         hi, lo, cnt = self._runs.pop()
         while self._runs:
             b = self._runs.pop()
-            hi, lo, cnt = _merge_runs(hi, lo, cnt, b[0], b[1], b[2],
-                                      k=self.k)
+            hi, lo, cnt = self._merge_two((hi, lo, cnt), b)
             cap = _next_pow2(int(hi.shape[0]))
             if cap != hi.shape[0]:
                 pad = cap - hi.shape[0]
                 hi = jnp.concatenate([hi, jnp.full(pad, _DEAD, U32)])
                 lo = jnp.concatenate([lo, jnp.full(pad, _DEAD, U32)])
-                cnt = jnp.pad(cnt, ((0, pad), (0, 0)))
+                if cnt is not None:
+                    cnt = jnp.pad(cnt, ((0, pad), (0, 0)))
+        if cnt is None:
+            cnt = _unit_run_cnt(hi, lo)
         if self._spilled:
             hi, lo, cnt = self._fold_spilled(hi, lo, cnt)
         u_hi, u_lo, u_cnt, n_u = _finalize_run(hi, lo, cnt, k=self.k)

@@ -275,3 +275,101 @@ def test_build_run_representations_agree():
         key = ((np.asarray(r_sorted[0]).astype(np.uint64) << np.uint64(32))
                | np.asarray(r_sorted[1]).astype(np.uint64))
         assert (key[1:] >= key[:-1]).all()
+
+
+# ---------------------------------------------------------------------------
+# Key-only unit runs (counts_n=1, k<32): merges that drop the count lane
+# must agree with count-carrying merges, and the store must produce
+# identical results with the optimisation on and off.
+# ---------------------------------------------------------------------------
+
+def _unit_shadow_run(rng, n, k, fill=0.8):
+    """Sorted unit shadow-run: live keys (count 1 each, duplicates
+    allowed), all-ones dead tail; returns (hi, lo) and the derived cnt."""
+    live = int(n * fill)
+    base = rng.integers(0, 1 << min(63, 2 * k), max(1, live // 2),
+                        dtype=np.uint64)
+    keys = np.sort(rng.choice(base, live))
+    hi = np.full(n, 0xFFFFFFFF, np.uint32)
+    lo = np.full(n, 0xFFFFFFFF, np.uint32)
+    hi[:live] = (keys >> np.uint64(32)).astype(np.uint32)
+    lo[:live] = (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    cnt = np.zeros((n, 1), np.uint32)
+    cnt[:live] = 1
+    return jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(cnt)
+
+
+@pytest.mark.parametrize("k,na,nb", [(9, 256, 256), (15, 128, 512),
+                                     (16, 256, 64), (21, 256, 256),
+                                     (31, 64, 256)])
+def test_keyonly_merge_matches_materialized(k, na, nb):
+    rng = np.random.default_rng(k * 7 + na)
+    a_hi, a_lo, a_cnt = _unit_shadow_run(rng, na, k)
+    b_hi, b_lo, b_cnt = _unit_shadow_run(rng, nb, k)
+    o_hi, o_lo = cs._merge_runs_keyonly(a_hi, a_lo, b_hi, b_lo, k=k)
+    o_cnt = cs._unit_run_cnt(o_hi, o_lo)
+    m_hi, m_lo, m_cnt = cs._merge_runs_bitonic(
+        a_hi, a_lo, a_cnt, b_hi, b_lo, b_cnt, k=k)
+    assert _consolidate_host(o_hi, o_lo, o_cnt) == \
+        _consolidate_host(m_hi, m_lo, m_cnt)
+    # key-only output is sorted, so a second-level key-only merge works
+    key = ((np.asarray(o_hi).astype(np.uint64) << np.uint64(32))
+           | np.asarray(o_lo).astype(np.uint64))
+    assert (key[1:] >= key[:-1]).all()
+
+
+def test_build_run_keys_matches_direct():
+    rng = np.random.default_rng(11)
+    for k in (5, 9, 16, 21, 31):
+        n = 512
+        hi = rng.integers(0, 1 << max(1, min(32, 2 * k - 32)), n,
+                          dtype=np.uint64).astype(np.uint32)
+        lo = rng.integers(0, 1 << min(32, 2 * k), n,
+                          dtype=np.uint64).astype(np.uint32)
+        if k < 16:
+            hi = np.zeros(n, np.uint32)
+        valid = rng.random(n) < 0.7
+        onehot = jnp.asarray(np.array([1], np.uint32))
+        kh, kl, kn = cs._build_run_keys(
+            jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(valid), k)
+        dh, dl, dc, dn = cs._build_run_direct_sorted(
+            jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(valid), onehot, k)
+        assert int(kn) == int(dn)
+        kc = cs._unit_run_cnt(kh, kl)
+        assert _consolidate_host(kh, kl, kc) == _consolidate_host(dh, dl, dc)
+
+
+def test_keyonly_store_end_to_end(monkeypatch):
+    """A k=21 single-source store takes the key-only path (runs carry no
+    count column) and must match both a host dict and the same store with
+    the optimisation disabled."""
+    rng = np.random.default_rng(21)
+    batches = []
+    for _ in range(5):
+        n = 1 << 10
+        hi = rng.integers(0, 1 << 10, n, dtype=np.uint64).astype(np.uint32)
+        lo = rng.integers(0, 1 << 32, n, dtype=np.uint64).astype(np.uint32)
+        valid = rng.random(n) < 0.9
+        batches.append((hi, lo, valid))
+    want: dict = {}
+    for hi, lo, valid in batches:
+        key = (hi.astype(np.uint64) << np.uint64(32)) | lo
+        for kk, vv in zip(key[valid], np.ones(valid.sum())):
+            want[int(kk)] = want.get(int(kk), 0) + 1
+    stores = []
+    for enabled in (True, False):
+        monkeypatch.setattr(cs, "_KEYONLY_MERGE", enabled)
+        st = CountStore(21, counts_n=1)
+        st.run_build_size = 1 << 10  # force per-batch runs + tier merges
+        assert st.keyonly_runs == enabled
+        for hi, lo, valid in batches:
+            st.add_kmers(jnp.asarray(hi), jnp.asarray(lo),
+                         jnp.asarray(valid), defer=True)
+        if enabled:  # the tier runs really are key-only
+            assert all(r[2] is None for r in st._runs)
+        stores.append(st)
+    d_on = stores[0].counts_dict()
+    d_off = stores[1].counts_dict()
+    assert d_on == {kk: [v] for kk, v in want.items()}
+    assert d_on == d_off
+    assert stores[0].total_added.tolist() == stores[1].total_added.tolist()
