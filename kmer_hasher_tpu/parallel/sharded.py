@@ -760,6 +760,15 @@ class ShardedCountStore:
         self._fold()
         return self._n_unique
 
+    @property
+    def keyonly_runs(self) -> bool:
+        """Per-shard tier runs may omit the count column (key-only unit
+        runs) — same conditions as CountStore.keyonly_runs."""
+        from ..index import count_store as cs
+
+        return (cs._KEYONLY_MERGE and cs._BITONIC_MERGE
+                and self.counts_n == 1 and self.k < 32)
+
     @n_unique.setter
     def n_unique(self, v) -> None:  # checkpoint restore
         self._n_unique = np.asarray(v, np.int64)
@@ -829,14 +838,20 @@ class ShardedCountStore:
         from ..index import count_store as cs
 
         r_hi, r_lo, r_val, ovf = self._route(b_hi, b_lo, b_val)
-        rh, rl, rc, n_obs = cs._build_run_direct(r_hi, r_lo, r_val,
-                                                 onehot, self.k)
+        if self.keyonly_runs:
+            rh, rl, n_obs = cs._build_run_keys(r_hi, r_lo, r_val, self.k)
+            rc = None
+        else:
+            rh, rl, rc, n_obs = cs._build_run_direct(r_hi, r_lo, r_val,
+                                                     onehot, self.k)
         stats = jax.lax.psum(
             jnp.concatenate([
                 (onehot.astype(jnp.int64) * n_obs),
                 ovf.astype(jnp.int64)[None],
             ]), self.axes,
         )
+        if rc is None:
+            return rh[None], rl[None], stats
         return rh[None], rl[None], rc[None], stats
 
     def _append_run(self, r_hi, r_lo, r_cnt, stats) -> None:
@@ -880,23 +895,30 @@ class ShardedCountStore:
         lo = self._globalize(lo)
         valid = self._globalize(valid)
 
+        keyonly = self.keyonly_runs
+
         def build():
             def fn(b_hi, b_lo, b_val):
                 return self._route_build(b_hi.reshape(-1),
                                          b_lo.reshape(-1),
                                          b_val.reshape(-1), onehot)
 
+            out_specs = ((P(axes), P(axes), P()) if keyonly
+                         else (P(axes), P(axes), P(axes), P()))
             return jax.jit(
                 jax.shard_map(
                     fn, mesh=self.mesh,
                     in_specs=(P(axes), P(axes), P(axes)),
-                    out_specs=(P(axes), P(axes), P(axes), P()),
+                    out_specs=out_specs,
                 )
             )
 
-        shard_fn = self._program(("add_batch", source), build)
-        r_hi, r_lo, r_cnt, stats = shard_fn(hi, lo, valid)
-        self._append_run(r_hi, r_lo, r_cnt, stats)
+        shard_fn = self._program(("add_batch", source, keyonly), build)
+        out = shard_fn(hi, lo, valid)
+        if keyonly:
+            self._append_run(out[0], out[1], None, out[2])
+        else:
+            self._append_run(out[0], out[1], out[2], out[3])
 
     def add_reads(self, seq, qual, lengths, has_qual, min_ll_f: float,
                   precision: str = "fast", source: int = 0,
@@ -996,26 +1018,78 @@ class ShardedCountStore:
 
             seq_spec = ((P(axes), P(axes)) if packed else P(axes))
             qual_spec = ((P(axes), P(axes)) if packed_q else P(axes))
+            out_specs = ((P(axes), P(axes), P()) if keyonly
+                         else (P(axes), P(axes), P(axes), P()))
             return jax.jit(
                 jax.shard_map(
                     fn, mesh=self.mesh,
                     in_specs=(seq_spec, qual_spec, P(axes), P(axes)),
-                    out_specs=(P(axes), P(axes), P(axes), P()),
+                    out_specs=out_specs,
                 )
             )
 
+        keyonly = self.keyonly_runs
         shard_fn = self._program(
             ("add_reads", source, float(min_ll_f), precision, with_q,
-             with_noq, packed, packed_q), build,
+             with_noq, packed, packed_q, keyonly), build,
         )
-        r_hi, r_lo, r_cnt, stats = shard_fn(seq, qual, lengths, has_qual)
-        self._append_run(r_hi, r_lo, r_cnt, stats)
+        out = shard_fn(seq, qual, lengths, has_qual)
+        if keyonly:
+            self._append_run(out[0], out[1], None, out[2])
+        else:
+            self._append_run(out[0], out[1], out[2], out[3])
+
+    def _vmaterialize(self, run):
+        """Materialise the derived count column of a key-only per-shard
+        run set: (hi [D,C], lo [D,C], None) -> cnt [D, C, 1]."""
+        from ..index import count_store as cs
+
+        def build():
+            def fn(hi, lo):
+                return cs._unit_run_cnt(hi.reshape(-1), lo.reshape(-1))[None]
+
+            return jax.jit(
+                jax.shard_map(
+                    fn, mesh=self.mesh, in_specs=(P(self.axes),) * 2,
+                    out_specs=P(self.axes),
+                )
+            )
+
+        fn = self._program(("vmaterialize", int(run[0].shape[1])), build)
+        return (run[0], run[1], fn(run[0], run[1]))
 
     def _vmerge_runs(self, a, b):
         """Tier-merge two per-shard run sets: [D, Ca] + [D, Cb] -> [D,
         Ca+Cb], rows independent (shard_map over the mesh so each device
-        merges only its own rows)."""
+        merges only its own rows). Two key-only run sets merge key-only
+        (no count lanes move); a mixed pair materialises first."""
         from ..index import count_store as cs
+
+        if a[2] is None and b[2] is None:
+            def build_keys():
+                def fn(a_hi, a_lo, b_hi, b_lo):
+                    oh, ol = cs._merge_runs_keyonly(
+                        a_hi.reshape(-1), a_lo.reshape(-1),
+                        b_hi.reshape(-1), b_lo.reshape(-1), k=self.k,
+                    )
+                    return oh[None], ol[None]
+
+                return jax.jit(
+                    jax.shard_map(
+                        fn, mesh=self.mesh, in_specs=(P(self.axes),) * 4,
+                        out_specs=(P(self.axes),) * 2,
+                    )
+                )
+
+            fn = self._program(
+                ("vmerge_keys", int(a[0].shape[1]), int(b[0].shape[1])),
+                build_keys)
+            oh, ol = fn(a[0], a[1], b[0], b[1])
+            return (oh, ol, None)
+        if a[2] is None:
+            a = self._vmaterialize(a)
+        if b[2] is None:
+            b = self._vmaterialize(b)
 
         def build():
             def fn(a_hi, a_lo, a_cnt, b_hi, b_lo, b_cnt):
@@ -1051,15 +1125,20 @@ class ShardedCountStore:
 
     # -- host/disk spill (mirrors count_store.CountStore) -------------------
     def _device_run_bytes(self) -> int:
-        row = 8 + 4 * self.counts_n
-        return sum(int(r[0].shape[1]) * self.n_shards * row
-                   for r in self._runs)
+        return sum(
+            int(r[0].shape[1]) * self.n_shards
+            * (8 + (4 * self.counts_n if r[2] is not None else 0))
+            for r in self._runs
+        )
 
     def _spill_one(self) -> None:
         """Allgather the largest per-shard run set to host (every process
         holds the full [D, C] copy, so rejoining is a plain _global_put)."""
         self._runs.sort(key=lambda r: int(r[0].shape[1]))
-        hi, lo, cnt = self._runs.pop()
+        run = self._runs.pop()
+        if run[2] is None:
+            run = self._vmaterialize(run)
+        hi, lo, cnt = run
         a = (_host_read(hi), _host_read(lo), _host_read(cnt))
         if self.spill_dir is not None:
             os.makedirs(self.spill_dir, exist_ok=True)
@@ -1125,6 +1204,8 @@ class ShardedCountStore:
         while self._spilled:  # rejoin spilled runs one at a time
             acc = self._vmerge_runs(acc, self._load_spilled(
                 self._spilled.pop()))
+        if acc[2] is None:
+            acc = self._vmaterialize(acc)
 
         def fin(hi, lo, cnt):
             u_hi, u_lo, u_cnt, n_u = cs._finalize_run(

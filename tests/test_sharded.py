@@ -315,3 +315,41 @@ def test_hierarchical_mesh_counting_matches_flat(mesh, repeat_40_fq):
 
 def _host_read_for_test(x):
     return np.asarray(x)
+
+
+def test_sharded_keyonly_runs_match_disabled(mesh, repeat_40_fq,
+                                             monkeypatch):
+    """The sharded store's key-only tier runs (counts_n=1, k<32) must
+    carry no count column, survive a fold -> add -> fold cycle (mixed
+    merge with the cnt-carrying accumulator run), and match the store
+    with the optimisation disabled."""
+    from kmer_hasher_tpu.index import count_store as cs
+    from kmer_hasher_tpu.io import pad_records
+
+    k = 7
+    reads = [(s, q) for (_n, s, q) in repeat_40_fq]
+    pr = pad_records([("r", s, q) for s, q in reads])
+    hi, lo, valid = enc.encode_stream(pr.seq, k, pr.lengths, canonical=True)
+    D = mesh.size
+    B = hi.shape[0]
+    Bp = -(-B // D) * D
+    pad = Bp - B
+    hi = np.pad(np.asarray(hi), ((0, pad), (0, 0))).reshape(D, -1)
+    lo = np.pad(np.asarray(lo), ((0, pad), (0, 0))).reshape(D, -1)
+    valid = np.pad(np.asarray(valid), ((0, pad), (0, 0))).reshape(D, -1)
+    specs = []
+    for enabled in (True, False):
+        monkeypatch.setattr(cs, "_KEYONLY_MERGE", enabled)
+        shc = ShardedCountStore(k, mesh, counts_n=1)
+        assert shc.keyonly_runs == enabled
+        shc.add_batch(hi, lo, valid, source=0)
+        if enabled:
+            assert all(r[2] is None for r in shc._runs)
+        _ = shc.n_unique  # fold (accumulator becomes a cnt run)
+        shc.add_batch(hi, lo, valid, source=0)  # mixed-kind tier state
+        shc.add_batch(hi, lo, valid, source=0)
+        specs.append((shc.spectrum(600), shc.n_unique.sum(),
+                      shc.total_added.copy()))
+    np.testing.assert_array_equal(specs[0][0], specs[1][0])
+    assert int(specs[0][1]) == int(specs[1][1])
+    np.testing.assert_array_equal(specs[0][2], specs[1][2])
