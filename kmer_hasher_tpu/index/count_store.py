@@ -460,6 +460,39 @@ def _unit_run_cnt(hi, lo):
     return live[:, None].astype(U32)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _finalize_run_keys(hi, lo, k: int):
+    """Finalize a key-only unit run WITHOUT the scatter pass: every live
+    row counts exactly 1, so a key's consolidated count is its run length
+    — (next segment start) - (my start), computable with a reverse cummin
+    scan (XLA:TPU scatter runs at only ~115 M elem/s, PERF.md; scans run
+    at bandwidth). k < 32 only. Returns (u_hi, u_lo, cnt, n_unique)."""
+    N = hi.shape[0]
+    key = (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(jnp.uint64)
+    idx = jnp.arange(N, dtype=I32)
+    starts = jnp.zeros(N, bool).at[0].set(True) | (key != jnp.roll(key, 1))
+    start_idx = jnp.where(starts, idx, N)
+    # nxt[i] = smallest start index >= i; nxt_after[i] = smallest > i
+    nxt = jax.lax.cummin(start_idx[::-1])[::-1]
+    nxt_after = jnp.concatenate([nxt[1:], jnp.full(1, N, I32)])
+    live = starts & (key != jnp.uint64(0xFFFFFFFFFFFFFFFF))
+    cnt_row = jnp.where(live, (nxt_after - idx).astype(U32), 0)
+    key_c = jnp.where(live, key, jnp.uint64(0xFFFFFFFFFFFFFFFF))
+    if 2 * k < 32:
+        lo_s, cnt_s = jax.lax.sort((key_c.astype(U32), cnt_row), num_keys=1)
+        hi_s = jnp.zeros(N, U32)
+    else:
+        key_s, cnt_s = jax.lax.sort((key_c, cnt_row), num_keys=1)
+        hi_s = (key_s >> jnp.uint64(32)).astype(U32)
+        lo_s = key_s.astype(U32)
+    n_unique = live.sum().astype(I32)
+    live_s = jnp.arange(N, dtype=I32) < n_unique
+    u_hi = jnp.where(live_s, hi_s, 0)
+    u_lo = jnp.where(live_s, lo_s, 0)
+    return (u_hi, u_lo,
+            (cnt_s * live_s.astype(U32))[:, None], n_unique)
+
+
 _KEYONLY_MERGE = os.environ.get("KMH_KEYONLY_MERGE", "1") != "0"
 
 
@@ -822,11 +855,15 @@ class CountStore:
                 lo = jnp.concatenate([lo, jnp.full(pad, _DEAD, U32)])
                 if cnt is not None:
                     cnt = jnp.pad(cnt, ((0, pad), (0, 0)))
-        if cnt is None:
-            cnt = _unit_run_cnt(hi, lo)
-        if self._spilled:
-            hi, lo, cnt = self._fold_spilled(hi, lo, cnt)
-        u_hi, u_lo, u_cnt, n_u = _finalize_run(hi, lo, cnt, k=self.k)
+        if cnt is None and not self._spilled:
+            # all-key-only fold: scatter-free consolidation
+            u_hi, u_lo, u_cnt, n_u = _finalize_run_keys(hi, lo, k=self.k)
+        else:
+            if cnt is None:
+                cnt = _unit_run_cnt(hi, lo)
+            if self._spilled:
+                hi, lo, cnt = self._fold_spilled(hi, lo, cnt)
+            u_hi, u_lo, u_cnt, n_u = _finalize_run(hi, lo, cnt, k=self.k)
         self._n_unique = int(n_u)
         new_cap = _next_pow2(self._n_unique)
         if new_cap < u_hi.shape[0]:

@@ -1205,22 +1205,35 @@ class ShardedCountStore:
             acc = self._vmerge_runs(acc, self._load_spilled(
                 self._spilled.pop()))
         if acc[2] is None:
-            acc = self._vmaterialize(acc)
+            # all-key-only fold: scatter-free consolidation per shard
+            def fin_keys(hi, lo):
+                u_hi, u_lo, u_cnt, n_u = cs._finalize_run_keys(
+                    hi.reshape(-1), lo.reshape(-1), k=self.k,
+                )
+                return u_hi[None], u_lo[None], u_cnt[None], n_u[None]
 
-        def fin(hi, lo, cnt):
-            u_hi, u_lo, u_cnt, n_u = cs._finalize_run(
-                hi.reshape(-1), lo.reshape(-1),
-                cnt.reshape(cnt.shape[1], -1), k=self.k,
+            fin_fn = jax.jit(
+                jax.shard_map(
+                    fin_keys, mesh=self.mesh, in_specs=(P(self.axes),) * 2,
+                    out_specs=(P(self.axes),) * 4,
+                )
             )
-            return u_hi[None], u_lo[None], u_cnt[None], n_u[None]
+            u_hi, u_lo, cnt, n_u = fin_fn(acc[0], acc[1])
+        else:
+            def fin(hi, lo, cnt):
+                u_hi, u_lo, u_cnt, n_u = cs._finalize_run(
+                    hi.reshape(-1), lo.reshape(-1),
+                    cnt.reshape(cnt.shape[1], -1), k=self.k,
+                )
+                return u_hi[None], u_lo[None], u_cnt[None], n_u[None]
 
-        fin_fn = jax.jit(
-            jax.shard_map(
-                fin, mesh=self.mesh, in_specs=(P(self.axes),) * 3,
-                out_specs=(P(self.axes),) * 4,
+            fin_fn = jax.jit(
+                jax.shard_map(
+                    fin, mesh=self.mesh, in_specs=(P(self.axes),) * 3,
+                    out_specs=(P(self.axes),) * 4,
+                )
             )
-        )
-        u_hi, u_lo, cnt, n_u = fin_fn(acc[0], acc[1], acc[2])
+            u_hi, u_lo, cnt, n_u = fin_fn(acc[0], acc[1], acc[2])
         self._n_unique = _host_read(n_u).astype(np.int64)
         need = 1 << max(6, int(max(self._n_unique.max(), 1) - 1)
                         .bit_length())

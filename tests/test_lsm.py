@@ -373,3 +373,20 @@ def test_keyonly_store_end_to_end(monkeypatch):
     assert d_on == {kk: [v] for kk, v in want.items()}
     assert d_on == d_off
     assert stores[0].total_added.tolist() == stores[1].total_added.tolist()
+
+
+@pytest.mark.parametrize("k", [9, 16, 21, 31])
+def test_finalize_run_keys_matches_materialized(k):
+    """The scatter-free key-only finalize must equal materialise +
+    general finalize, including shadow duplicates and the dead tail."""
+    rng = np.random.default_rng(k)
+    a = _unit_shadow_run(rng, 256, k)
+    b = _unit_shadow_run(rng, 512, k)
+    o_hi, o_lo = cs._merge_runs_keyonly(a[0], a[1], b[0], b[1], k=k)
+    fk = cs._finalize_run_keys(o_hi, o_lo, k=k)
+    fm = cs._finalize_run_sorted(o_hi, o_lo, cs._unit_run_cnt(o_hi, o_lo),
+                                 k=k)
+    assert int(fk[3]) == int(fm[3])
+    np.testing.assert_array_equal(np.asarray(fk[0]), np.asarray(fm[0]))
+    np.testing.assert_array_equal(np.asarray(fk[1]), np.asarray(fm[1]))
+    np.testing.assert_array_equal(np.asarray(fk[2]), np.asarray(fm[2]))

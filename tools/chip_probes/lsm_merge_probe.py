@@ -61,10 +61,16 @@ def main():
             b = mkrun(rng, n, k)
             dt_s = timeit(lambda *x: cs._merge_runs_resort(*x, k=k), *a, *b)
             dt_b = timeit(lambda *x: cs._merge_runs_bitonic(*x, k=k), *a, *b)
+            dt_k = timeit(
+                lambda ah, al, bh, bl: cs._merge_runs_keyonly(
+                    ah, al, bh, bl, k=k),
+                a[0], a[1], b[0], b[1])
             m = 2 * n
             print(f"k={k} 2^{log_n}+2^{log_n}: resort {dt_s*1e3:7.1f} ms "
                   f"({dt_s/m*1e9:5.2f} ns/elem) | bitonic {dt_b*1e3:7.1f} ms "
-                  f"({dt_b/m*1e9:5.2f} ns/elem) | speedup {dt_s/dt_b:4.2f}x",
+                  f"({dt_b/m*1e9:5.2f} ns/elem, {dt_s/dt_b:4.2f}x) | "
+                  f"keyonly {dt_k*1e3:7.1f} ms ({dt_k/m*1e9:5.2f} ns/elem, "
+                  f"{dt_s/dt_k:4.2f}x)",
                   flush=True)
             # correctness spot check on-device output
             oh_s, ol_s, oc_s = cs._merge_runs_resort(*a, *b, k=k)
