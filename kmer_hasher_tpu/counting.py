@@ -474,7 +474,8 @@ def _count_fastq_threshold(path: str, k: int, min_q: int,
         )
         store.add_run(run_hi, run_lo, run_cnt, n_obs)
         if meter:
-            meter.update(n_recs, distinct_kmers=lambda: store.n_unique)
+            meter.update(n_recs,
+                         distinct_kmers=lambda: store.peek_n_unique())
     return store.flush()
 
 
@@ -649,7 +650,8 @@ def count_kmers_fq_sh_rp(path: str, k: int, prefix_bits: int = 20,
             sweep_backlog()  # checkpointed state must be exact
             _checkpoint_progress(store, checkpoint_path, path, reads_done)
         if meter:
-            meter.update(n_recs, distinct_kmers=lambda: store.n_unique)
+            meter.update(n_recs,
+                         distinct_kmers=lambda: store.peek_n_unique())
     sweep_backlog()
     store.flush()
     if checkpoint_every is not None:
@@ -786,7 +788,7 @@ def _count_rp_sharded(path, k, min_q, max_reads, source_n, source, store,
             _checkpoint_progress(store, checkpoint_path, path, reads_done)
         if meter:
             meter.update(n_recs,
-                         distinct_kmers=lambda: int(store.n_unique.sum()))
+                         distinct_kmers=lambda: int(store.peek_n_unique()))
     if checkpoint_every is not None:
         consumed = reads_done - int(skip_reads)
         _checkpoint_progress(

@@ -511,6 +511,38 @@ else:
 
 
 @jax.jit
+def _distinct_count_sorted(hi, lo, cnt):
+    """Distinct live keys of a SORTED shadow run: segment starts whose
+    segment isn't dead — one scan, no consolidation, no sort. ``cnt`` may
+    be None (key-only run: live = key != all-ones sentinel, k < 32).
+    With cnt, a start row is live if its segment's count sum > 0; shadows
+    are adjacent, so the segment sum telescopes via the same reverse
+    -cummin bound used by _finalize_run_keys — but per-row count sums
+    already distinguish dead rows here because dead/pad rows are all-zero
+    and every segment with any live shadow has a nonzero row somewhere;
+    we count segments that contain at least one nonzero row."""
+    key = (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(jnp.uint64)
+    N = hi.shape[0]
+    starts = jnp.zeros(N, bool).at[0].set(True) | (key != jnp.roll(key, 1))
+    if cnt is None:
+        live = key != jnp.uint64(0xFFFFFFFFFFFFFFFF)
+        return (starts & live).sum().astype(I32)
+    # segment id per row; a segment is live if any of its rows has count
+    nz = cnt.astype(jnp.int64).sum(axis=1) > 0
+    seg = jnp.cumsum(starts.astype(I32)) - 1
+    # max over segment of nz, evaluated at start rows: cummax of nz
+    # within segments = compare seg ids
+    run_nz = jax.lax.associative_scan(
+        lambda a, b: (b[0], jnp.where(a[0] == b[0], a[1] | b[1], b[1])),
+        (seg, nz),
+    )[1]
+    # run_nz[i] = any nz among rows of i's segment up to i; a segment is
+    # live iff run_nz at its LAST row. Last rows are starts shifted left.
+    last = jnp.concatenate([starts[1:], jnp.ones(1, bool)])
+    return (last & run_nz).sum().astype(I32)
+
+
+@jax.jit
 def _distinct_prefixes(u_hi, u_lo, n_unique, suffix_bits):
     """Number of distinct prefixes (kmer >> suffix_bits) among the sorted
     unique keys — the reference's allocated-block count."""
@@ -653,6 +685,29 @@ class CountStore:
     def n_unique(self, v: int) -> None:  # checkpoint restore
         self._n_unique = int(v)
 
+    def peek_n_unique(self) -> int:
+        """Exact distinct-key count WITHOUT compaction: merge the tier
+        runs into one staged sorted run and scan it (one pass) instead of
+        the fold's consolidate + compact sort. The staged run stays in the
+        tier list, so no work is thrown away. Progress meters use this —
+        at 10^8-key scale the fold's compaction sort is seconds per
+        report. Falls back to a full flush when the sorted-run invariant
+        doesn't hold (KMH_BITONIC_MERGE=0), runs were spilled off-device,
+        or a folded base table exists (its keys overlap the runs)."""
+        if (not _BITONIC_MERGE) or self._spilled or self._n_unique > 0:
+            self.flush()
+            return self._n_unique
+        self._build_runs()
+        if not self._runs:
+            return 0
+        while len(self._runs) > 1:
+            self._runs.sort(key=lambda r: int(r[0].shape[0]), reverse=True)
+            b = self._runs.pop()
+            a = self._runs.pop()
+            self._runs.append(self._pad_run_pow2(self._merge_two(a, b)))
+        hi, lo, cnt = self._runs[0]
+        return int(_distinct_count_sorted(hi, lo, cnt))
+
     @property
     def total_added(self) -> np.ndarray:
         return np.asarray(self._total_added_dev)
@@ -744,6 +799,22 @@ class CountStore:
         ac = a[2] if a[2] is not None else _unit_run_cnt(a[0], a[1])
         bc = b[2] if b[2] is not None else _unit_run_cnt(b[0], b[1])
         return _merge_runs(a[0], a[1], ac, b[0], b[1], bc, k=self.k)
+
+    @staticmethod
+    def _pad_run_pow2(run):
+        """Pad a run to power-of-two capacity with dead rows, so merge
+        shapes stay in a small (2^a, 2^b) set and XLA programs are reused
+        (first compiles over the tunnel cost minutes each)."""
+        hi, lo, cnt = run
+        cap = _next_pow2(int(hi.shape[0]))
+        if cap == hi.shape[0]:
+            return run
+        pad = cap - hi.shape[0]
+        hi = jnp.concatenate([hi, jnp.full(pad, _DEAD, U32)])
+        lo = jnp.concatenate([lo, jnp.full(pad, _DEAD, U32)])
+        if cnt is not None:
+            cnt = jnp.pad(cnt, ((0, pad), (0, 0)))
+        return (hi, lo, cnt)
 
     def _compact_tiers(self) -> None:
         self._runs = lsm_compact(
@@ -847,14 +918,8 @@ class CountStore:
         hi, lo, cnt = self._runs.pop()
         while self._runs:
             b = self._runs.pop()
-            hi, lo, cnt = self._merge_two((hi, lo, cnt), b)
-            cap = _next_pow2(int(hi.shape[0]))
-            if cap != hi.shape[0]:
-                pad = cap - hi.shape[0]
-                hi = jnp.concatenate([hi, jnp.full(pad, _DEAD, U32)])
-                lo = jnp.concatenate([lo, jnp.full(pad, _DEAD, U32)])
-                if cnt is not None:
-                    cnt = jnp.pad(cnt, ((0, pad), (0, 0)))
+            hi, lo, cnt = self._pad_run_pow2(
+                self._merge_two((hi, lo, cnt), b))
         if cnt is None and not self._spilled:
             # all-key-only fold: scatter-free consolidation
             u_hi, u_lo, u_cnt, n_u = _finalize_run_keys(hi, lo, k=self.k)

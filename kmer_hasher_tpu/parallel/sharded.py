@@ -769,6 +769,67 @@ class ShardedCountStore:
         return (cs._KEYONLY_MERGE and cs._BITONIC_MERGE
                 and self.counts_n == 1 and self.k < 32)
 
+    def peek_n_unique(self) -> int:
+        """Exact global distinct count WITHOUT the fold's consolidation +
+        compaction sort (the CountStore.peek_n_unique analogue): merge the
+        per-shard tier runs into one staged run set and scan each shard.
+        Falls back to a full fold when a folded base/spill exists or the
+        sorted-run invariant is off."""
+        from ..index import count_store as cs
+
+        if (not cs._BITONIC_MERGE or self._spilled
+                or self._n_unique.max() > 0):
+            self._fold()
+            return int(self._n_unique.sum())
+        if not self._runs:
+            return 0
+
+        def pad_pow2(run):
+            hi, lo, cnt = run
+            c = int(hi.shape[1])
+            cap = 1 << max(6, (c - 1).bit_length())
+            if cap == c:
+                return run
+            padw = cap - c
+            hi = jnp.concatenate(
+                [hi, jnp.full((hi.shape[0], padw), np.uint32(0xFFFFFFFF),
+                              hi.dtype)], axis=1)
+            lo = jnp.concatenate(
+                [lo, jnp.full((lo.shape[0], padw), np.uint32(0xFFFFFFFF),
+                              lo.dtype)], axis=1)
+            if cnt is not None:
+                cnt = jnp.pad(cnt, ((0, 0), (0, padw), (0, 0)))
+            return (hi, lo, cnt)
+
+        while len(self._runs) > 1:
+            self._runs.sort(key=lambda r: int(r[0].shape[1]), reverse=True)
+            b = self._runs.pop()
+            a = self._runs.pop()
+            self._runs.append(pad_pow2(self._vmerge_runs(a, b)))
+        hi, lo, cnt = self._runs[0]
+        keyonly = cnt is None
+
+        def build():
+            def fn(*args):
+                h = args[0].reshape(-1)
+                l_ = args[1].reshape(-1)
+                c = (args[2].reshape(args[2].shape[1], -1)
+                     if not keyonly else None)
+                n = cs._distinct_count_sorted(h, l_, c)
+                return jax.lax.psum(n.astype(jnp.int64), self.axes)
+
+            n_in = 2 if keyonly else 3
+            return jax.jit(
+                jax.shard_map(
+                    fn, mesh=self.mesh, in_specs=(P(self.axes),) * n_in,
+                    out_specs=P(),
+                )
+            )
+
+        fn = self._program(("peek", int(hi.shape[1]), keyonly), build)
+        out = fn(hi, lo) if keyonly else fn(hi, lo, cnt)
+        return int(np.asarray(out.addressable_data(0)))
+
     @n_unique.setter
     def n_unique(self, v) -> None:  # checkpoint restore
         self._n_unique = np.asarray(v, np.int64)

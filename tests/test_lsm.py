@@ -390,3 +390,42 @@ def test_finalize_run_keys_matches_materialized(k):
     np.testing.assert_array_equal(np.asarray(fk[0]), np.asarray(fm[0]))
     np.testing.assert_array_equal(np.asarray(fk[1]), np.asarray(fm[1]))
     np.testing.assert_array_equal(np.asarray(fk[2]), np.asarray(fm[2]))
+
+
+def test_peek_n_unique_matches_flush():
+    """peek_n_unique must equal the folded n_unique without destroying
+    tier state, for key-only, cnt-carrying, and post-flush stores."""
+    rng = np.random.default_rng(7)
+
+    def batches(n_batches, n, k):
+        out = []
+        for _ in range(n_batches):
+            hi = rng.integers(0, 4, n, dtype=np.uint64).astype(np.uint32)
+            lo = rng.integers(0, 1 << 16, n, dtype=np.uint64).astype(
+                np.uint32)
+            valid = rng.random(n) < 0.9
+            out.append((jnp.asarray(hi), jnp.asarray(lo),
+                        jnp.asarray(valid)))
+        return out
+
+    for k, counts_n in ((21, 1), (21, 2), (32, 1)):
+        st = CountStore(k, counts_n=counts_n)
+        st.run_build_size = 256
+        bs = batches(5, 256, k)
+        for b in bs:
+            st.add_kmers(*b, defer=True)
+        peek = st.peek_n_unique()
+        # ground truth via an independent store
+        st2 = CountStore(k, counts_n=counts_n)
+        for b in bs:
+            st2.add_kmers(*b, defer=True)
+        assert peek == st2.n_unique
+        # the peeked store folds to the same answer and stays usable
+        assert st.n_unique == peek
+        assert st.counts_dict() == st2.counts_dict()
+        # post-flush peek (base non-empty) falls back to flush
+        st.add_kmers(*bs[0], defer=True)
+        st3 = CountStore(k, counts_n=counts_n)
+        for b in bs + [bs[0]]:
+            st3.add_kmers(*b, defer=True)
+        assert st.peek_n_unique() == st3.n_unique

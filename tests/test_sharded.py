@@ -353,3 +353,28 @@ def test_sharded_keyonly_runs_match_disabled(mesh, repeat_40_fq,
     np.testing.assert_array_equal(specs[0][0], specs[1][0])
     assert int(specs[0][1]) == int(specs[1][1])
     np.testing.assert_array_equal(specs[0][2], specs[1][2])
+
+
+def test_sharded_peek_n_unique_matches_fold(mesh, repeat_40_fq):
+    from kmer_hasher_tpu.io import pad_records
+
+    k = 7
+    reads = [(s, q) for (_n, s, q) in repeat_40_fq]
+    pr = pad_records([("r", s, q) for s, q in reads])
+    hi, lo, valid = enc.encode_stream(pr.seq, k, pr.lengths, canonical=True)
+    D = mesh.size
+    B = hi.shape[0]
+    pad = -(-B // D) * D - B
+    hi = np.pad(np.asarray(hi), ((0, pad), (0, 0))).reshape(D, -1)
+    lo = np.pad(np.asarray(lo), ((0, pad), (0, 0))).reshape(D, -1)
+    valid = np.pad(np.asarray(valid), ((0, pad), (0, 0))).reshape(D, -1)
+    shc = ShardedCountStore(k, mesh, counts_n=1)
+    shc.add_batch(hi, lo, valid, source=0)
+    shc.add_batch(hi, lo, valid, source=0)
+    ref = ShardedCountStore(k, mesh, counts_n=1)
+    ref.add_batch(hi, lo, valid, source=0)
+    ref.add_batch(hi, lo, valid, source=0)
+    want = int(ref.n_unique.sum())
+    assert shc.peek_n_unique() == want          # no fold happened yet
+    assert int(shc.n_unique.sum()) == want      # fold still agrees
+    np.testing.assert_array_equal(shc.spectrum(600), ref.spectrum(600))
