@@ -624,7 +624,7 @@ def count_kmers_fq_sh_rp(path: str, k: int, prefix_bits: int = 20,
                                 store.counts_n, source, min_ll_f,
                                 "exact", False,
                                 keyonly=store.keyonly_runs)
-            store.add_run(r[0], r[1], r[2], r[3])
+            store.add_run(r[0], r[1], r[2], r[3], source=source)
         backlog.clear()
 
     reads_done = int(skip_reads)
@@ -638,7 +638,7 @@ def count_kmers_fq_sh_rp(path: str, k: int, prefix_bits: int = 20,
             b.seq, b.qual, b.lengths, b.has_qual, k, store.counts_n,
             source, min_ll_f, fsm, with_noq, keyonly=store.keyonly_runs,
         )
-        store.add_run(run_hi, run_lo, run_cnt, n_obs)
+        store.add_run(run_hi, run_lo, run_cnt, n_obs, source=source)
         if fsm in ("hybrid", "pallas_hybrid"):
             backlog.append((b.seq, b.qual, b.lengths, flags))
             if len(backlog) >= sweep_every:

@@ -460,13 +460,24 @@ def _unit_run_cnt(hi, lo):
     return live[:, None].astype(U32)
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _finalize_run_keys(hi, lo, k: int):
+@functools.partial(jax.jit, static_argnames=("counts_n", "source"))
+def _unit_run_cnt_onehot(hi, lo, counts_n: int, source: int):
+    """Materialise the [N, counts_n] one-hot count rows of a key-only
+    unit run tagged with ``source`` (k < 32)."""
+    live = ~((hi == _DEAD) & (lo == _DEAD))
+    onehot = jnp.zeros(counts_n, U32).at[source].set(1)
+    return onehot[None, :] * live[:, None].astype(U32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "counts_n", "source"))
+def _finalize_run_keys(hi, lo, k: int, counts_n: int = 1, source: int = 0):
     """Finalize a key-only unit run WITHOUT the scatter pass: every live
     row counts exactly 1, so a key's consolidated count is its run length
     — (next segment start) - (my start), computable with a reverse cummin
     scan (XLA:TPU scatter runs at only ~115 M elem/s, PERF.md; scans run
-    at bandwidth). k < 32 only. Returns (u_hi, u_lo, cnt, n_unique)."""
+    at bandwidth). k < 32 only. Counts land in column ``source`` of the
+    [N, counts_n] output. Returns (u_hi, u_lo, cnt, n_unique)."""
     N = hi.shape[0]
     key = (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(jnp.uint64)
     idx = jnp.arange(N, dtype=I32)
@@ -489,8 +500,13 @@ def _finalize_run_keys(hi, lo, k: int):
     live_s = jnp.arange(N, dtype=I32) < n_unique
     u_hi = jnp.where(live_s, hi_s, 0)
     u_lo = jnp.where(live_s, lo_s, 0)
-    return (u_hi, u_lo,
-            (cnt_s * live_s.astype(U32))[:, None], n_unique)
+    col = cnt_s * live_s.astype(U32)
+    if counts_n == 1:
+        cnt_out = col[:, None]
+    else:
+        onehot = jnp.zeros(counts_n, U32).at[source].set(1)
+        cnt_out = onehot[None, :] * col[:, None]
+    return u_hi, u_lo, cnt_out, n_unique
 
 
 _KEYONLY_MERGE = os.environ.get("KMH_KEYONLY_MERGE", "1") != "0"
@@ -670,10 +686,13 @@ class CountStore:
     @property
     def keyonly_runs(self) -> bool:
         """True when this store's tier runs may omit the count column
-        (key-only unit runs): single source, k < 32 (liveness derivable
-        from the all-ones sentinel), sorted-shadow representation."""
-        return (_KEYONLY_MERGE and _BITONIC_MERGE
-                and self.counts_n == 1 and self.k < 32)
+        (key-only unit runs): k < 32 (liveness derivable from the
+        all-ones sentinel), sorted-shadow representation. Multi-source
+        stores tag each unit run with its source host-side; merges stay
+        key-only within a source (the reference's corpus pattern — one
+        source per input file) and one-hot counts materialise only when
+        sources actually meet in a merge or fold."""
+        return _KEYONLY_MERGE and _BITONIC_MERGE and self.k < 32
 
     @property
     def n_unique(self) -> int:
@@ -700,13 +719,28 @@ class CountStore:
         self._build_runs()
         if not self._runs:
             return 0
-        while len(self._runs) > 1:
-            self._runs.sort(key=lambda r: int(r[0].shape[0]), reverse=True)
-            b = self._runs.pop()
-            a = self._runs.pop()
-            self._runs.append(self._pad_run_pow2(self._merge_two(a, b)))
-        hi, lo, cnt = self._runs[0]
-        return int(_distinct_count_sorted(hi, lo, cnt))
+        if len({r[3] for r in self._runs}) == 1:
+            # uniform kind: merges preserve it, so the staged run is kept
+            while len(self._runs) > 1:
+                self._runs.sort(key=lambda r: int(r[0].shape[0]),
+                                reverse=True)
+                b = self._runs.pop()
+                a = self._runs.pop()
+                self._runs.append(self._pad_run_pow2(self._merge_two(a, b)))
+            hi, lo, cnt = self._runs[0][:3]
+            return int(_distinct_count_sorted(hi, lo, cnt))
+        # mixed kinds (several source tags and/or cnt runs): distinct
+        # counting only needs keys (k < 32: live <=> key != sentinel), so
+        # merge key lanes of COPIES and keep the tier state untouched
+        runs = [(r[0], r[1]) for r in self._runs]
+        while len(runs) > 1:
+            runs.sort(key=lambda r: int(r[0].shape[0]), reverse=True)
+            b = runs.pop()
+            a = runs.pop()
+            oh, ol = _merge_runs_keyonly(a[0], a[1], b[0], b[1], k=self.k)
+            oh, ol, _c = self._pad_run_pow2((oh, ol, None))
+            runs.append((oh, ol))
+        return int(_distinct_count_sorted(runs[0][0], runs[0][1], None))
 
     @property
     def total_added(self) -> np.ndarray:
@@ -744,18 +778,21 @@ class CountStore:
             self._build_runs()
         return self
 
-    def add_run(self, hi, lo, cnt, n_obs) -> "CountStore":
+    def add_run(self, hi, lo, cnt, n_obs, source: int = 0) -> "CountStore":
         """Append a prebuilt sorted run (run-form arrays: unique live keys,
         dead rows keyed all-ones with zero counts) and re-balance tiers.
         ``n_obs`` is the [counts_n] device vector of observations folded
         into the run — accounted into total_added. This is the zero-eager
         -dispatch fast path: callers fuse FSM + canonicalise + run build
         into one jit and hand the result straight to the store. ``cnt``
-        may be None for a key-only unit run (see ``keyonly_runs``)."""
+        may be None for a key-only unit run of ``source`` (see
+        ``keyonly_runs``)."""
         if cnt is None and not self.keyonly_runs:
             raise ValueError("key-only runs not supported by this store")
+        if not 0 <= source < self.counts_n:
+            raise ValueError("source out of range")
         self._total_added_dev = self._total_added_dev + n_obs.astype(I64)
-        self._runs.append((hi, lo, cnt))
+        self._runs.append((hi, lo, cnt, source if cnt is None else None))
         self._compact_tiers()
         return self
 
@@ -781,31 +818,43 @@ class CountStore:
                 valid = jnp.pad(valid, (0, pad))
             if self.keyonly_runs:
                 r_hi, r_lo, _n = _build_run_keys(hi, lo, valid, self.k)
-                self._runs.append((r_hi, r_lo, None))
+                self._runs.append((r_hi, r_lo, None, source))
             else:
                 onehot = jnp.zeros(self.counts_n, U32).at[source].set(1)
                 r_hi, r_lo, r_cnt, _n = _build_run_direct(
                     hi, lo, valid, onehot, self.k
                 )
-                self._runs.append((r_hi, r_lo, r_cnt))
+                self._runs.append((r_hi, r_lo, r_cnt, None))
         self._compact_tiers()
 
+    def _materialize(self, run):
+        """Key-only unit run -> cnt-carrying run (one-hot of its tag)."""
+        hi, lo, cnt, tag = run
+        if cnt is not None:
+            return run
+        if self.counts_n == 1:
+            return (hi, lo, _unit_run_cnt(hi, lo), None)
+        return (hi, lo, _unit_run_cnt_onehot(hi, lo, self.counts_n, tag),
+                None)
+
     def _merge_two(self, a, b):
-        """Tier-merge two runs, staying key-only when both inputs are
-        (the hot case); a mixed pair materialises the derived counts."""
-        if a[2] is None and b[2] is None:
+        """Tier-merge two runs, staying key-only when both are unit runs
+        of the SAME source (the hot case — the reference's corpus feeds
+        one source per file); any other pair materialises counts."""
+        if a[3] is not None and a[3] == b[3]:
             oh, ol = _merge_runs_keyonly(a[0], a[1], b[0], b[1], k=self.k)
-            return (oh, ol, None)
-        ac = a[2] if a[2] is not None else _unit_run_cnt(a[0], a[1])
-        bc = b[2] if b[2] is not None else _unit_run_cnt(b[0], b[1])
-        return _merge_runs(a[0], a[1], ac, b[0], b[1], bc, k=self.k)
+            return (oh, ol, None, a[3])
+        a = self._materialize(a)
+        b = self._materialize(b)
+        out = _merge_runs(a[0], a[1], a[2], b[0], b[1], b[2], k=self.k)
+        return out + (None,)
 
     @staticmethod
     def _pad_run_pow2(run):
         """Pad a run to power-of-two capacity with dead rows, so merge
         shapes stay in a small (2^a, 2^b) set and XLA programs are reused
         (first compiles over the tunnel cost minutes each)."""
-        hi, lo, cnt = run
+        hi, lo, cnt = run[0], run[1], run[2]
         cap = _next_pow2(int(hi.shape[0]))
         if cap == hi.shape[0]:
             return run
@@ -814,11 +863,16 @@ class CountStore:
         lo = jnp.concatenate([lo, jnp.full(pad, _DEAD, U32)])
         if cnt is not None:
             cnt = jnp.pad(cnt, ((0, pad), (0, 0)))
-        return (hi, lo, cnt)
+        return (hi, lo, cnt) + run[3:]
 
     def _compact_tiers(self) -> None:
+        # pair by (capacity, kind): key-only runs only pair within their
+        # source tag, cnt runs pair with cnt runs
         self._runs = lsm_compact(
-            self._runs, lambda r: int(r[0].shape[0]), self._merge_two,
+            self._runs,
+            lambda r: (int(r[0].shape[0]),
+                       "cnt" if r[3] is None else r[3]),
+            self._merge_two,
         )
         self._spill_if_needed()
 
@@ -836,9 +890,7 @@ class CountStore:
         as small as its unique-key count allows, then stored either as host
         numpy arrays or as an .npz under spill_dir."""
         self._runs.sort(key=lambda r: int(r[0].shape[0]))
-        hi, lo, cnt = self._runs.pop()
-        if cnt is None:
-            cnt = _unit_run_cnt(hi, lo)
+        hi, lo, cnt, _tag = self._materialize(self._runs.pop())
         u_hi, u_lo, u_cnt, n_u = _finalize_run(hi, lo, cnt, k=self.k)
         n_u = int(n_u)
         cap = _next_pow2(n_u)
@@ -901,6 +953,7 @@ class CountStore:
             self._runs.append(
                 _run_from_merge(self.u_hi, self.u_lo, self.cnt,
                                 jnp.asarray(self._n_unique, I32))
+                + (None,)
             )
         # fold smallest-first so intermediate merges stay small; keep the
         # accumulator padded to a power of two so merge shapes stay in a
@@ -914,18 +967,19 @@ class CountStore:
                 os.remove(spilled0[1])
             else:
                 a = spilled0[1]
-            self._runs.append(tuple(jnp.asarray(x) for x in a))
-        hi, lo, cnt = self._runs.pop()
+            self._runs.append(tuple(jnp.asarray(x) for x in a) + (None,))
+        run = self._runs.pop()
         while self._runs:
-            b = self._runs.pop()
-            hi, lo, cnt = self._pad_run_pow2(
-                self._merge_two((hi, lo, cnt), b))
+            run = self._pad_run_pow2(
+                self._merge_two(run, self._runs.pop()))
+        hi, lo, cnt, tag = run
         if cnt is None and not self._spilled:
-            # all-key-only fold: scatter-free consolidation
-            u_hi, u_lo, u_cnt, n_u = _finalize_run_keys(hi, lo, k=self.k)
+            # all-key-only single-source fold: scatter-free consolidation
+            u_hi, u_lo, u_cnt, n_u = _finalize_run_keys(
+                hi, lo, k=self.k, counts_n=self.counts_n, source=tag)
         else:
             if cnt is None:
-                cnt = _unit_run_cnt(hi, lo)
+                _h, _l, cnt, _t = self._materialize(run)
             if self._spilled:
                 hi, lo, cnt = self._fold_spilled(hi, lo, cnt)
             u_hi, u_lo, u_cnt, n_u = _finalize_run(hi, lo, cnt, k=self.k)

@@ -766,8 +766,7 @@ class ShardedCountStore:
         runs) — same conditions as CountStore.keyonly_runs."""
         from ..index import count_store as cs
 
-        return (cs._KEYONLY_MERGE and cs._BITONIC_MERGE
-                and self.counts_n == 1 and self.k < 32)
+        return cs._KEYONLY_MERGE and cs._BITONIC_MERGE and self.k < 32
 
     def peek_n_unique(self) -> int:
         """Exact global distinct count WITHOUT the fold's consolidation +
@@ -785,7 +784,7 @@ class ShardedCountStore:
             return 0
 
         def pad_pow2(run):
-            hi, lo, cnt = run
+            hi, lo, cnt = run[0], run[1], run[2]
             c = int(hi.shape[1])
             cap = 1 << max(6, (c - 1).bit_length())
             if cap == c:
@@ -799,14 +798,28 @@ class ShardedCountStore:
                               lo.dtype)], axis=1)
             if cnt is not None:
                 cnt = jnp.pad(cnt, ((0, 0), (0, padw), (0, 0)))
-            return (hi, lo, cnt)
+            return (hi, lo, cnt) + run[3:]
 
-        while len(self._runs) > 1:
-            self._runs.sort(key=lambda r: int(r[0].shape[1]), reverse=True)
-            b = self._runs.pop()
-            a = self._runs.pop()
-            self._runs.append(pad_pow2(self._vmerge_runs(a, b)))
-        hi, lo, cnt = self._runs[0]
+        if len({r[3] for r in self._runs}) == 1:
+            # uniform kind: merges preserve it, the staged run is kept
+            while len(self._runs) > 1:
+                self._runs.sort(key=lambda r: int(r[0].shape[1]),
+                                reverse=True)
+                b = self._runs.pop()
+                a = self._runs.pop()
+                self._runs.append(pad_pow2(self._vmerge_runs(a, b)))
+            hi, lo, cnt = self._runs[0][:3]
+        else:
+            # mixed kinds: distinct counting only needs keys (k < 32), so
+            # merge key lanes of COPIES and keep the tier state untouched
+            runs = [(r[0], r[1], None) for r in self._runs]
+            while len(runs) > 1:
+                runs.sort(key=lambda r: int(r[0].shape[1]), reverse=True)
+                b = runs.pop()
+                a = runs.pop()
+                oh, ol = self._vmerge_keys(a, b)
+                runs.append(pad_pow2((oh, ol, None)))
+            hi, lo, cnt = runs[0][0], runs[0][1], None
         keyonly = cnt is None
 
         def build():
@@ -915,9 +928,11 @@ class ShardedCountStore:
             return rh[None], rl[None], stats
         return rh[None], rl[None], rc[None], stats
 
-    def _append_run(self, r_hi, r_lo, r_cnt, stats) -> None:
+    def _append_run(self, r_hi, r_lo, r_cnt, stats,
+                    source: int = 0) -> None:
         """Common tail of the batch entries: overflow check, stats fold,
-        LSM tiering."""
+        LSM tiering. Key-only runs (r_cnt None) carry their source as a
+        host-side tag."""
         # stats is psum-replicated: every process reads its local copy
         stats = np.asarray(stats.addressable_data(0))
         if int(stats[-1]) > 0:
@@ -925,7 +940,8 @@ class ShardedCountStore:
                 "routing capacity overflow; raise ShardedCountStore capacity"
             )
         self.total_added += stats[:-1].astype(np.int64)
-        self._runs.append((r_hi, r_lo, r_cnt))
+        self._runs.append((r_hi, r_lo, r_cnt,
+                           source if r_cnt is None else None))
         self._compact_tiers()
 
     def _program(self, key, build):
@@ -977,7 +993,7 @@ class ShardedCountStore:
         shard_fn = self._program(("add_batch", source, keyonly), build)
         out = shard_fn(hi, lo, valid)
         if keyonly:
-            self._append_run(out[0], out[1], None, out[2])
+            self._append_run(out[0], out[1], None, out[2], source=source)
         else:
             self._append_run(out[0], out[1], out[2], out[3])
 
@@ -1096,18 +1112,27 @@ class ShardedCountStore:
         )
         out = shard_fn(seq, qual, lengths, has_qual)
         if keyonly:
-            self._append_run(out[0], out[1], None, out[2])
+            self._append_run(out[0], out[1], None, out[2], source=source)
         else:
             self._append_run(out[0], out[1], out[2], out[3])
 
     def _vmaterialize(self, run):
-        """Materialise the derived count column of a key-only per-shard
-        run set: (hi [D,C], lo [D,C], None) -> cnt [D, C, 1]."""
+        """Materialise the count column of a key-only per-shard run set:
+        (hi [D,C], lo [D,C], None, tag) -> cnt [D, C, counts_n] (one-hot
+        of the run's source tag)."""
         from ..index import count_store as cs
+
+        tag = run[3] if len(run) > 3 else 0
+        counts_n = self.counts_n
 
         def build():
             def fn(hi, lo):
-                return cs._unit_run_cnt(hi.reshape(-1), lo.reshape(-1))[None]
+                if counts_n == 1:
+                    c = cs._unit_run_cnt(hi.reshape(-1), lo.reshape(-1))
+                else:
+                    c = cs._unit_run_cnt_onehot(
+                        hi.reshape(-1), lo.reshape(-1), counts_n, tag)
+                return c[None]
 
             return jax.jit(
                 jax.shard_map(
@@ -1116,37 +1141,48 @@ class ShardedCountStore:
                 )
             )
 
-        fn = self._program(("vmaterialize", int(run[0].shape[1])), build)
-        return (run[0], run[1], fn(run[0], run[1]))
+        fn = self._program(("vmaterialize", int(run[0].shape[1]), tag),
+                           build)
+        return (run[0], run[1], fn(run[0], run[1]), None)
+
+    def _vmerge_keys(self, a, b):
+        """Bitonic key-lane merge of two per-shard run sets -> (hi, lo)
+        of shape [D, Ca+Cb]; count lanes (if any) are ignored."""
+        from ..index import count_store as cs
+
+        def build_keys():
+            def fn(a_hi, a_lo, b_hi, b_lo):
+                oh, ol = cs._merge_runs_keyonly(
+                    a_hi.reshape(-1), a_lo.reshape(-1),
+                    b_hi.reshape(-1), b_lo.reshape(-1), k=self.k,
+                )
+                return oh[None], ol[None]
+
+            return jax.jit(
+                jax.shard_map(
+                    fn, mesh=self.mesh, in_specs=(P(self.axes),) * 4,
+                    out_specs=(P(self.axes),) * 2,
+                )
+            )
+
+        fn = self._program(
+            ("vmerge_keys", int(a[0].shape[1]), int(b[0].shape[1])),
+            build_keys)
+        return fn(a[0], a[1], b[0], b[1])
 
     def _vmerge_runs(self, a, b):
         """Tier-merge two per-shard run sets: [D, Ca] + [D, Cb] -> [D,
         Ca+Cb], rows independent (shard_map over the mesh so each device
-        merges only its own rows). Two key-only run sets merge key-only
-        (no count lanes move); a mixed pair materialises first."""
+        merges only its own rows). Two key-only run sets of the same
+        source merge key-only (no count lanes move); any other pair
+        materialises first."""
         from ..index import count_store as cs
 
-        if a[2] is None and b[2] is None:
-            def build_keys():
-                def fn(a_hi, a_lo, b_hi, b_lo):
-                    oh, ol = cs._merge_runs_keyonly(
-                        a_hi.reshape(-1), a_lo.reshape(-1),
-                        b_hi.reshape(-1), b_lo.reshape(-1), k=self.k,
-                    )
-                    return oh[None], ol[None]
-
-                return jax.jit(
-                    jax.shard_map(
-                        fn, mesh=self.mesh, in_specs=(P(self.axes),) * 4,
-                        out_specs=(P(self.axes),) * 2,
-                    )
-                )
-
-            fn = self._program(
-                ("vmerge_keys", int(a[0].shape[1]), int(b[0].shape[1])),
-                build_keys)
-            oh, ol = fn(a[0], a[1], b[0], b[1])
-            return (oh, ol, None)
+        tag_a = a[3] if len(a) > 3 else None
+        tag_b = b[3] if len(b) > 3 else None
+        if tag_a is not None and tag_a == tag_b:
+            oh, ol = self._vmerge_keys(a, b)
+            return (oh, ol, None, tag_a)
         if a[2] is None:
             a = self._vmaterialize(a)
         if b[2] is None:
@@ -1175,13 +1211,16 @@ class ShardedCountStore:
         # re-trace the merge program on the hot path
         shard_fn = self._program(
             ("vmerge", int(a[0].shape[1]), int(b[0].shape[1])), build)
-        return shard_fn(a[0], a[1], a[2], b[0], b[1], b[2])
+        return shard_fn(a[0], a[1], a[2], b[0], b[1], b[2]) + (None,)
 
     def _compact_tiers(self):
         from ..index.count_store import lsm_compact
 
         self._runs = lsm_compact(
-            self._runs, lambda r: int(r[0].shape[1]), self._vmerge_runs)
+            self._runs,
+            lambda r: (int(r[0].shape[1]),
+                       "cnt" if r[3] is None else r[3]),
+            self._vmerge_runs)
         self._spill_if_needed()
 
     # -- host/disk spill (mirrors count_store.CountStore) -------------------
@@ -1199,7 +1238,7 @@ class ShardedCountStore:
         run = self._runs.pop()
         if run[2] is None:
             run = self._vmaterialize(run)
-        hi, lo, cnt = run
+        hi, lo, cnt = run[0], run[1], run[2]
         a = (_host_read(hi), _host_read(lo), _host_read(cnt))
         if self.spill_dir is not None:
             os.makedirs(self.spill_dir, exist_ok=True)
@@ -1255,10 +1294,12 @@ class ShardedCountStore:
             )
             ns = self._global_put(self._n_unique.astype(np.int32)
                                   .reshape(-1, 1))
-            self._runs.append(run_fn(self.u_hi, self.u_lo, self.cnt, ns))
+            self._runs.append(
+                run_fn(self.u_hi, self.u_lo, self.cnt, ns) + (None,))
         self._runs.sort(key=lambda r: int(r[0].shape[1]), reverse=True)
         if not self._runs:  # only spilled runs: seed from the first one
-            self._runs.append(self._load_spilled(self._spilled.pop()))
+            self._runs.append(
+                self._load_spilled(self._spilled.pop()) + (None,))
         acc = self._runs.pop()
         while self._runs:
             acc = self._vmerge_runs(acc, self._runs.pop())
@@ -1266,10 +1307,14 @@ class ShardedCountStore:
             acc = self._vmerge_runs(acc, self._load_spilled(
                 self._spilled.pop()))
         if acc[2] is None:
-            # all-key-only fold: scatter-free consolidation per shard
+            # all-key-only single-source fold: scatter-free consolidation
+            tag = acc[3] if len(acc) > 3 else 0
+            counts_n = self.counts_n
+
             def fin_keys(hi, lo):
                 u_hi, u_lo, u_cnt, n_u = cs._finalize_run_keys(
                     hi.reshape(-1), lo.reshape(-1), k=self.k,
+                    counts_n=counts_n, source=tag,
                 )
                 return u_hi[None], u_lo[None], u_cnt[None], n_u[None]
 

@@ -429,3 +429,40 @@ def test_peek_n_unique_matches_flush():
         for b in bs + [bs[0]]:
             st3.add_kmers(*b, defer=True)
         assert st.peek_n_unique() == st3.n_unique
+
+
+def test_multisource_tagged_keyonly_store(monkeypatch):
+    """counts_n=2 stores keep key-only runs per source (tagged) and must
+    match the optimisation disabled, including spectra per source."""
+    rng = np.random.default_rng(5)
+    per_source = {0: [], 1: []}
+    for s in (0, 1):
+        for _ in range(3):
+            n = 512
+            hi = rng.integers(0, 4, n, dtype=np.uint64).astype(np.uint32)
+            lo = rng.integers(0, 1 << 20, n, dtype=np.uint64).astype(
+                np.uint32)
+            valid = rng.random(n) < 0.9
+            per_source[s].append((hi, lo, valid))
+    dicts = []
+    for enabled in (True, False):
+        monkeypatch.setattr(cs, "_KEYONLY_MERGE", enabled)
+        st = CountStore(21, counts_n=2)
+        st.run_build_size = 512
+        # file-by-file feed (the reference's corpus pattern)
+        for s in (0, 1):
+            for hi, lo, valid in per_source[s]:
+                st.add_kmers(jnp.asarray(hi), jnp.asarray(lo),
+                             jnp.asarray(valid), source=s, defer=True)
+        if enabled:
+            assert {r[3] for r in st._runs} == {0, 1}
+            assert all(r[2] is None for r in st._runs)
+            # peek across mixed tags must not disturb tier state
+            tags_before = [r[3] for r in st._runs]
+            peek = st.peek_n_unique()
+            assert [r[3] for r in st._runs] == tags_before
+        dicts.append((st.counts_dict(), st.n_unique,
+                      st.total_added.tolist()))
+    assert dicts[0] == dicts[1]
+    if True:  # peek computed before the flush above must agree
+        assert peek == dicts[0][1]

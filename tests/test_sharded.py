@@ -378,3 +378,45 @@ def test_sharded_peek_n_unique_matches_fold(mesh, repeat_40_fq):
     assert shc.peek_n_unique() == want          # no fold happened yet
     assert int(shc.n_unique.sum()) == want      # fold still agrees
     np.testing.assert_array_equal(shc.spectrum(600), ref.spectrum(600))
+
+
+def test_sharded_multisource_tagged_keyonly(mesh, repeat_40_fq):
+    """counts_n=2 sharded store: per-source key-only runs (tagged), mixed
+    -tag peek leaves tiers untouched, results match spectrum_n."""
+    import jax.numpy as jnp
+
+    from kmer_hasher_tpu.io import pad_records
+
+    k = 7
+    reads = [(s, q) for (_n, s, q) in repeat_40_fq]
+    pr = pad_records([("r", s, q) for s, q in reads])
+    hi, lo, valid = enc.encode_stream(pr.seq, k, pr.lengths, canonical=True)
+    D = mesh.size
+    B = hi.shape[0]
+    pad = -(-B // D) * D - B
+    hi = np.pad(np.asarray(hi), ((0, pad), (0, 0))).reshape(D, -1)
+    lo = np.pad(np.asarray(lo), ((0, pad), (0, 0))).reshape(D, -1)
+    valid = np.pad(np.asarray(valid), ((0, pad), (0, 0))).reshape(D, -1)
+    shc = ShardedCountStore(k, mesh, counts_n=2)
+    shc.add_batch(hi, lo, valid, source=0)
+    shc.add_batch(hi, lo, valid, source=1)
+    shc.add_batch(hi, lo, valid, source=1)
+    assert {r[3] for r in shc._runs} == {0, 1}
+    assert all(r[2] is None for r in shc._runs)
+    peek = shc.peek_n_unique()
+    assert all(r[2] is None for r in shc._runs)  # tiers untouched
+    single = CountStore(k, counts_n=2)
+    single.add_kmers(*(jnp.asarray(x) for x in
+                       (hi.reshape(-1), lo.reshape(-1),
+                        valid.reshape(-1))), source=0)
+    single.add_kmers(*(jnp.asarray(x) for x in
+                       (hi.reshape(-1), lo.reshape(-1),
+                        valid.reshape(-1))), source=1)
+    single.add_kmers(*(jnp.asarray(x) for x in
+                       (hi.reshape(-1), lo.reshape(-1),
+                        valid.reshape(-1))), source=1)
+    assert peek == single.n_unique
+    assert int(shc.n_unique.sum()) == single.n_unique
+    np.testing.assert_array_equal(
+        shc.spectrum_n(600, [1, 2, 3], [0, 0, 1], [1, 1]),
+        single.spectrum_n(600, [1, 2, 3], [0, 0, 1], [1, 1]))
