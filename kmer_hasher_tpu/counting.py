@@ -44,8 +44,9 @@ def _pad_pow2(records: List[Record]):
     are reused across batches."""
     pr = pad_records(records, pad_to_multiple=1)
     B, L = pr.seq.shape
+    from .io.fastx import col_bucket
     Bp = 1 << max(3, (B - 1).bit_length())
-    Lp = 1 << max(5, (L - 1).bit_length())
+    Lp = col_bucket(L)
     seq = np.full((Bp, Lp), ord("N"), np.uint8)
     qual = np.zeros((Bp, Lp), np.uint8)
     seq[:B, :L] = pr.seq
@@ -238,7 +239,8 @@ def _pad_from_raw(seq_all, qual_all, offsets, qpres, i: int, j: int,
     Bp = 1 << max(3, (max(B, 1) - 1).bit_length())
     Bp = min(Bp, 1 << max(3, (batch_rows - 1).bit_length()))
     Lmax = int(lens.max()) if B else 1
-    Lp = 1 << max(5, (Lmax - 1).bit_length())
+    from .io.fastx import col_bucket
+    Lp = col_bucket(Lmax)
     seq = np.full((Bp, Lp), ord("N"), np.uint8)
     qual = np.zeros((Bp, Lp), np.uint8)
     total = int(lens.sum())

@@ -235,7 +235,8 @@ def _iter_fastx_filled(path: str, batch_records: int,
                 lmax = int((offs[start + 1:n + 1] - offs[start:n]).max())
                 B = n - start
                 Bp = min(1 << max(3, (B - 1).bit_length()), row_cap)
-                Lp = 1 << max(5, (max(lmax, 1) - 1).bit_length())
+                from .fastx import col_bucket
+                Lp = col_bucket(lmax)
                 qual = np.empty((Bp, Lp), np.uint8)
                 lengths = np.empty(Bp, np.int32)
                 qpres = np.empty(Bp, np.uint8)
