@@ -272,7 +272,17 @@ def _iter_fastx_filled(path: str, batch_records: int,
                         lengths.ctypes.data_as(i32p),
                         qpres.ctypes.data_as(u8p),
                     )
-                    q_out = (qnib, qdict) if qflag[0] else qual
+                    if qflag[0] == 1:  # <= 16 distinct: 4-bit dictionary
+                        q_out = (qnib, qdict)
+                    elif qflag[0] == 2:
+                        # 6-bit relative pack: contiguous [Bp, 3Lp/4]
+                        # prefix of the raw buffer (zero-copy view);
+                        # qdict[0] carries the base (vmin)
+                        w6 = (Lp * 3) // 4
+                        q_out = (qual.reshape(-1)[: Bp * w6]
+                                 .reshape(Bp, w6), qdict[:1])
+                    else:
+                        q_out = qual
                     batch = ((codes, nmask), q_out, lengths,
                              qpres.astype(bool))
                 else:

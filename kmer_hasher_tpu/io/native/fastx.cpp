@@ -352,21 +352,31 @@ void fastx_fill_packed2(const FastxResult* res, int64_t i, int64_t j,
   }
   int n_distinct = 0;
   uint8_t inv[256];
-  for (int v = 0; v < 256 && n_distinct <= 16; ++v) {
+  int vmin = 256, vmax = -1;  // over nonzero qual bytes
+  for (int v = 0; v < 256; ++v) {
     if (seen[v]) {
       if (n_distinct < 16) {
         qdict_out[n_distinct] = static_cast<uint8_t>(v);
         inv[v] = static_cast<uint8_t>(n_distinct);
       }
       ++n_distinct;
+      if (v > 0) {
+        if (v < vmin) vmin = v;
+        if (v > vmax) vmax = v;
+      }
     }
   }
   bool dict = n_distinct <= 16;
-  *qflag = dict ? 1 : 0;
+  // 6-bit relative pack: >16 distinct but nonzero values span < 63 —
+  // stored = q - vmin + 1 (0 reserved for the pad byte), 0.75 B/base.
+  // Any standard FASTQ (phred range < 62) qualifies.
+  bool six = !dict && vmax >= 0 && (vmax - vmin) <= 62;
+  *qflag = dict ? 1 : (six ? 2 : 0);
   if (dict) {
     for (int d = n_distinct; d < 16; ++d)
       qdict_out[d] = qdict_out[n_distinct ? n_distinct - 1 : 0];
   }
+  if (six) qdict_out[0] = static_cast<uint8_t>(vmin);
   int64_t B = j - i;
   int64_t Wc = Lp / 4, Wn = Lp / 8, Wq = Lp / 2;
   for (int64_t r = 0; r < Bp; ++r) {
@@ -394,6 +404,36 @@ void fastx_fill_packed2(const FastxResult* res, int64_t i, int64_t j,
           nrow[nbyte] = (nrow[nbyte] & ~(1u << nsh)) | (nb << nsh);
           uint8_t nib = inv[q[p]];
           qrow[p >> 1] |= nib << ((p & 1) << 2);
+        }
+      }
+    } else if (six) {
+      // 6-bit stream packed 4 values -> 3 bytes, written CONTIGUOUSLY
+      // into qual_out rows of width 3*Lp/4 (the buffer is large enough;
+      // Python reinterprets the prefix as [Bp, 3*Lp/4])
+      int64_t W6 = (Lp * 3) / 4;
+      uint8_t* qrow = qual_out + r * W6;
+      memset(qrow, 0, W6);
+      if (r < B) {
+        int64_t a = res->offsets[i + r];
+        n = res->offsets[i + r + 1] - a;
+        if (n > Lp) n = Lp;
+        const uint8_t* s = res->seq + a;
+        const uint8_t* q = res->qual + a;
+        for (int64_t p = 0; p < n; ++p) {
+          uint8_t c = s[p];
+          uint8_t code = (c >> 1) & 3;
+          int64_t byte = p >> 2, sh = (p & 3) << 1;
+          crow[byte] = (crow[byte] & ~(3u << sh)) | (code << sh);
+          uint8_t nb = ((c | 0x20) == 'n') ? 1 : 0;
+          int64_t nbyte = p >> 3, nsh = p & 7;
+          nrow[nbyte] = (nrow[nbyte] & ~(1u << nsh)) | (nb << nsh);
+          uint8_t qv = q[p];
+          uint16_t stored = qv ? (uint16_t)(qv - vmin + 1) : 0;
+          int64_t bit = p * 6;
+          int64_t qbyte = bit >> 3;
+          int qsh = (int)(bit & 7);
+          qrow[qbyte] |= (uint8_t)(stored << qsh);
+          if (qsh > 2) qrow[qbyte + 1] |= (uint8_t)(stored >> (8 - qsh));
         }
       }
     } else {

@@ -75,12 +75,36 @@ def unpack_qual(qnib: jax.Array, qdict: jax.Array) -> jax.Array:
     Byte-EXACT — even the f64 bit-parity likelihood path sees identical
     input. Select chain instead of a table gather (XLA:TPU gathers are
     slow; 15 vector selects are cheap on the VPU)."""
+    if qdict.shape[0] == 1:  # 6-bit relative form (see unpack_qual6)
+        return unpack_qual6(qnib, qdict)
     q = (qnib[..., :, None] >> jnp.asarray([0, 4], jnp.uint8)) & jnp.uint8(15)
     q = q.reshape(qnib.shape[:-1] + (qnib.shape[-1] * 2,))
     out = jnp.broadcast_to(qdict[0], q.shape)
     for i in range(1, 16):
         out = jnp.where(q == jnp.uint8(i), qdict[i], out)
     return out
+
+
+def unpack_qual6(q6: jax.Array, qbase: jax.Array) -> jax.Array:
+    """Reconstruct the quality byte plane from the 6-bit relative pack
+    (io/native fastx_fill_packed2 qflag=2): ``q6[..., 3*Lp/4]`` holds
+    little-endian 6-bit values (4 per 3 bytes), stored = q - vmin + 1
+    with 0 reserved for the pad byte; ``qbase[1]`` is vmin. Byte-EXACT
+    reconstruction, pure elementwise shifts — no gather."""
+    W6 = q6.shape[-1]
+    g = q6.reshape(q6.shape[:-1] + (W6 // 3, 3))
+    b0 = g[..., 0]
+    b1 = g[..., 1]
+    b2 = g[..., 2]
+    m6 = jnp.uint8(63)
+    v0 = b0 & m6
+    v1 = ((b0 >> 6) | (b1 << 2)) & m6
+    v2 = ((b1 >> 4) | (b2 << 4)) & m6
+    v3 = (b2 >> 2) & m6
+    v = jnp.stack([v0, v1, v2, v3], axis=-1)
+    v = v.reshape(q6.shape[:-1] + ((W6 // 3) * 4,))
+    return jnp.where(v == 0, jnp.uint8(0),
+                     v + (qbase[0] - jnp.uint8(1)))
 
 
 def _advance(arr: jax.Array, s: int) -> jax.Array:

@@ -1026,8 +1026,9 @@ class ShardedCountStore:
             # [1, 16] dict row (safe even if per-process dicts differed)
             qnib, qdict = qual
             n_loc = self.n_shards // jax.process_count()
+            qdict_np = np.asarray(qdict, np.uint8)  # [16] dict or [1] q6
             qdict_t = np.ascontiguousarray(np.broadcast_to(
-                np.asarray(qdict, np.uint8), (n_loc, 16)))
+                qdict_np, (n_loc, qdict_np.shape[0])))
             qual = (self._globalize(qnib), self._globalize(qdict_t))
         else:
             qual = self._globalize(qual)

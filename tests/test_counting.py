@@ -258,3 +258,25 @@ def test_fasta_records_counted_without_quality(monkeypatch):
                                       mesh=make_mesh(8))
     assert int(c.total_added.sum()) == int(a.total_added.sum())
     assert int(c.n_unique.sum()) == a.n_unique
+
+
+def test_q6_packed_counting_matches_unpacked(tmp_path, monkeypatch):
+    """Stress-style quals (>16 distinct, range < 63) take the 6-bit
+    relative upload pack; the store must be identical to the raw-plane
+    path (byte-exact reconstruction feeds even the f64 FSM)."""
+    import numpy as np
+
+    from kmer_hasher_tpu import counting
+
+    rng = np.random.default_rng(0)
+    path = tmp_path / "q6.fq"
+    with open(path, "w") as f:
+        for i in range(64):
+            seq = "".join("ACGT"[c] for c in rng.integers(0, 4, 60))
+            qual = "".join(chr(int(q)) for q in rng.integers(35, 70, 60))
+            f.write(f"@r{i}\n{seq}\n+\n{qual}\n")
+    st_packed = counting.count_kmers_fq_sh_rp(str(path), k=11, min_q=20)
+    monkeypatch.setenv("KMH_PACK_UPLOAD", "0")
+    st_raw = counting.count_kmers_fq_sh_rp(str(path), k=11, min_q=20)
+    assert st_packed.counts_dict() == st_raw.counts_dict()
+    assert st_packed.total_added.tolist() == st_raw.total_added.tolist()

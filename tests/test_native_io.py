@@ -167,13 +167,25 @@ def test_packed_qual_dictionary_branches(tmp_path):
     np.testing.assert_array_equal(np.asarray(enc.unpack_qual(qnib, qdict)),
                                   q1)
 
-    many = tmp_path / "many.fq"  # 20 distinct qual values -> raw plane
+    many = tmp_path / "many.fq"  # 20 distinct, range < 63 -> 6-bit pack
     quals = "".join(chr(33 + i) for i in range(20))
     many.write_text(f"@r1\n{'A' * 20}\n+\n{quals}\n")
     (_, q1m, _, _), = native.iter_fastx_padded(str(many), 64)
     (_, q2m, _, _), = native.iter_fastx_packed(str(many), 64)
-    assert not isinstance(q2m, tuple)
-    np.testing.assert_array_equal(q1m, q2m)
+    assert isinstance(q2m, tuple)
+    q6, qbase = q2m
+    assert qbase.shape == (1,) and int(qbase[0]) == 33
+    assert q6.shape[-1] == q1m.shape[-1] * 3 // 4
+    np.testing.assert_array_equal(np.asarray(enc.unpack_qual(q6, qbase)),
+                                  q1m)
+
+    wide = tmp_path / "wide.fq"  # > 63 range -> raw plane fallback
+    wide.write_text(f"@r1\n{'A' * 3}\n+\n!e~\n@r2\n{'C' * 17}\n+\n"
+                    + "".join(chr(40 + i) for i in range(17)) + "\n")
+    (_, q1w, _, _), = native.iter_fastx_padded(str(wide), 64)
+    (_, q2w, _, _), = native.iter_fastx_packed(str(wide), 64)
+    assert not isinstance(q2w, tuple)
+    np.testing.assert_array_equal(q1w, q2w)
 
 
 def test_qdict_env_gate(tmp_path, monkeypatch):
