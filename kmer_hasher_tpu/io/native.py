@@ -272,9 +272,10 @@ def _iter_fastx_filled(path: str, batch_records: int,
                         lengths.ctypes.data_as(i32p),
                         qpres.ctypes.data_as(u8p),
                     )
-                    if qflag[0] == 1:  # <= 16 distinct: 4-bit dictionary
+                    qmode = int(qflag[0]) & 3
+                    if qmode == 1:  # <= 16 distinct: 4-bit dictionary
                         q_out = (qnib, qdict)
-                    elif qflag[0] == 2:
+                    elif qmode == 2:
                         # 6-bit relative pack: contiguous [Bp, 3Lp/4]
                         # prefix of the raw buffer (zero-copy view);
                         # qdict[0] carries the base (vmin)
@@ -283,8 +284,10 @@ def _iter_fastx_filled(path: str, batch_records: int,
                                  .reshape(Bp, w6), qdict[:1])
                     else:
                         q_out = qual
-                    batch = ((codes, nmask), q_out, lengths,
-                             qpres.astype(bool))
+                    # bit 2: batch has no N bases -> omit the nmask plane
+                    s_out = ((codes,) if int(qflag[0]) & 4
+                             else (codes, nmask))
+                    batch = (s_out, q_out, lengths, qpres.astype(bool))
                 else:
                     seq = np.empty((Bp, Lp), np.uint8)
                     _lib.fastx_fill_padded(

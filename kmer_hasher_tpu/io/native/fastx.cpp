@@ -379,6 +379,7 @@ void fastx_fill_packed2(const FastxResult* res, int64_t i, int64_t j,
   if (six) qdict_out[0] = static_cast<uint8_t>(vmin);
   int64_t B = j - i;
   int64_t Wc = Lp / 4, Wn = Lp / 8, Wq = Lp / 2;
+  bool any_n = false;
   for (int64_t r = 0; r < Bp; ++r) {
     uint8_t* crow = codes_out + r * Wc;
     uint8_t* nrow = nmask_out + r * Wn;
@@ -400,6 +401,7 @@ void fastx_fill_packed2(const FastxResult* res, int64_t i, int64_t j,
           int64_t byte = p >> 2, sh = (p & 3) << 1;
           crow[byte] = (crow[byte] & ~(3u << sh)) | (code << sh);
           uint8_t nb = ((c | 0x20) == 'n') ? 1 : 0;
+          any_n |= nb != 0;
           int64_t nbyte = p >> 3, nsh = p & 7;
           nrow[nbyte] = (nrow[nbyte] & ~(1u << nsh)) | (nb << nsh);
           uint8_t nib = inv[q[p]];
@@ -425,6 +427,7 @@ void fastx_fill_packed2(const FastxResult* res, int64_t i, int64_t j,
           int64_t byte = p >> 2, sh = (p & 3) << 1;
           crow[byte] = (crow[byte] & ~(3u << sh)) | (code << sh);
           uint8_t nb = ((c | 0x20) == 'n') ? 1 : 0;
+          any_n |= nb != 0;
           int64_t nbyte = p >> 3, nsh = p & 7;
           nrow[nbyte] = (nrow[nbyte] & ~(1u << nsh)) | (nb << nsh);
           uint8_t qv = q[p];
@@ -449,6 +452,7 @@ void fastx_fill_packed2(const FastxResult* res, int64_t i, int64_t j,
           int64_t byte = p >> 2, sh = (p & 3) << 1;
           crow[byte] = (crow[byte] & ~(3u << sh)) | (code << sh);
           uint8_t nb = ((c | 0x20) == 'n') ? 1 : 0;
+          any_n |= nb != 0;
           int64_t nbyte = p >> 3, nsh = p & 7;
           nrow[nbyte] = (nrow[nbyte] & ~(1u << nsh)) | (nb << nsh);
         }
@@ -459,6 +463,9 @@ void fastx_fill_packed2(const FastxResult* res, int64_t i, int64_t j,
     len_out[r] = r < B ? static_cast<int32_t>(n) : 0;
     qpres_out[r] = r < B ? res->qual_present[i + r] : 0;
   }
+  // bit 2: no N bases anywhere in the batch -> the nmask plane can be
+  // omitted from the upload (validity comes from lengths alone)
+  if (!any_n) *qflag |= 4;
 }
 
 void fastx_free(FastxResult* res) {

@@ -44,19 +44,20 @@ def n_flags(ascii_u8: jax.Array) -> jax.Array:
     return (ascii_u8 | jnp.uint8(0x20)) == jnp.uint8(ord("n"))
 
 
-def unpack_seq(codes_packed: jax.Array, nmask: jax.Array) -> jax.Array:
+def unpack_seq(codes_packed: jax.Array,
+               nmask: "jax.Array | None" = None) -> jax.Array:
     """Reconstruct a canonical ASCII byte plane from the compact upload
     form (io.native.iter_fastx_packed): ``codes_packed[..., Lp/4]`` holds
     2-bit base codes little-endian within each byte, ``nmask[..., Lp/8]``
-    the n/N bit. The result re-encodes to the SAME (base_codes, n_flags)
-    as the original bytes — the only two functions through which the
-    device path reads sequence data — so counting over packed uploads is
-    bit-identical. Returned bytes are 'A','C','T','G' (code 0..3) or 'N'."""
+    the n/N bit. ``nmask`` is omitted for N-free batches (the common
+    case; validity beyond read lengths comes from the length masks, not
+    the pad bytes). The result re-encodes to the SAME (base_codes,
+    n_flags) as the original bytes — the only two functions through which
+    the device path reads sequence data — so counting over packed uploads
+    is bit-identical. Returned bytes are 'A','C','T','G' or 'N'."""
     c = (codes_packed[..., :, None]
          >> jnp.asarray([0, 2, 4, 6], jnp.uint8)) & jnp.uint8(3)
     c = c.reshape(codes_packed.shape[:-1] + (codes_packed.shape[-1] * 4,))
-    n = (nmask[..., :, None] >> jnp.arange(8, dtype=jnp.uint8)) & jnp.uint8(1)
-    n = n.reshape(nmask.shape[:-1] + (nmask.shape[-1] * 8,)).astype(bool)
     # code -> byte without a table gather (XLA:TPU gathers are slow):
     # 0->'A' 1->'C' 2->'T' 3->'G', via nested selects on the VPU
     b = jnp.where(
@@ -65,6 +66,10 @@ def unpack_seq(codes_packed: jax.Array, nmask: jax.Array) -> jax.Array:
                   jnp.where(c == 2, jnp.uint8(ord("T")),
                             jnp.uint8(ord("G")))),
     )
+    if nmask is None:
+        return b
+    n = (nmask[..., :, None] >> jnp.arange(8, dtype=jnp.uint8)) & jnp.uint8(1)
+    n = n.reshape(nmask.shape[:-1] + (nmask.shape[-1] * 8,)).astype(bool)
     return jnp.where(n, jnp.uint8(ord("N")), b)
 
 

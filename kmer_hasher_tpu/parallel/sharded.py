@@ -1034,7 +1034,9 @@ class ShardedCountStore:
             qual = self._globalize(qual)
         lengths = self._globalize(lengths)
         has_qual = self._globalize(has_qual)
-        packed = isinstance(seq, tuple)
+        # 0 = raw byte plane; else the packed-tuple arity
+        # (2 = codes+nmask, 1 = codes only for N-free batches)
+        packed = len(seq) if isinstance(seq, tuple) else 0
 
         def build():
             min_ll = jnp.asarray(float(min_ll_f))
@@ -1094,7 +1096,7 @@ class ShardedCountStore:
                 return self._route_build(chi.reshape(-1), clo.reshape(-1),
                                          emit.reshape(-1), onehot)
 
-            seq_spec = ((P(axes), P(axes)) if packed else P(axes))
+            seq_spec = ((P(axes),) * packed if packed else P(axes))
             qual_spec = ((P(axes), P(axes)) if packed_q else P(axes))
             out_specs = ((P(axes), P(axes), P()) if keyonly
                          else (P(axes), P(axes), P(axes), P()))

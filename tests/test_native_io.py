@@ -138,7 +138,11 @@ def test_packed_fill_matches_numpy_packer(tmp_path):
         for (s1, q1, l1, h1), (s2, q2, l2, h2) in pairs:
             c_np, n_np = _pack_np(s1)
             np.testing.assert_array_equal(c_np, s2[0])
-            np.testing.assert_array_equal(n_np, s2[1])
+            if len(s2) == 2:
+                np.testing.assert_array_equal(n_np, s2[1])
+            else:  # nmask omitted: the batch must be N-free within reads
+                in_read = (np.arange(s1.shape[1])[None, :] < l1[:, None])
+                assert not ((s1 == ord("N")) & in_read).any()
             if isinstance(q2, tuple):  # 4-bit dictionary form
                 from kmer_hasher_tpu.ops import encode as enc
 
@@ -221,3 +225,25 @@ def test_unpack_seq_roundtrip_semantics():
                                   np.asarray(enc.base_codes(raw)))
     np.testing.assert_array_equal(np.asarray(enc.n_flags(rec)),
                                   np.asarray(enc.n_flags(raw)))
+
+
+def test_nmask_omitted_for_n_free_batches(tmp_path):
+    """N-free batches drop the nmask plane (1-tuple seq); batches with Ns
+    keep it, and both reconstruct correctly."""
+    import numpy as np
+
+    from kmer_hasher_tpu.ops import encode as enc
+
+    clean = tmp_path / "clean.fq"
+    clean.write_text("@r1\nACGTACGT\n+\nIIIIIIII\n")
+    (s, _q, l_, _h), = native.iter_fastx_packed(str(clean), 64)
+    assert isinstance(s, tuple) and len(s) == 1
+    plane = np.asarray(enc.unpack_seq(*s))
+    assert plane[0, :8].tobytes() == b"ACGTACGT"
+
+    withn = tmp_path / "withn.fq"
+    withn.write_text("@r1\nACGNACGT\n+\nIIIIIIII\n")
+    (s2, _q, _l, _h), = native.iter_fastx_packed(str(withn), 64)
+    assert isinstance(s2, tuple) and len(s2) == 2
+    plane2 = np.asarray(enc.unpack_seq(*s2))
+    assert plane2[0, :8].tobytes() == b"ACGNACGT"
