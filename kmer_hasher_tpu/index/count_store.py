@@ -67,6 +67,9 @@ def _next_pow2(n: int) -> int:
 # rows are (0xFFFFFFFF, 0xFFFFFFFF, 0...). A real all-G k=32 kmer shares the
 # all-ones *key* but never has an all-zero count row, so the tie-break flag
 # (dead=1) in the two-key sort keeps live rows first deterministically.
+# Inside the stores, tier-list entries carry a 4th element: a host-side
+# source TAG (int) for key-only unit runs whose one-hot count column is
+# derived rather than stored, or None for count-carrying runs.
 # ---------------------------------------------------------------------------
 
 _DEAD = jnp.uint32(0xFFFFFFFF)
