@@ -264,34 +264,7 @@ def _build_run_direct_sorted(hi, lo, valid, onehot, k: int):
     return run_hi, run_lo, run_cnt, n_obs
 
 
-def _bitonic_merge_lanes(lanes, n_keys: int):
-    """Sort a bitonic sequence carried in parallel u32 lanes: log2(M)
-    static-stride compare-exchange stages (pure reshapes + selects — no
-    gather/scatter, each stage one fused HBM pass). ``lanes[:n_keys]``
-    compare lexicographically; the rest follow as payload. M must be a
-    power of two."""
-    M = lanes[0].shape[0]
-    stride = M // 2
-    while stride >= 1:
-        v = [a.reshape(-1, 2, stride) for a in lanes]
-        x = [a[:, 0, :] for a in v]
-        y = [a[:, 1, :] for a in v]
-        if n_keys == 1:
-            le = x[0] <= y[0]
-        elif n_keys == 2:
-            le = (x[0] < y[0]) | ((x[0] == y[0]) & (x[1] <= y[1]))
-        else:
-            eq01 = (x[0] == y[0]) & (x[1] == y[1])
-            le = ((x[0] < y[0])
-                  | ((x[0] == y[0]) & (x[1] < y[1]))
-                  | (eq01 & (x[2] <= y[2])))
-        lanes = [
-            jnp.stack([jnp.where(le, xa, ya), jnp.where(le, ya, xa)],
-                      axis=1).reshape(M)
-            for xa, ya in zip(x, y)
-        ]
-        stride //= 2
-    return lanes
+from ..ops.sort import bitonic_merge_lanes as _bitonic_merge_lanes  # noqa: E501  (shared with the query merge-join)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -612,9 +585,9 @@ def _spectrum_nc(cnt, live, max_count: int, comb, comb_inner, source_min,
 
 @jax.jit
 def _lookup_counts(u_hi, u_lo, cnt, n_unique, q_hi, q_lo):
-    lb = srt.searchsorted2(u_hi, u_lo, n_unique, q_hi, q_lo, "left")
+    lb, ub = srt.lookup_bounds(u_hi, u_lo, n_unique, q_hi, q_lo)
     lb_c = jnp.clip(lb, 0, u_hi.shape[0] - 1)
-    found = (lb < n_unique) & (u_hi[lb_c] == q_hi) & (u_lo[lb_c] == q_lo)
+    found = ub > lb  # the key is present iff its range is non-empty
     rows = jnp.where(found[:, None], cnt[lb_c], 0)
     return rows.astype(I32)
 

@@ -255,6 +255,5 @@ class KmerIndex:
     def lookup_range(self, q_hi, q_lo):
         """Per-query (lb, ub) ranges into the sorted position array."""
         nv = jnp.asarray(self.n_valid, I32)
-        lb = srt.searchsorted2(self.s_hi, self.s_lo, nv, q_hi, q_lo, "left")
-        ub = srt.searchsorted2(self.s_hi, self.s_lo, nv, q_hi, q_lo, "right")
+        lb, ub = srt.lookup_bounds(self.s_hi, self.s_lo, nv, q_hi, q_lo)
         return lb, ub

@@ -39,8 +39,7 @@ def _query_ranges(s_hi, s_lo, n_valid, query_u8, k: int, true_len):
     hi, lo, valid = enc.encode_stream(
         query_u8, k, true_len, canonical=False, drop_trailing_exact_k=True
     )
-    lb = srt.searchsorted2(s_hi, s_lo, n_valid, hi, lo, "left")
-    ub = srt.searchsorted2(s_hi, s_lo, n_valid, hi, lo, "right")
+    lb, ub = srt.lookup_bounds(s_hi, s_lo, n_valid, hi, lo)
     c = jnp.where(valid, ub - lb, 0).astype(I32)
     cum_c = jnp.cumsum(c.astype(I64))
     return lb, c, cum_c
@@ -104,8 +103,7 @@ def seq_kmer_pos(index: KmerIndex, query, k: int) -> np.ndarray:
 def _pair_ranges(a_hi, a_lo, a_nv, b_hi, b_lo, b_nv):
     """For each live position of index a (sorted order), the matching range
     in index b."""
-    lb = srt.searchsorted2(b_hi, b_lo, b_nv, a_hi, a_lo, "left")
-    ub = srt.searchsorted2(b_hi, b_lo, b_nv, a_hi, a_lo, "right")
+    lb, ub = srt.lookup_bounds(b_hi, b_lo, b_nv, a_hi, a_lo)
     live = jnp.arange(a_hi.shape[0], dtype=I32) < a_nv
     c = jnp.where(live, ub - lb, 0).astype(I32)
     cum_c = jnp.cumsum(c.astype(I64))

@@ -120,6 +120,36 @@ def sort_windows(
     return s_hi, s_lo, s_pos
 
 
+def bitonic_merge_lanes(lanes, n_keys: int):
+    """Sort a bitonic sequence carried in parallel u32 lanes: log2(M)
+    static-stride compare-exchange stages (pure reshapes + selects — no
+    gather/scatter, each stage one fused HBM pass). ``lanes[:n_keys]``
+    compare lexicographically; the rest follow as payload. M must be a
+    power of two."""
+    M = lanes[0].shape[0]
+    stride = M // 2
+    while stride >= 1:
+        v = [a.reshape(-1, 2, stride) for a in lanes]
+        x = [a[:, 0, :] for a in v]
+        y = [a[:, 1, :] for a in v]
+        if n_keys == 1:
+            le = x[0] <= y[0]
+        elif n_keys == 2:
+            le = (x[0] < y[0]) | ((x[0] == y[0]) & (x[1] <= y[1]))
+        else:
+            eq01 = (x[0] == y[0]) & (x[1] == y[1])
+            le = ((x[0] < y[0])
+                  | ((x[0] == y[0]) & (x[1] < y[1]))
+                  | (eq01 & (x[2] <= y[2])))
+        lanes = [
+            jnp.stack([jnp.where(le, xa, ya), jnp.where(le, ya, xa)],
+                      axis=1).reshape(M)
+            for xa, ya in zip(x, y)
+        ]
+        stride //= 2
+    return lanes
+
+
 @jax.jit
 def segment_starts(hi: jax.Array, lo: jax.Array, valid: jax.Array) -> jax.Array:
     """True at the first element of each distinct-key run (valid entries
@@ -172,6 +202,97 @@ def searchsorted2(
 
     lo_b, _ = jax.lax.fori_loop(0, iters, body, (lo_b, hi_b))
     return lo_b
+
+
+@jax.jit
+def lookup_bounds_merge(s_hi, s_lo, n_valid, q_hi, q_lo):
+    """(lb, ub) insertion bounds for ALL queries via a sorted merge-join —
+    no gathers. XLA:TPU gather runs at ~115 M elem/s (PERF.md), so the
+    binary search costs ~2·log2(T) gathers per query; here both sides are
+    sorted (the table by construction, the queries by one payload sort),
+    so ONE bitonic merge + prefix scans produce every bound:
+
+    * lb(q) = table keys < q  = table-row count in segments before q's,
+    * ub(q) = table keys <= q = total live - table rows in later segments,
+
+    both position-independent within a key segment (no tie lane needed).
+    Dead table rows are re-keyed all-ones so they sort last; ub clamps to
+    n_valid (only the k=32 all-G query can share their segment). Results
+    return in original query order via a u32 index sort."""
+    T = s_hi.shape[0]
+    Q = q_hi.shape[0]
+    ALL = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+    tkey = (s_hi.astype(jnp.uint64) << jnp.uint64(32)) | s_lo.astype(
+        jnp.uint64)
+    tkey = jnp.where(jnp.arange(T, dtype=I32) < jnp.asarray(n_valid, I32),
+                     tkey, ALL)
+    qkey = (q_hi.astype(jnp.uint64) << jnp.uint64(32)) | q_lo.astype(
+        jnp.uint64)
+    qk_s, qi_s = jax.lax.sort(
+        (qkey, jnp.arange(Q, dtype=jnp.uint32)), num_keys=1,
+        is_stable=False,
+    )
+    SENT = jnp.uint32(0xFFFFFFFF)  # qidx sentinel marking table/pad rows
+    M = T + Q
+    P = 1 << max(1, int(M - 1).bit_length())
+    pad = P - M
+
+    def lane(t_vals, q_vals_rev, fill):
+        parts = [t_vals]
+        if pad:
+            parts.append(jnp.full(pad, fill, t_vals.dtype))
+        parts.append(q_vals_rev)
+        return jnp.concatenate(parts)
+
+    lanes = bitonic_merge_lanes(
+        [lane((tkey >> jnp.uint64(32)).astype(jnp.uint32),
+              (qk_s[::-1] >> jnp.uint64(32)).astype(jnp.uint32),
+              jnp.uint32(0xFFFFFFFF)),
+         lane(tkey.astype(jnp.uint32), qk_s[::-1].astype(jnp.uint32),
+              jnp.uint32(0xFFFFFFFF)),
+         lane(jnp.full(T, SENT), qi_s[::-1], SENT)],
+        n_keys=2,
+    )
+    hi_m, lo_m, qi_m = lanes
+    key_m = (hi_m.astype(jnp.uint64) << jnp.uint64(32)) | lo_m.astype(
+        jnp.uint64)
+    is_t = (qi_m == SENT).astype(I32)
+    c_t = jnp.cumsum(is_t)  # inclusive table-row count (incl. dead/pad)
+    starts = jnp.zeros(P, bool).at[0].set(True) | (key_m != jnp.roll(key_m,
+                                                                     1))
+    # forward fill: table rows strictly before my segment (c_t at the
+    # row before my segment start) — non-decreasing, so a plain cummax
+    # of the start values fills every row of the segment
+    lb_fill = jax.lax.cummax(jnp.where(starts, c_t - is_t, -1))
+    # backward fill of "table rows strictly after my segment", by the
+    # same construction on the reversed array
+    r_is_t = is_t[::-1]
+    r_key = key_m[::-1]
+    r_starts = jnp.zeros(P, bool).at[0].set(True) | (r_key != jnp.roll(
+        r_key, 1))
+    r_c = jnp.cumsum(r_is_t)
+    t_after = jax.lax.cummax(jnp.where(r_starts, r_c - r_is_t, -1))[::-1]
+    total_t = c_t[-1]
+    nv = jnp.asarray(n_valid, I32)
+    lb_q = jnp.minimum(lb_fill, nv).astype(jnp.uint32)
+    ub_q = jnp.minimum(total_t - t_after, nv).astype(jnp.uint32)
+    # back to original query order: query rows sort to the front by index
+    out = jax.lax.sort((qi_m, lb_q, ub_q), num_keys=1, is_stable=False)
+    return out[1][:Q].astype(I32), out[2][:Q].astype(I32)
+
+
+def lookup_bounds(s_hi, s_lo, n_valid, q_hi, q_lo):
+    """(lb, ub) bounds for a query batch against the sorted live prefix.
+
+    Strategy is chosen from STATIC shapes: large query batches take the
+    gather-free merge-join (lookup_bounds_merge); small ones the binary
+    search (two searchsorted2 calls — a merge would drag the whole table
+    through HBM for a handful of lookups)."""
+    if int(q_hi.shape[0]) * 16 >= int(s_hi.shape[0]):
+        return lookup_bounds_merge(s_hi, s_lo, n_valid, q_hi, q_lo)
+    lb = searchsorted2(s_hi, s_lo, n_valid, q_hi, q_lo, "left")
+    ub = searchsorted2(s_hi, s_lo, n_valid, q_hi, q_lo, "right")
+    return lb, ub
 
 
 @functools.partial(jax.jit, static_argnames=("side",))

@@ -427,8 +427,7 @@ class ShardedKmerIndex:
 
         def fn(s_hi, s_lo, nv, qh, ql):
             s_hi, s_lo = s_hi.reshape(-1), s_lo.reshape(-1)
-            lb = srt.searchsorted2(s_hi, s_lo, nv[0], qh, ql, "left")
-            ub = srt.searchsorted2(s_hi, s_lo, nv[0], qh, ql, "right")
+            lb, ub = srt.lookup_bounds(s_hi, s_lo, nv[0], qh, ql)
             return jax.lax.psum(ub - lb, axis)
 
         shard_fn = jax.jit(
@@ -491,8 +490,7 @@ class ShardedKmerIndex:
         def fn(s_hi, s_lo, s_pos, nv, qh, ql, qv, start):
             s_hi, s_lo = s_hi.reshape(-1), s_lo.reshape(-1)
             s_pos = s_pos.reshape(-1)
-            lb = srt.searchsorted2(s_hi, s_lo, nv[0], qh, ql, "left")
-            ub = srt.searchsorted2(s_hi, s_lo, nv[0], qh, ql, "right")
+            lb, ub = srt.lookup_bounds(s_hi, s_lo, nv[0], qh, ql)
             cnt = jnp.where(qv, ub - lb, 0)
             cum = jnp.cumsum(cnt.astype(I64))
             g = start[0] + jnp.arange(C, dtype=I64)
@@ -600,8 +598,7 @@ class ShardedKmerIndex:
         def fn(s_hi, s_lo, s_pos, nv, qh, ql, start):
             s_hi, s_lo = s_hi.reshape(-1), s_lo.reshape(-1)
             s_pos = s_pos.reshape(-1)
-            lb = srt.searchsorted2(s_hi, s_lo, nv[0], qh, ql, "left")
-            ub = srt.searchsorted2(s_hi, s_lo, nv[0], qh, ql, "right")
+            lb, ub = srt.lookup_bounds(s_hi, s_lo, nv[0], qh, ql)
             cnt = ub - lb
             cum = jnp.cumsum(cnt.astype(I64))
             g = start[0] + jnp.arange(C, dtype=I64)
@@ -657,8 +654,7 @@ def kmer_pairs_sharded(a: "ShardedKmerIndex", b: "ShardedKmerIndex",
     def fn(ah, al, ap, an, bh, bl, bp, bn, start):
         ah, al, ap = ah.reshape(-1), al.reshape(-1), ap.reshape(-1)
         bh, bl, bp = bh.reshape(-1), bl.reshape(-1), bp.reshape(-1)
-        lb = srt.searchsorted2(bh, bl, bn[0], ah, al, "left")
-        ub = srt.searchsorted2(bh, bl, bn[0], ah, al, "right")
+        lb, ub = srt.lookup_bounds(bh, bl, bn[0], ah, al)
         live_a = jnp.arange(ah.shape[0], dtype=I32) < an[0]
         c = jnp.where(live_a, ub - lb, 0).astype(I32)
         cum = jnp.cumsum(c.astype(I64))
@@ -1406,9 +1402,9 @@ class ShardedCountStore:
         def fn(u_hi, u_lo, cnt, ns, qh, ql):
             u_hi, u_lo = u_hi.reshape(-1), u_lo.reshape(-1)
             cnt2 = cnt.reshape(u_hi.shape[0], -1)
-            lb = srt.searchsorted2(u_hi, u_lo, ns[0], qh, ql, "left")
+            lb, ub = srt.lookup_bounds(u_hi, u_lo, ns[0], qh, ql)
             lbc = jnp.clip(lb, 0, u_hi.shape[0] - 1)
-            found = (lb < ns[0]) & (u_hi[lbc] == qh) & (u_lo[lbc] == ql)
+            found = ub > lb
             rows = jnp.where(found[:, None], cnt2[lbc], 0).astype(I32)
             return jax.lax.psum(rows, axes)
 
