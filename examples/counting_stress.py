@@ -68,6 +68,10 @@ def main(argv=None):
     ap.add_argument("--binned-quals", action="store_true",
                     help="NovaSeq-style 4-value quality alphabet "
                          "(exercises the 4-bit qual dictionary upload)")
+    ap.add_argument("--sources", type=int, default=1,
+                    help="count the file this many times into sources "
+                         "0..n-1 of ONE store (R1/R2 corpus pattern; "
+                         "exercises tagged key-only runs)")
     ap.add_argument("--report-every", type=int, default=50_000,
                     help="progress-meter interval; each report folds the "
                          "store to evaluate n_unique, which is real work "
@@ -103,15 +107,26 @@ def main(argv=None):
     st = counting.count_kmers_fq_sh_rp(
         path, k=args.k, min_q=args.min_q, exact_ll=exact_ll,
         report_every=args.report_every or None,
+        source_n=args.sources, source=0,
     )
+    for s in range(1, args.sources):
+        # R1/R2-style corpus: the same file re-counted into source s of
+        # the SAME store (tagged key-only runs merge per source)
+        st = counting.count_kmers_fq_sh_rp(
+            path, k=args.k, min_q=args.min_q, exact_ll=exact_ll,
+            report_every=args.report_every or None,
+            source_n=args.sources, source=s, store=st,
+        )
     t_pipe = time.perf_counter() - t0  # includes flush; excludes final fold
     n_unique = st.n_unique  # folds + syncs
     dt = time.perf_counter() - t0
+    total_reads = args.reads * args.sources
     print(f"pipeline+flush={t_pipe:.1f}s final fold+sync={dt - t_pipe:.1f}s",
           flush=True)
-    print(f"reads={args.reads} k={args.k} exact_ll={exact_ll} "
+    print(f"reads={total_reads} k={args.k} exact_ll={exact_ll} "
+          f"sources={args.sources} "
           f"distinct={n_unique} total={int(st.total_added.sum())} "
-          f"wall={dt:.1f}s rate={args.reads / dt:.0f} reads/s")
+          f"wall={dt:.1f}s rate={total_reads / dt:.0f} reads/s")
     if not args.keep:
         os.unlink(path)
 
