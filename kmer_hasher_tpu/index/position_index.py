@@ -92,7 +92,7 @@ def _pair_chunk(s_pos, i_col, m, cum_m, n_valid, start: jax.Array, capacity: int
     loop order (src/kmer_hash.c:1113-1121) under canonical key order.
     """
     g = start + jnp.arange(capacity, dtype=I64)
-    j = srt.searchsorted_i64(cum_m, g, n_valid, side="right")
+    j = srt.expand_rank_i64(cum_m, g, n_valid)
     run_start = cum_m[j] - m[j].astype(I64)
     t = (g - run_start).astype(I32)
     x = s_pos[j]

@@ -49,7 +49,7 @@ def _query_ranges(s_hi, s_lo, n_valid, query_u8, k: int, true_len):
 def _hit_chunk(s_pos, lb, c, cum_c, k: int, start, capacity: int):
     g = start + jnp.arange(capacity, dtype=I64)
     L = lb.shape[0]
-    w = srt.searchsorted_i64(cum_c, g, L, side="right")
+    w = srt.expand_rank_i64(cum_c, g, L)
     t = (g - (cum_c[w] - c[w])).astype(I32)
     i_col = w + k  # 1-based query position of the window's last base
     j_col = s_pos[jnp.clip(lb[w] + t, 0, s_pos.shape[0] - 1)]
@@ -114,7 +114,7 @@ def _pair_ranges(a_hi, a_lo, a_nv, b_hi, b_lo, b_nv):
 def _pair_hit_chunk(a_pos, b_pos, lb, c, cum_c, start, capacity: int):
     g = start + jnp.arange(capacity, dtype=I64)
     L = lb.shape[0]
-    w = srt.searchsorted_i64(cum_c, g, L, side="right")
+    w = srt.expand_rank_i64(cum_c, g, L)
     t = (g - (cum_c[w] - c[w])).astype(I32)
     rows = jnp.stack(
         [a_pos[w], b_pos[jnp.clip(lb[w] + t, 0, b_pos.shape[0] - 1)]], axis=1

@@ -295,6 +295,68 @@ def lookup_bounds(s_hi, s_lo, n_valid, q_hi, q_lo):
     return lb, ub
 
 
+@jax.jit
+def expand_rank_merge_i64(sorted_vals, n_valid, g):
+    """searchsorted-right over a sorted non-negative int64 array for a
+    SORTED query vector ``g`` (the chunked-expansion index map), via the
+    same gather-free bitonic merge-join as lookup_bounds_merge: w(g) =
+    count of table values <= g = (table rows in segments before g's) +
+    (table rows in g's segment), position-independent within a segment.
+    Table rows past ``n_valid`` re-key to u64 max so they never count."""
+    T = sorted_vals.shape[0]
+    Q = g.shape[0]
+    ALL = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+    tv = jnp.where(jnp.arange(T, dtype=I32) < jnp.asarray(n_valid, I32),
+                   sorted_vals.astype(jnp.uint64), ALL)
+    qv = g.astype(jnp.uint64)
+    SENT = jnp.uint32(0xFFFFFFFF)
+    M = T + Q
+    P = 1 << max(1, int(M - 1).bit_length())
+    pad = P - M
+
+    def lane(t_vals, q_vals_rev, fill):
+        parts = [t_vals]
+        if pad:
+            parts.append(jnp.full(pad, fill, t_vals.dtype))
+        parts.append(q_vals_rev)
+        return jnp.concatenate(parts)
+
+    hi_m, lo_m, qi_m = bitonic_merge_lanes(
+        [lane((tv >> jnp.uint64(32)).astype(jnp.uint32),
+              (qv[::-1] >> jnp.uint64(32)).astype(jnp.uint32),
+              jnp.uint32(0xFFFFFFFF)),
+         lane(tv.astype(jnp.uint32), qv[::-1].astype(jnp.uint32),
+              jnp.uint32(0xFFFFFFFF)),
+         lane(jnp.full(T, SENT), jnp.arange(Q, dtype=jnp.uint32)[::-1],
+              SENT)],
+        n_keys=2,
+    )
+    key_m = (hi_m.astype(jnp.uint64) << jnp.uint64(32)) | lo_m.astype(
+        jnp.uint64)
+    is_t = (qi_m == SENT).astype(I32)
+    c_t = jnp.cumsum(is_t)
+    # table rows <= my key: total minus table rows in segments after mine
+    r_key = key_m[::-1]
+    r_is_t = is_t[::-1]
+    r_starts = jnp.zeros(P, bool).at[0].set(True) | (r_key != jnp.roll(
+        r_key, 1))
+    r_c = jnp.cumsum(r_is_t)
+    t_after = jax.lax.cummax(jnp.where(r_starts, r_c - r_is_t, -1))[::-1]
+    w = jnp.minimum(c_t[-1] - t_after, jnp.asarray(n_valid, I32)).astype(
+        jnp.uint32)
+    out = jax.lax.sort((qi_m, w), num_keys=1, is_stable=False)
+    return out[1][:Q].astype(I32)
+
+
+def expand_rank_i64(sorted_vals, g, n_valid):
+    """searchsorted-right for the chunk expansions: merge-join for large
+    chunks (g is already sorted — no pre/back query sort beyond the index
+    restore), binary search for small ones. Static-shape dispatch."""
+    if int(g.shape[0]) * 16 >= int(sorted_vals.shape[0]):
+        return expand_rank_merge_i64(sorted_vals, n_valid, g)
+    return searchsorted_i64(sorted_vals, g, n_valid, side="right")
+
+
 @functools.partial(jax.jit, static_argnames=("side",))
 def searchsorted_i64(sorted_vals: jax.Array, q: jax.Array, n_valid,
                      side: str = "right") -> jax.Array:

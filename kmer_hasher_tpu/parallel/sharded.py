@@ -494,7 +494,7 @@ class ShardedKmerIndex:
             cnt = jnp.where(qv, ub - lb, 0)
             cum = jnp.cumsum(cnt.astype(I64))
             g = start[0] + jnp.arange(C, dtype=I64)
-            w = srt.searchsorted_i64(cum, g, qh.shape[0], "right")
+            w = srt.expand_rank_i64(cum, g, qh.shape[0])
             t = (g - (cum - cnt.astype(I64))[w]).astype(I32)
             i_col = (w + k).astype(I32)
             j_col = s_pos[jnp.clip(lb[w] + t, 0, s_pos.shape[0] - 1)]
@@ -602,7 +602,7 @@ class ShardedKmerIndex:
             cnt = ub - lb
             cum = jnp.cumsum(cnt.astype(I64))
             g = start[0] + jnp.arange(C, dtype=I64)
-            w = srt.searchsorted_i64(cum, g, qh.shape[0], "right")
+            w = srt.expand_rank_i64(cum, g, qh.shape[0])
             t = (g - (cum - cnt.astype(I64))[w]).astype(I32)
             p = s_pos[jnp.clip(lb[w] + t, 0, s_pos.shape[0] - 1)]
             ok = g < cum[-1]
@@ -659,7 +659,7 @@ def kmer_pairs_sharded(a: "ShardedKmerIndex", b: "ShardedKmerIndex",
         c = jnp.where(live_a, ub - lb, 0).astype(I32)
         cum = jnp.cumsum(c.astype(I64))
         g = start[0] + jnp.arange(C, dtype=I64)
-        w = srt.searchsorted_i64(cum, g, ah.shape[0], "right")
+        w = srt.expand_rank_i64(cum, g, ah.shape[0])
         t = (g - (cum - c.astype(I64))[w]).astype(I32)
         j = bp[jnp.clip(lb[w] + t, 0, bp.shape[0] - 1)]
         ok = g < cum[-1]

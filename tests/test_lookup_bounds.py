@@ -52,3 +52,25 @@ def test_lookup_bounds_dispatch():
     ub_b = srt.searchsorted2(s_hi, s_lo, 1024, q_hi_big, q_lo_big, "right")
     np.testing.assert_array_equal(np.asarray(lb), np.asarray(lb_b))
     np.testing.assert_array_equal(np.asarray(ub), np.asarray(ub_b))
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_expand_rank_merge_matches_binary_search(seed):
+    """The i64 expansion rank (merge-join) must equal searchsorted-right,
+    including empty groups (duplicate cumulative values), a dead tail,
+    and g beyond the live total."""
+    rng = np.random.default_rng(seed)
+    T = int(rng.choice([64, 512]))
+    nv = int(rng.integers(1, T + 1))
+    m = rng.integers(0, 4, nv)  # group sizes incl. EMPTY groups
+    cum = np.zeros(T, np.int64)
+    cum[:nv] = np.cumsum(m)
+    cum[nv:] = 0  # garbage beyond the live prefix (must be masked)
+    Q = int(rng.choice([64, 256]))
+    start = int(rng.integers(0, max(1, int(cum[nv - 1]) + 4)))
+    g = (start + np.arange(Q)).astype(np.int64)
+    w_m = srt.expand_rank_merge_i64(jnp.asarray(cum), jnp.asarray(nv),
+                                    jnp.asarray(g))
+    w_b = srt.searchsorted_i64(jnp.asarray(cum), jnp.asarray(g),
+                               jnp.asarray(nv), side="right")
+    np.testing.assert_array_equal(np.asarray(w_m), np.asarray(w_b))
