@@ -215,6 +215,7 @@ class KmerIndex:
         documented fix for the reference's pair-table blow-up
         (README.md:80-89)."""
         total = self.total_pairs
+        capacity = srt.clamp_chunk_capacity(capacity, total)
         start = 0
         while start < total:
             rows, ok = _pair_chunk(

@@ -82,6 +82,7 @@ def iter_seq_kmer_pos_chunks(
         jnp.asarray(query), k, true_len,
     )
     total = int(cum_c[-1])
+    capacity = srt.clamp_chunk_capacity(capacity, total)
     start = 0
     while start < total:
         rows, ok = _hit_chunk(index.s_pos, lb, c, cum_c, k,
@@ -132,6 +133,7 @@ def kmer_pairs(a: KmerIndex, b: KmerIndex,
         b.s_hi, b.s_lo, jnp.asarray(b.n_valid, I32),
     )
     total = int(cum_c[-1])
+    capacity = srt.clamp_chunk_capacity(capacity, total)
     out = []
     start = 0
     while start < total:

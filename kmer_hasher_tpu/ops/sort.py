@@ -348,6 +348,17 @@ def expand_rank_merge_i64(sorted_vals, n_valid, g):
     return out[1][:Q].astype(I32)
 
 
+def clamp_chunk_capacity(capacity: int, total: int,
+                         floor: int = 1 << 10) -> int:
+    """Clamp a drain-chunk capacity to the pow2 ceiling of the known row
+    total: small outputs then compile (and run) small chunk programs —
+    the expansion network scales with capacity — while large drains keep
+    the requested chunk size. Pow2 bucketing bounds compiled variants."""
+    if total <= floor:
+        return min(capacity, floor)
+    return min(capacity, 1 << int(total - 1).bit_length())
+
+
 def expand_rank_i64(sorted_vals, g, n_valid):
     """searchsorted-right for the chunk expansions: merge-join for large
     chunks (g is already sorted — no pre/back query sort beyond the index

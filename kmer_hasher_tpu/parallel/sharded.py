@@ -379,15 +379,16 @@ class ShardedKmerIndex:
             if n == 0:
                 continue
             total = int(np.asarray(cum_m[d, n - 1]))
+            cap = srt.clamp_chunk_capacity(capacity, total)
             start = 0
             while start < total:
                 rows, ok = _pair_chunk(
                     r_pos[d], i_col[d] + int(base[d]), m[d], cum_m[d],
-                    jnp.asarray(n, I32), jnp.asarray(start, I64), capacity,
+                    jnp.asarray(n, I32), jnp.asarray(start, I64), cap,
                 )
                 n_ok = int(np.asarray(ok).sum())
                 yield np.asarray(rows)[:n_ok]
-                start += capacity
+                start += cap
 
     @property
     def total_pairs(self) -> int:
@@ -442,6 +443,29 @@ class ShardedKmerIndex:
                      jnp.ravel(q_hi), jnp.ravel(q_lo))
         )
 
+    def _hit_totals(self, qh, ql, qv) -> np.ndarray:
+        """Count-only pre-pass: per-shard total hits for a replicated
+        query, so drain loops can clamp their chunk capacity before
+        compiling the (capacity-sized) expansion program."""
+        axis = self.axis
+        n_valid = jnp.asarray(self.n_valid, I32)
+
+        def fn(s_hi, s_lo, nv, qh, ql, qv):
+            s_hi, s_lo = s_hi.reshape(-1), s_lo.reshape(-1)
+            lb, ub = srt.lookup_bounds(s_hi, s_lo, nv[0], qh, ql)
+            cnt = jnp.where(qv, ub - lb, 0)
+            return cnt.astype(I64).sum()[None]
+
+        shard_fn = jax.jit(
+            jax.shard_map(
+                fn, mesh=self.mesh,
+                in_specs=(P(axis), P(axis), P(axis), P(), P(), P()),
+                out_specs=P(axis),
+            )
+        )
+        return np.asarray(shard_fn(self.s_hi, self.s_lo, n_valid,
+                                   qh, ql, qv)).astype(np.int64)
+
     def seq_kmer_pos(self, query, k: int,
                      max_hits_per_shard: int = 1 << 20) -> np.ndarray:
         """Sharded ``seq.kmer.pos``: full (i, j) matrix (reference row
@@ -485,7 +509,9 @@ class ShardedKmerIndex:
         )
         axis = self.axis
         n_valid = jnp.asarray(self.n_valid, I32)
-        C = max_hits_per_shard
+        totals = self._hit_totals(q_hi, q_lo, q_valid)
+        C = srt.clamp_chunk_capacity(max_hits_per_shard,
+                                     int(totals.max(initial=0)))
 
         def fn(s_hi, s_lo, s_pos, nv, qh, ql, qv, start):
             s_hi, s_lo = s_hi.reshape(-1), s_lo.reshape(-1)
@@ -592,8 +618,11 @@ class ShardedKmerIndex:
         shard (ascending, merged on host); chunk-drained, never truncated."""
         axis = self.axis
         n_valid = jnp.asarray(self.n_valid, I32)
-        C = max_hits_per_shard
         q_hi, q_lo = jnp.ravel(q_hi), jnp.ravel(q_lo)
+        totals = self._hit_totals(q_hi, q_lo,
+                                  jnp.ones(q_hi.shape[0], bool))
+        C = srt.clamp_chunk_capacity(max_hits_per_shard,
+                                     int(totals.max(initial=0)))
 
         def fn(s_hi, s_lo, s_pos, nv, qh, ql, start):
             s_hi, s_lo = s_hi.reshape(-1), s_lo.reshape(-1)
@@ -644,12 +673,25 @@ def kmer_pairs_sharded(a: "ShardedKmerIndex", b: "ShardedKmerIndex",
         raise ValueError("both indexes must live on the same mesh")
     if a.k != b.k:
         raise ValueError("k mismatch between indexes")
-    axis, D, C = a.axis, a.n_shards, capacity
+    axis, D = a.axis, a.n_shards
     a_hi, a_lo, a_pos, a_nv = a._range_partitioned()
     spl = a._rp_spl
     b_hi, b_lo, b_pos, b_nv = b._range_partitioned(splitters=spl)
     a_nv_d = jnp.asarray(a_nv, I32)
     b_nv_d = jnp.asarray(b_nv, I32)
+
+    def fn_total(ah, al, an, bh, bl, bn):
+        ah, al = ah.reshape(-1), al.reshape(-1)
+        bh, bl = bh.reshape(-1), bl.reshape(-1)
+        lb, ub = srt.lookup_bounds(bh, bl, bn[0], ah, al)
+        live_a = jnp.arange(ah.shape[0], dtype=I32) < an[0]
+        return jnp.where(live_a, ub - lb, 0).astype(I64).sum()[None]
+
+    totals = np.asarray(jax.jit(jax.shard_map(
+        fn_total, mesh=a.mesh, in_specs=(P(axis),) * 6,
+        out_specs=P(axis),
+    ))(a_hi, a_lo, a_nv_d, b_hi, b_lo, b_nv_d)).astype(np.int64)
+    C = srt.clamp_chunk_capacity(capacity, int(totals.max(initial=0)))
 
     def fn(ah, al, ap, an, bh, bl, bp, bn, start):
         ah, al, ap = ah.reshape(-1), al.reshape(-1), ap.reshape(-1)
