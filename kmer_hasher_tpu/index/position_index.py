@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import encode as enc
+from ..ops import expand as exp
 from ..ops import sort as srt
 
 I32 = jnp.int32
@@ -216,6 +217,21 @@ class KmerIndex:
         (README.md:80-89)."""
         total = self.total_pairs
         capacity = srt.clamp_chunk_capacity(capacity, total)
+        if exp.use_plan(total, self.s_pos.shape[0], capacity):
+            plan = exp.ExpansionPlan(self.m, (self.i_col, self.s_pos),
+                                     capacity)
+            total_d = jnp.asarray(total, I64)
+            start = 0
+            while start < total:
+                rows, ok = exp.pair_chunk_planned(
+                    self.s_pos, plan.cum, plan.run_start, plan.w,
+                    plan.cols[0], plan.cols[1], total_d,
+                    jnp.asarray(start, I64), capacity,
+                )
+                n_ok = int(np.asarray(ok).sum())
+                yield np.asarray(rows)[:n_ok]
+                start += capacity
+            return
         start = 0
         while start < total:
             rows, ok = _pair_chunk(

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import encode as enc
+from ..ops import expand as exp
 from ..ops import sort as srt
 from .position_index import KmerIndex
 
@@ -83,6 +84,19 @@ def iter_seq_kmer_pos_chunks(
     )
     total = int(cum_c[-1])
     capacity = srt.clamp_chunk_capacity(capacity, total)
+    if total and exp.use_plan(total, lb.shape[0], capacity):
+        plan = exp.ExpansionPlan(c, (lb,), capacity)
+        total_d = jnp.asarray(total, I64)
+        start = 0
+        while start < total:
+            rows, ok = exp.hit_chunk_planned(
+                index.s_pos, plan.cum, plan.run_start, plan.w,
+                plan.cols[0], total_d, k, jnp.asarray(start, I64), capacity,
+            )
+            n_ok = int(np.asarray(ok).sum())
+            yield np.asarray(rows)[:n_ok]
+            start += capacity
+        return
     start = 0
     while start < total:
         rows, ok = _hit_chunk(index.s_pos, lb, c, cum_c, k,
@@ -136,6 +150,17 @@ def kmer_pairs(a: KmerIndex, b: KmerIndex,
     capacity = srt.clamp_chunk_capacity(capacity, total)
     out = []
     start = 0
+    if total and exp.use_plan(total, lb.shape[0], capacity):
+        plan = exp.ExpansionPlan(c, (lb, a.s_pos), capacity)
+        total_d = jnp.asarray(total, I64)
+        while start < total:
+            rows, ok = exp.pair_hit_chunk_planned(
+                b.s_pos, plan.cum, plan.run_start, plan.cols[1],
+                plan.cols[0], total_d, jnp.asarray(start, I64), capacity,
+            )
+            n_ok = int(np.asarray(ok).sum())
+            out.append(np.asarray(rows)[:n_ok])
+            start += capacity
     while start < total:
         rows, ok = _pair_hit_chunk(a.s_pos, b.s_pos, lb, c, cum_c,
                                    jnp.asarray(start, I64), capacity)
