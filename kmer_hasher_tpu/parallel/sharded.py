@@ -31,6 +31,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import encode as enc
+from ..ops import expand as exp
 from ..ops import sort as srt
 
 I32 = jnp.int32
@@ -381,6 +382,21 @@ class ShardedKmerIndex:
             total = int(np.asarray(cum_m[d, n - 1]))
             cap = srt.clamp_chunk_capacity(capacity, total)
             start = 0
+            if exp.use_plan(total, int(r_pos.shape[-1]), cap):
+                plan = exp.ExpansionPlan(
+                    m[d], (i_col[d] + int(base[d]), r_pos[d]), cap
+                )
+                total_d = jnp.asarray(total, I64)
+                while start < total:
+                    rows, ok = exp.pair_chunk_planned(
+                        r_pos[d], plan.cum, plan.run_start, plan.w,
+                        plan.cols[0], plan.cols[1], total_d,
+                        jnp.asarray(start, I64), cap,
+                    )
+                    n_ok = int(np.asarray(ok).sum())
+                    yield np.asarray(rows)[:n_ok]
+                    start += cap
+                continue
             while start < total:
                 rows, ok = _pair_chunk(
                     r_pos[d], i_col[d] + int(base[d]), m[d], cum_m[d],
@@ -512,6 +528,48 @@ class ShardedKmerIndex:
         totals = self._hit_totals(q_hi, q_lo, q_valid)
         C = srt.clamp_chunk_capacity(max_hits_per_shard,
                                      int(totals.max(initial=0)))
+        if exp.use_plan(int(totals.max(initial=0)), int(q_hi.shape[0]), C):
+
+            def plan_fn(s_hi, s_lo, nv, qh, ql, qv):
+                s_hi, s_lo = s_hi.reshape(-1), s_lo.reshape(-1)
+                lb, ub = srt.lookup_bounds(s_hi, s_lo, nv[0], qh, ql)
+                cnt = jnp.where(qv, ub - lb, 0).astype(I32)
+                cum, rs, w, cols, total = exp._build_plan(cnt, (lb,), C, 1)
+                return (cum[None], rs[None], w[None], cols[0][None],
+                        total[None])
+
+            plan_sf = jax.jit(jax.shard_map(
+                plan_fn, mesh=self.mesh,
+                in_specs=(P(axis), P(axis), P(axis), P(), P(), P()),
+                out_specs=(P(axis),) * 5,
+            ))
+            p_cum, p_rs, p_w, p_lb, p_tot = plan_sf(
+                self.s_hi, self.s_lo, n_valid, q_hi, q_lo, q_valid)
+
+            def fn(s_pos, cum, rs, w, lbp, tot, start):
+                s_pos = s_pos.reshape(-1)
+                cum, rs = cum.reshape(-1), rs.reshape(-1)
+                w, lbp = w.reshape(-1), lbp.reshape(-1)
+                src, t, g = exp.chunk_src(cum, rs, start[0], C)
+                i_col = (w[src] + k).astype(I32)
+                j_col = s_pos[jnp.clip(lbp[src] + t, 0, s_pos.shape[0] - 1)]
+                ok = g < tot[0]
+                rows = jnp.stack([jnp.where(ok, i_col, 0),
+                                  jnp.where(ok, j_col, 0)], axis=1)
+                return rows[None], ok.sum(dtype=I32)[None], tot[0][None]
+
+            shard_fn = jax.jit(jax.shard_map(
+                fn, mesh=self.mesh, in_specs=(P(axis),) * 7,
+                out_specs=(P(axis),) * 3,
+            ))
+
+            def call(start):
+                starts = jnp.full((self.n_shards, 1), start, I64)
+                return shard_fn(self.s_pos, p_cum, p_rs, p_w, p_lb, p_tot,
+                                starts)
+
+            yield from self._merge_sorted_streams(call, C)
+            return
 
         def fn(s_hi, s_lo, s_pos, nv, qh, ql, qv, start):
             s_hi, s_lo = s_hi.reshape(-1), s_lo.reshape(-1)
@@ -623,34 +681,71 @@ class ShardedKmerIndex:
                                   jnp.ones(q_hi.shape[0], bool))
         C = srt.clamp_chunk_capacity(max_hits_per_shard,
                                      int(totals.max(initial=0)))
+        if exp.use_plan(int(totals.max(initial=0)), int(q_hi.shape[0]), C):
 
-        def fn(s_hi, s_lo, s_pos, nv, qh, ql, start):
-            s_hi, s_lo = s_hi.reshape(-1), s_lo.reshape(-1)
-            s_pos = s_pos.reshape(-1)
-            lb, ub = srt.lookup_bounds(s_hi, s_lo, nv[0], qh, ql)
-            cnt = ub - lb
-            cum = jnp.cumsum(cnt.astype(I64))
-            g = start[0] + jnp.arange(C, dtype=I64)
-            w = srt.expand_rank_i64(cum, g, qh.shape[0])
-            t = (g - (cum - cnt.astype(I64))[w]).astype(I32)
-            p = s_pos[jnp.clip(lb[w] + t, 0, s_pos.shape[0] - 1)]
-            ok = g < cum[-1]
-            return (jnp.where(ok, p, -1)[:, None][None],
-                    ok.sum(dtype=I32)[None], cum[-1][None])
+            def plan_fn(s_hi, s_lo, nv, qh, ql):
+                s_hi, s_lo = s_hi.reshape(-1), s_lo.reshape(-1)
+                lb, ub = srt.lookup_bounds(s_hi, s_lo, nv[0], qh, ql)
+                cnt = (ub - lb).astype(I32)
+                cum, rs, _w, cols, total = exp._build_plan(cnt, (lb,), C, 1)
+                return cum[None], rs[None], cols[0][None], total[None]
 
-        shard_fn = jax.jit(
-            jax.shard_map(
-                fn, mesh=self.mesh,
-                in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P(),
-                          P()),
-                out_specs=(P(axis), P(axis), P(axis)),
+            plan_sf = jax.jit(jax.shard_map(
+                plan_fn, mesh=self.mesh,
+                in_specs=(P(axis), P(axis), P(axis), P(), P()),
+                out_specs=(P(axis),) * 4,
+            ))
+            p_cum, p_rs, p_lb, p_tot = plan_sf(self.s_hi, self.s_lo,
+                                               n_valid, q_hi, q_lo)
+
+            def fn(s_pos, cum, rs, lbp, tot, start):
+                s_pos = s_pos.reshape(-1)
+                cum, rs = cum.reshape(-1), rs.reshape(-1)
+                lbp = lbp.reshape(-1)
+                src, t, g = exp.chunk_src(cum, rs, start[0], C)
+                p = s_pos[jnp.clip(lbp[src] + t, 0, s_pos.shape[0] - 1)]
+                ok = g < tot[0]
+                return (jnp.where(ok, p, -1)[:, None][None],
+                        ok.sum(dtype=I32)[None], tot[0][None])
+
+            shard_fn = jax.jit(jax.shard_map(
+                fn, mesh=self.mesh, in_specs=(P(axis),) * 6,
+                out_specs=(P(axis),) * 3,
+            ))
+
+            def call(start):
+                starts = jnp.full((self.n_shards, 1), start, I64)
+                return shard_fn(self.s_pos, p_cum, p_rs, p_lb, p_tot,
+                                starts)
+        else:
+
+            def fn(s_hi, s_lo, s_pos, nv, qh, ql, start):
+                s_hi, s_lo = s_hi.reshape(-1), s_lo.reshape(-1)
+                s_pos = s_pos.reshape(-1)
+                lb, ub = srt.lookup_bounds(s_hi, s_lo, nv[0], qh, ql)
+                cnt = ub - lb
+                cum = jnp.cumsum(cnt.astype(I64))
+                g = start[0] + jnp.arange(C, dtype=I64)
+                w = srt.expand_rank_i64(cum, g, qh.shape[0])
+                t = (g - (cum - cnt.astype(I64))[w]).astype(I32)
+                p = s_pos[jnp.clip(lb[w] + t, 0, s_pos.shape[0] - 1)]
+                ok = g < cum[-1]
+                return (jnp.where(ok, p, -1)[:, None][None],
+                        ok.sum(dtype=I32)[None], cum[-1][None])
+
+            shard_fn = jax.jit(
+                jax.shard_map(
+                    fn, mesh=self.mesh,
+                    in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P(),
+                              P()),
+                    out_specs=(P(axis), P(axis), P(axis)),
+                )
             )
-        )
 
-        def call(start):
-            starts = jnp.full((self.n_shards, 1), start, I64)
-            return shard_fn(self.s_hi, self.s_lo, self.s_pos, n_valid,
-                            q_hi, q_lo, starts)
+            def call(start):
+                starts = jnp.full((self.n_shards, 1), start, I64)
+                return shard_fn(self.s_hi, self.s_lo, self.s_pos, n_valid,
+                                q_hi, q_lo, starts)
 
         chunks = self._drain_chunks(call, C)
         out = (np.concatenate(chunks, axis=0)[:, 0] if chunks
@@ -693,36 +788,79 @@ def kmer_pairs_sharded(a: "ShardedKmerIndex", b: "ShardedKmerIndex",
     ))(a_hi, a_lo, a_nv_d, b_hi, b_lo, b_nv_d)).astype(np.int64)
     C = srt.clamp_chunk_capacity(capacity, int(totals.max(initial=0)))
 
-    def fn(ah, al, ap, an, bh, bl, bp, bn, start):
-        ah, al, ap = ah.reshape(-1), al.reshape(-1), ap.reshape(-1)
-        bh, bl, bp = bh.reshape(-1), bl.reshape(-1), bp.reshape(-1)
-        lb, ub = srt.lookup_bounds(bh, bl, bn[0], ah, al)
-        live_a = jnp.arange(ah.shape[0], dtype=I32) < an[0]
-        c = jnp.where(live_a, ub - lb, 0).astype(I32)
-        cum = jnp.cumsum(c.astype(I64))
-        g = start[0] + jnp.arange(C, dtype=I64)
-        w = srt.expand_rank_i64(cum, g, ah.shape[0])
-        t = (g - (cum - c.astype(I64))[w]).astype(I32)
-        j = bp[jnp.clip(lb[w] + t, 0, bp.shape[0] - 1)]
-        ok = g < cum[-1]
-        rows = jnp.stack([jnp.where(ok, ap[w], 0),
-                          jnp.where(ok, j, 0)], axis=1)
-        return rows[None], ok.sum(dtype=I32)[None], cum[-1][None]
+    if exp.use_plan(int(totals.max(initial=0)), int(a_hi.shape[-1]), C):
 
-    shard_fn = jax.jit(
-        jax.shard_map(
-            fn, mesh=a.mesh,
-            in_specs=(P(axis),) * 4 + (P(axis),) * 4 + (P(axis),),
-            out_specs=(P(axis), P(axis), P(axis)),
+        def plan_fn(ah, al, ap, an, bh, bl, bn):
+            ah, al, ap = ah.reshape(-1), al.reshape(-1), ap.reshape(-1)
+            bh, bl = bh.reshape(-1), bl.reshape(-1)
+            lb, ub = srt.lookup_bounds(bh, bl, bn[0], ah, al)
+            live_a = jnp.arange(ah.shape[0], dtype=I32) < an[0]
+            c = jnp.where(live_a, ub - lb, 0).astype(I32)
+            cum, rs, _w, cols, total = exp._build_plan(c, (lb, ap), C, 2)
+            return (cum[None], rs[None], cols[0][None], cols[1][None],
+                    total[None])
+
+        plan_sf = jax.jit(jax.shard_map(
+            plan_fn, mesh=a.mesh, in_specs=(P(axis),) * 7,
+            out_specs=(P(axis),) * 5,
+        ))
+        p_cum, p_rs, p_lb, p_x, p_tot = plan_sf(
+            a_hi, a_lo, a_pos, a_nv_d, b_hi, b_lo, b_nv_d)
+
+        def fn(bp, cum, rs, lbp, xp, tot, start):
+            bp = bp.reshape(-1)
+            cum, rs = cum.reshape(-1), rs.reshape(-1)
+            lbp, xp = lbp.reshape(-1), xp.reshape(-1)
+            src, t, g = exp.chunk_src(cum, rs, start[0], C)
+            j = bp[jnp.clip(lbp[src] + t, 0, bp.shape[0] - 1)]
+            ok = g < tot[0]
+            rows = jnp.stack([jnp.where(ok, xp[src], 0),
+                              jnp.where(ok, j, 0)], axis=1)
+            return rows[None], ok.sum(dtype=I32)[None], tot[0][None]
+
+        shard_fn_p = jax.jit(jax.shard_map(
+            fn, mesh=a.mesh, in_specs=(P(axis),) * 7,
+            out_specs=(P(axis),) * 3,
+        ))
+
+        def call(start):
+            starts = jnp.full((D, 1), start, I64)
+            return shard_fn_p(b_pos, p_cum, p_rs, p_lb, p_x, p_tot, starts)
+    else:
+
+        def fn(ah, al, ap, an, bh, bl, bp, bn, start):
+            ah, al, ap = ah.reshape(-1), al.reshape(-1), ap.reshape(-1)
+            bh, bl, bp = bh.reshape(-1), bl.reshape(-1), bp.reshape(-1)
+            lb, ub = srt.lookup_bounds(bh, bl, bn[0], ah, al)
+            live_a = jnp.arange(ah.shape[0], dtype=I32) < an[0]
+            c = jnp.where(live_a, ub - lb, 0).astype(I32)
+            cum = jnp.cumsum(c.astype(I64))
+            g = start[0] + jnp.arange(C, dtype=I64)
+            w = srt.expand_rank_i64(cum, g, ah.shape[0])
+            t = (g - (cum - c.astype(I64))[w]).astype(I32)
+            j = bp[jnp.clip(lb[w] + t, 0, bp.shape[0] - 1)]
+            ok = g < cum[-1]
+            rows = jnp.stack([jnp.where(ok, ap[w], 0),
+                              jnp.where(ok, j, 0)], axis=1)
+            return rows[None], ok.sum(dtype=I32)[None], cum[-1][None]
+
+        shard_fn = jax.jit(
+            jax.shard_map(
+                fn, mesh=a.mesh,
+                in_specs=(P(axis),) * 4 + (P(axis),) * 4 + (P(axis),),
+                out_specs=(P(axis), P(axis), P(axis)),
+            )
         )
-    )
+
+        def call(start):
+            starts = jnp.full((D, 1), start, I64)
+            return shard_fn(a_hi, a_lo, a_pos, a_nv_d,
+                            b_hi, b_lo, b_pos, b_nv_d, starts)
 
     per_shard = [[] for _ in range(D)]
     start = 0
     while True:
-        starts = jnp.full((D, 1), start, I64)
-        rows, n, total = shard_fn(a_hi, a_lo, a_pos, a_nv_d,
-                                  b_hi, b_lo, b_pos, b_nv_d, starts)
+        rows, n, total = call(start)
         rows, n = np.asarray(rows), np.asarray(n)
         for d in range(D):
             if n[d]:
