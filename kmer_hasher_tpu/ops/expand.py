@@ -37,10 +37,13 @@ _CUM_SENT = jnp.int64(0x7FFFFFFFFFFFFFFF)  # past-live cum sentinel
 
 
 def use_plan(total: int, table_rows: int, capacity: int) -> bool:
-    """Static dispatch: plan when the drain is multi-chunk (the build sort
-    amortizes) or the output is at least table-scale (the plain path's
-    full-table rank merge costs more than the build sort)."""
-    return total > capacity or total * 16 >= table_rows
+    """Static dispatch: plan only for genuinely multi-chunk drains — there
+    the build sort amortizes and the plain path would re-pay its
+    table-sized rank merge for every chunk. Single-chunk drains keep the
+    plain single-program path (one full-table merge ≈ one plan sort, but
+    half the compiled programs and no extra pass)."""
+    del table_rows
+    return total > capacity
 
 
 @functools.partial(jax.jit, static_argnames=("pad", "n_cols"))
