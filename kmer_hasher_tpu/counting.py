@@ -270,11 +270,12 @@ def _add_canonical_fsm(store: CountStore, emit, fhi, flo, rhi, rlo,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "counts_n", "source", "min_ll_f", "fsm",
-                     "with_noq", "keyonly"),
+                     "with_noq", "keyonly", "min_q_char"),
 )
 def _fused_rp_batch(seq, qual, lengths, has_qual, k: int, counts_n: int,
                     source: int, min_ll_f: float, fsm: str,
-                    with_noq: bool = False, keyonly: bool = False):
+                    with_noq: bool = False, keyonly: bool = False,
+                    min_q_char: int | None = None):
     """One fused device program for the whole flagship batch pipeline:
     quality-likelihood FSM (+ no-quality encoder rows) -> canonical
     min(fwd, rc) -> batch sort + segment-reduce -> LSM run.
@@ -308,7 +309,7 @@ def _fused_rp_batch(seq, qual, lengths, has_qual, k: int, counts_n: int,
 
         emit, fhi, flo, rhi, rlo, flags = ll_scan_pallas(
             seq, qual, lens_q, k, min_ll_f, out_layout="LB",
-            return_flags=True,
+            return_flags=True, min_q_char=min_q_char,
         )
         emit = emit & ~flags[None, :]
         hq_bcast = has_qual[None, :]
@@ -317,7 +318,7 @@ def _fused_rp_batch(seq, qual, lengths, has_qual, k: int, counts_n: int,
         # NOTHING here (their windows are re-counted exactly by the
         # caller's backlog sweep) — keeps the hot loop sync-free
         out = si.ll_scan(seq, qual, lens_q, k, min_ll, precision="fast",
-                         return_flags=True)
+                         return_flags=True, min_q_char=min_q_char)
         emit, fhi, flo, rhi, rlo, flags = out
         emit = emit & ~flags[:, None]
         hq_bcast = has_qual[:, None]
@@ -639,6 +640,7 @@ def count_kmers_fq_sh_rp(path: str, k: int, prefix_bits: int = 20,
         run_hi, run_lo, run_cnt, n_obs, flags = _fused_rp_batch(
             b.seq, b.qual, b.lengths, b.has_qual, k, store.counts_n,
             source, min_ll_f, fsm, with_noq, keyonly=store.keyonly_runs,
+            min_q_char=33 + int(min_q),
         )
         store.add_run(run_hi, run_lo, run_cnt, n_obs, source=source)
         if fsm in ("hybrid", "pallas_hybrid"):
@@ -782,7 +784,8 @@ def _count_rp_sharded(path, k, min_q, max_reads, source_n, source, store,
         # routing + run build (the sharded twin of _fused_rp_batch)
         store.add_reads(seq, qual, lengths, has_qual, min_ll_f,
                         precision=precision, source=source,
-                        with_q=with_q, with_noq=with_noq)
+                        with_q=with_q, with_noq=with_noq,
+                        min_q_char=33 + int(min_q))
         reads_done += n_recs
         since_ckpt += n_recs
         if checkpoint_every is not None and since_ckpt >= checkpoint_every:

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .scan_iter import _delta_max, analytic_ll_f32
+from .scan_iter import _ABS0, _rel_bound, analytic_ll_f32, fast_min_ll
 
 U32 = jnp.uint32
 F32 = jnp.float32
@@ -37,15 +37,22 @@ _PB = 16  # positions per grid step (DMA amortisation)
 
 
 def _fsm_step(state, c, llv, llnext, on, *, k, min_ll_v, shp,
-              near_consts=None):
+              err_consts=None):
     """One FSM transition over an (8, 128) register set; returns
     (state', emit). Mirrors ops.scan_iter.ll_scan's step exactly.
 
-    ``near_consts`` (hybrid mode) = (abs_m, delta, coeff) floats: flag the
-    read when any comparison value falls within the conservative f32 error
-    bound of min_ll — the same ``near`` predicate as
-    ops.scan_iter.ll_scan(return_flags=True)."""
-    rolling, j, fhi, flo, rhi, rlo, acc, emitC, border = state
+    ``err_consts`` (hybrid mode) = (rel, abs0, merr) floats: the tracked
+    f32 error-bound flag machinery of ops.scan_iter.ll_scan
+    (return_flags=True) — state carries two extra error lanes aerr/eerr,
+    and a comparison flags the read when it falls within its tracked
+    error bound of min_ll (with the q == min_q bitwise-equality
+    exemptions; see ll_scan's docstring)."""
+    if err_consts is not None:
+        (rolling, j, fhi, flo, rhi, rlo, acc, emitC, border,
+         aerr, eerr) = state
+    else:
+        rolling, j, fhi, flo, rhi, rlo, acc, emitC, border = state
+        aerr = eerr = None
     zf = jnp.zeros(shp, F32)
     zu = jnp.zeros(shp, U32)
     zi = jnp.zeros(shp, I32)
@@ -64,19 +71,22 @@ def _fsm_step(state, c, llv, llnext, on, *, k, min_ll_v, shp,
     ok1 = building & (bv > min_ll_v)
     ok2 = building & ~ok1 & (llv > min_ll_v)
     b_ok = ok1 | ok2
-    if near_consts is not None:
-        abs_m, delta, coeff = near_consts
+    if err_consts is not None:
+        rel, abs0, merr = err_consts
+        eps = F32(2.0 ** -24)
 
-        def near(val, a):
-            scale = (jnp.abs(val) + jnp.abs(a)
-                     + F32(2.0 * abs_m) + F32(4.0))
-            bound = F32(delta) + F32(coeff) * scale
-            return jnp.abs(val - min_ll_v) <= bound
+        def near(val, err):
+            return jnp.abs(val - min_ll_v) <= err + F32(merr)
 
+        te = F32(rel) * jnp.abs(llv) + F32(abs0)
+        verr = eerr + te + eps * jnp.abs(v)
+        bverr = aerr + te + eps * jnp.abs(bv)
+        eq_t = llv == min_ll_v
         border = border | (
-            on & ((rolling & near(v, emitC))
-                  | (building & (near(bv, acc)
-                                 | (~ok1 & near(llv, zf)))))
+            on & ((rolling & near(v, verr))
+                  | (building
+                     & ((near(bv, bverr) & ~((acc == zf) & eq_t))
+                        | (~ok1 & near(llv, te) & ~eq_t))))
         )
     j_base = jnp.where(ok1, j, zi)
     acc_base = jnp.where(ok1, acc, zf)
@@ -116,20 +126,38 @@ def _fsm_step(state, c, llv, llnext, on, *, k, min_ll_v, shp,
     acc_new = jnp.where(on, jnp.where(roll_fail, zf, acc_new), acc)
     emitC = jnp.where(completed, acc_new - llv + llnext,
                       jnp.where(roll_fail, zf, emitC))
+    if err_consts is None:
+        return (rolling_new, j_new, fhi, flo, rhi, rlo, acc_new, emitC,
+                border), emit
+    # error-lane updates mirror the value updates op for op (see
+    # ops.scan_iter.ll_scan)
+    aerr_base = jnp.where(ok1, aerr, zf)
+    aerr_new = jnp.where(
+        b_ok, aerr_base + te + eps * jnp.abs(acc_base + llv),
+        jnp.where(building, zf, aerr),
+    )
+    aerr_new = jnp.where(on, jnp.where(roll_fail, zf, aerr_new), aerr)
+    ecand = acc_new - llv + llnext
+    ecand_err = (aerr_new + te + (F32(rel) * jnp.abs(llnext) + F32(abs0))
+                 + eps * (jnp.abs(acc_new) + jnp.abs(llv)
+                          + jnp.abs(ecand)))
+    eerr_new = jnp.where(completed, ecand_err,
+                         jnp.where(roll_fail, zf, eerr))
     return (rolling_new, j_new, fhi, flo, rhi, rlo, acc_new, emitC,
-            border), emit
+            border, aerr_new, eerr_new), emit
 
 
-def _kernel(*refs, k: int, min_ll: float, pb: int, near_consts):
-    if near_consts is not None:
+def _kernel(*refs, k: int, min_ll: float, pb: int, err_consts):
+    if err_consts is not None:
         (codes_ref, ll_ref, llnext_ref, on_ref, emit_ref, fhi_ref,
          flo_ref, rhi_ref, rlo_ref, flag_ref, rolling_s, j_s, fhi_s,
-         flo_s, rhi_s, rlo_s, acc_s, emitC_s, border_s) = refs
+         flo_s, rhi_s, rlo_s, acc_s, emitC_s, border_s, aerr_s,
+         eerr_s) = refs
     else:
         (codes_ref, ll_ref, llnext_ref, on_ref, emit_ref, fhi_ref,
          flo_ref, rhi_ref, rlo_ref, rolling_s, j_s, fhi_s, flo_s, rhi_s,
          rlo_s, acc_s, emitC_s) = refs
-        flag_ref = border_s = None
+        flag_ref = border_s = aerr_s = eerr_s = None
     shp = (_SUB, _LANES)
     zf = jnp.zeros(shp, F32)
     zu = jnp.zeros(shp, U32)
@@ -149,17 +177,22 @@ def _kernel(*refs, k: int, min_ll: float, pb: int, near_consts):
         emitC_s[...] = zf
         if border_s is not None:
             border_s[...] = zu
+            aerr_s[...] = zf
+            eerr_s[...] = zf
 
     state = (
         rolling_s[...] != 0, j_s[...], fhi_s[...], flo_s[...], rhi_s[...],
         rlo_s[...], acc_s[...], emitC_s[...],
-        (border_s[...] != 0) if border_s is not None else None,
     )
+    if border_s is not None:
+        state = state + (border_s[...] != 0, aerr_s[...], eerr_s[...])
+    else:
+        state = state + (None,)
     for r in range(pb):  # statically unrolled register loop
         state, emit = _fsm_step(
             state, codes_ref[r], ll_ref[r], llnext_ref[r],
             on_ref[r] != 0, k=k, min_ll_v=min_ll_v, shp=shp,
-            near_consts=near_consts,
+            err_consts=err_consts,
         )
         emit_ref[r] = jnp.where(emit, jnp.ones(shp, U32), zu)
         fhi_ref[r] = state[2]
@@ -186,12 +219,12 @@ def _kernel(*refs, k: int, min_ll: float, pb: int, near_consts):
 @functools.partial(
     jax.jit,
     static_argnames=("k", "min_ll", "out_layout", "interpret", "pb",
-                     "return_flags"),
+                     "return_flags", "min_q_char"),
 )
 def ll_scan_pallas(
     ascii_u8: jax.Array, qual_u8: jax.Array, lengths: jax.Array, k: int,
     min_ll, out_layout: str = "BL", interpret: bool = False, pb: int = _PB,
-    return_flags: bool = False,
+    return_flags: bool = False, min_q_char: int | None = None,
 ) -> Tuple[jax.Array, ...]:
     """Drop-in for ``ll_scan(..., precision='fast')``: returns
     (emit, fhi, flo, rhi, rlo).
@@ -202,8 +235,13 @@ def ll_scan_pallas(
     the wall time on TPU).
 
     return_flags: additionally return the per-read borderline flag (bool,
-    [B] for "BL" / [Bp] for "LB") — same conservative f32 error-bound
-    predicate as ``ll_scan(..., return_flags=True)`` (hybrid mode).
+    [B] for "BL" / [Bp] for "LB") — the tracked f32 error-bound predicate
+    of ``ll_scan(..., return_flags=True)`` (hybrid mode).
+
+    min_q_char: when given, the comparison threshold becomes the backend's
+    own analytic f32 value for that quality character (scan_iter
+    .fast_min_ll) so q == min_q terms compare bitwise-equal — the flag
+    exemptions depend on this; pass it whenever min_ll is a Q_TO_LL entry.
     """
     B, L = ascii_u8.shape
     Bp = -(-B // TILE) * TILE
@@ -242,13 +280,22 @@ def ll_scan_pallas(
         *[pltpu.VMEM((_SUB, _LANES), U32)] * 4,  # fhi/flo/rhi/rlo
         *[pltpu.VMEM((_SUB, _LANES), F32)] * 2,  # acc/emitC
     ]
-    near_consts = None
+    if min_q_char is not None:
+        # bitwise-equal threshold for q == min_q terms (see fast_min_ll)
+        min_ll_f = fast_min_ll(min_q_char)
+    else:
+        min_ll_f = float(min_ll)
+    err_consts = None
     if return_flags:
-        near_consts = (
-            abs(float(min_ll)),
-            (k + 1) * _delta_max(),
-            (2 * k + 8) * 2.0 ** -24,
-        )
+        import numpy as np
+
+        # merr in f32 step order, matching ll_scan's traced computation
+        rel = np.float32(_rel_bound())
+        abs0 = np.float32(_ABS0)
+        m32 = np.abs(np.float32(min_ll_f))
+        merr = ((rel * m32 + abs0) if min_q_char is not None
+                else (np.float32(2.0 ** -24) * m32 + abs0))
+        err_consts = (float(rel), float(abs0), float(merr))
         out_shapes.append(
             jax.ShapeDtypeStruct((G * _SUB, _LANES), U32)
         )
@@ -257,9 +304,11 @@ def ll_scan_pallas(
                          memory_space=pltpu.VMEM)
         )
         scratch.append(pltpu.VMEM((_SUB, _LANES), U32))  # border
+        scratch.append(pltpu.VMEM((_SUB, _LANES), F32))  # aerr
+        scratch.append(pltpu.VMEM((_SUB, _LANES), F32))  # eerr
     outs = pl.pallas_call(
-        functools.partial(_kernel, k=k, min_ll=float(min_ll), pb=pb,
-                          near_consts=near_consts),
+        functools.partial(_kernel, k=k, min_ll=min_ll_f, pb=pb,
+                          err_consts=err_consts),
         grid=(G, Lp // pb),
         in_specs=[spec] * 4,
         out_specs=out_specs,

@@ -95,6 +95,80 @@ def _delta_max() -> float:
     return _DELTA_MAX[1]
 
 
+# relative per-term error bound (and its absolute floor), cached per
+# backend — see _rel_bound()
+_REL_BOUND = None
+_ABS0 = 2.0 ** -39
+
+
+def _rel_bound() -> float:
+    """RELATIVE error bound between the exact path's f64 table terms and
+    the fast path's f32 analytic terms: |t[q] - T[q]| <= _rel_bound()*|t[q]|
+    + _ABS0 for every non-sentinel q (sentinel terms are the identical
+    -708.0 constant in both paths, zero error).
+
+    The hybrid flag predicate scales its per-term error with the term's own
+    magnitude (all ll terms are negative, so a partial sum's total term
+    error is bounded by rel*|sum|): an absolute worst-case delta (the old
+    (k+1)*_delta_max() bound) is dominated by the large-|ll| low-q entries
+    and over-flags high-quality reads by ~3 orders of magnitude — measured
+    flag rates on NovaSeq-binned qualities were ~92% against <0.1% with the
+    relative bound. Measured like _delta_max: host-numpy f32 and the active
+    backend's own analytic_ll_f32, 2x margin + 2^-21, _ABS0 floor for the
+    table's exact-0.0 tail entries (R's table rounds ll to 0 for q >~ 160;
+    the analytic value there is ~-1e-17, far below the floor)."""
+    global _REL_BOUND
+    import numpy as np
+
+    backend = jax.default_backend()
+    if _REL_BOUND is None or _REL_BOUND[0] != backend:
+        table = np.asarray(Q_TO_LL)[34:]
+        qf = np.arange(34, 256, dtype=np.float32) - np.float32(33.0)
+        host = np.log1p(-np.exp(qf * np.float32(-_LN10_OVER_10)))
+        with jax.ensure_compile_time_eval():
+            dev = np.asarray(
+                analytic_ll_f32(jnp.arange(34, 256, dtype=jnp.uint8))
+            ).astype(np.float64)
+        rel = 0.0
+        for t in (host.astype(np.float64), dev):
+            d = np.maximum(np.abs(table - t) - _ABS0 / 2, 0.0)
+            den = np.maximum(np.maximum(np.abs(table), np.abs(t)), 1e-30)
+            rel = max(rel, float(np.max(d / den)))
+        _REL_BOUND = (backend, 2.0 * rel + 2.0 ** -21)
+    return _REL_BOUND[1]
+
+
+_FAST_MIN_LL = {}
+
+
+def fast_min_ll(min_q_char: int) -> float:
+    """The fast path's comparison threshold for ``min_q``: the active
+    backend's own ``analytic_ll_f32`` output for that quality character.
+
+    The exact path compares table values against the table value of
+    min_q_char, so a base with q == min_q compares EQUAL (never accepted
+    by the strict inequalities, src/kmer_util.c:104,116,153). Using the
+    f32 *cast* of the table value as the fast threshold breaks that
+    determinism — the analytic term differs from the cast by ~1 ulp, so
+    every q == min_q base is genuinely borderline and the hybrid flag
+    must fire (measured: ~98% of reads flagged on uniform-quality data at
+    min_q=20). With the analytic value as the threshold the q == min_q
+    comparison is bitwise equal -> same decision as exact, deterministically
+    (no other q can collide: table gaps exceed f32 resolution everywhere
+    outside the flushed-to-0.0 tail, where the values are exactly equal
+    anyway). Cached per backend; eager evaluation."""
+    backend = jax.default_backend()
+    key = (backend, int(min_q_char))
+    if key not in _FAST_MIN_LL:
+        import numpy as np
+
+        with jax.ensure_compile_time_eval():
+            v = np.asarray(analytic_ll_f32(
+                jnp.full((1,), int(min_q_char), jnp.uint8)))[0]
+        _FAST_MIN_LL[key] = float(v)
+    return _FAST_MIN_LL[key]
+
+
 def analytic_ll_f32(qual_u8: jax.Array) -> jax.Array:
     """Float32 log-likelihood computed arithmetically:
     log1p(-10**(-(q-33)/10)), with the table's log(DBL_MIN) sentinel for
@@ -132,12 +206,13 @@ def _zero_regs(shape):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "precision", "unroll", "return_flags")
+    jax.jit, static_argnames=("k", "precision", "unroll", "return_flags",
+                              "min_q_char")
 )
 def ll_scan(
     ascii_u8: jax.Array, qual_u8: jax.Array, lengths: jax.Array, k: int,
     min_ll: jax.Array, precision: str = "exact", unroll: int = 4,
-    return_flags: bool = False,
+    return_flags: bool = False, min_q_char: int | None = None,
 ) -> Tuple[jax.Array, ...]:
     """Quality-likelihood iterator over a padded read batch.
 
@@ -159,15 +234,24 @@ def ll_scan(
     are guaranteed to take the same FSM path as the exact float64 scan
     (induction on the first comparison that could flip), so re-running only
     flagged reads exactly reproduces exact output bit-for-bit (the hybrid
-    path, counting.py). The bound per comparison value v with live
-    accumulator a is ``(k+1)*delta_max + (2k+8)*eps32*(|v|+|a|+2|min_ll|+4)``:
-    every lhs is a sum of at most k+1 table terms (each off by at most
-    delta_max in the analytic-f32 form) through at most ~2k+8 f32 rounding
-    steps; build partials live in (min_ll, 0] (each accepted prefix beats
-    min_ll), the -708 sentinel can only enter a sum when |min_ll| itself is
-    the sentinel, and the remaining one-or-two raw table terms are covered
-    by the +4 constant — so |v|+|a|+2|min_ll|+4 dominates every partial.
-    Validated empirically by tests/test_hybrid.py's fuzz sweep.
+    path, counting.py).
+
+    The bound is tracked, not statically estimated: the scan carries two
+    extra f32 lanes ``aerr``/``eerr`` bounding |acc_f32 - acc_f64| and
+    |emitC_f32 - emitC_f64| under the same-control-flow induction. Every
+    f32 add/sub in the value path adds ``eps32 * |rounded result|`` to the
+    matching error lane; every table term entering a value adds its
+    per-term error ``_rel_bound()*|term| + _ABS0`` (a *relative* bound —
+    ll terms all share a sign, so term errors compose with the sum's own
+    magnitude instead of the table-wide worst case). A comparison value v
+    flags the read iff ``|v - min_ll| <= err(v) + eps32*|min_ll| + _ABS0``.
+    Versus the earlier static bound ``(k+1)*delta_max +
+    (2k+8)*eps32*(|v|+|a|+2|min_ll|+4)`` this is ~3 orders of magnitude
+    tighter on high-quality reads (NovaSeq-binned qualities at min_q=20
+    flagged ~92% of reads under the static bound — 2*ll(q23) sits 1.1e-6
+    from ll(q20) — and <0.1% under the tracked bound). Soundness is fuzzed
+    by tests/test_hybrid.py: every fast-vs-exact decision flip must occur
+    on a flagged read.
     """
     B, L = ascii_u8.shape
     fdt = F64 if precision == "exact" else jnp.float32
@@ -177,19 +261,33 @@ def ll_scan(
     else:
         ll = analytic_ll_f32(qual_u8)
     min_ll = min_ll.astype(fdt)
+    if precision != "exact" and min_q_char is not None:
+        # the backend-analytic threshold: q == min_q terms compare EQUAL,
+        # deterministically matching the exact path (see fast_min_ll)
+        min_ll = jnp.asarray(fast_min_ll(min_q_char), fdt)
     if return_flags:
         f32 = jnp.float32
         eps = f32(2.0 ** -24)
-        abs_m = jnp.abs(min_ll.astype(f32))
-        delta = f32((k + 1) * _delta_max())
+        rel = f32(_rel_bound())
+        abs0 = f32(_ABS0)
+        # threshold error vs the exact path's f64 table value: the analytic
+        # threshold carries the per-term bound, a cast threshold only the
+        # cast rounding
+        m32 = min_ll.astype(f32)
+        if min_q_char is not None:
+            merr = rel * jnp.abs(m32) + abs0
+        else:
+            merr = eps * jnp.abs(m32) + abs0
 
-        def near(v, a):
-            scale = jnp.abs(v) + jnp.abs(a) + 2 * abs_m + f32(4.0)
-            bound = delta + f32(2 * k + 8) * eps * scale
-            return jnp.abs(v - min_ll) <= bound
-    else:
-        def near(v, a):
-            return jnp.zeros(v.shape, bool)
+        def term_err(llv):
+            # per-term error |analytic_f32[q] - table_f64[q]|
+            return rel * jnp.abs(llv) + abs0
+
+        def near(val, err):
+            # the exact-f64 comparison could land on the other side of the
+            # threshold: |val - min_ll| within val's tracked error bound
+            # plus the threshold's own error
+            return jnp.abs(val - min_ll) <= err + merr
     # pollution term: ll of the base after the window, 0 past the read end
     ll_next = jnp.concatenate([ll[:, 1:], jnp.zeros((B, 1), fdt)], axis=1)
     ll_next = jnp.where(
@@ -199,7 +297,10 @@ def ll_scan(
     row_on = (lengths > k)[:, None] & in_read
 
     def step(state, xs):
-        rolling, j, regs, acc, emitC, border = state
+        if return_flags:
+            rolling, j, regs, acc, emitC, border, aerr, eerr = state
+        else:
+            rolling, j, regs, acc, emitC, border = state
         c, llv, llnext, on = xs
 
         # --- rolling mode (kmer_iterator_next, src/kmer_util.c:145-161) ---
@@ -214,11 +315,29 @@ def ll_scan(
         # failure resets the attempt and retries this base fresh
         ok2 = building & ~ok1 & (llv > min_ll)
         b_ok = ok1 | ok2
-        border = border | (
-            on & ((rolling & near(v, emitC))
-                  | (building & (near(bv, acc)
-                                 | (~ok1 & near(llv, jnp.zeros_like(llv))))))
-        )
+        if return_flags:
+            # aerr/eerr bound |acc_f32 - acc_f64| / |emitC_f32 - emitC_f64|
+            # under the induction hypothesis that every comparison so far
+            # agreed with the exact path (the first comparison that could
+            # disagree flags the read, after which the bounds are moot —
+            # border is sticky)
+            te = term_err(llv)
+            verr = eerr + te + eps * jnp.abs(v)
+            bverr = aerr + te + eps * jnp.abs(bv)
+            # q == min_q exemptions: a term bitwise-equal to the threshold
+            # decides FALSE in both paths — strict compares of equal f32
+            # values, and equality implies q == min_q hence equal f64
+            # table values (table gaps exceed every error bound outside
+            # the flushed-0.0 tail, where the values are equal anyway);
+            # acc == 0.0 certifies bv == llv bitwise (same-sign terms
+            # cannot round a nonempty f32 sum to zero)
+            eq_t = llv == min_ll
+            border = border | (
+                on & ((rolling & near(v, verr))
+                      | (building
+                         & ((near(bv, bverr) & ~((acc == 0.0) & eq_t))
+                            | (~ok1 & near(llv, te) & ~eq_t))))
+            )
         j_base = jnp.where(ok1, j, 0)
         acc_base = jnp.where(ok1, acc, 0.0)
 
@@ -246,7 +365,26 @@ def ll_scan(
             completed, acc_new - llv + llnext, jnp.where(roll_fail, 0.0, emitC)
         )
         out = (emit,) + regs
-        return (rolling_new, j_new, regs, acc_new, emitC_new, border), out
+        if not return_flags:
+            return (rolling_new, j_new, regs, acc_new, emitC_new, border), out
+        # error-lane updates mirror the value updates op for op: each f32
+        # add/sub contributes eps*|rounded result| (intermediates of the
+        # emitC 3-term expression bounded by |acc_new| + |llv|), each term
+        # re-entry contributes its term_err again
+        aerr_base = jnp.where(ok1, aerr, 0.0)
+        aerr_new = jnp.where(
+            b_ok, aerr_base + te + eps * jnp.abs(acc_base + llv),
+            jnp.where(building, 0.0, aerr),
+        )
+        aerr_new = jnp.where(on, jnp.where(roll_fail, 0.0, aerr_new), aerr)
+        ecand = acc_new - llv + llnext
+        ecand_err = (aerr_new + te + term_err(llnext)
+                     + eps * (jnp.abs(acc_new) + jnp.abs(llv)
+                              + jnp.abs(ecand)))
+        eerr_new = jnp.where(completed, ecand_err,
+                             jnp.where(roll_fail, 0.0, eerr))
+        return (rolling_new, j_new, regs, acc_new, emitC_new, border,
+                aerr_new, eerr_new), out
 
     # input-derived zeros: under shard_map the scan body mixes in per-shard
     # (varying) data, so the init carry must carry the same varying status
@@ -256,6 +394,8 @@ def ll_scan(
         z != 0, z, tuple(g + z.astype(U32) for g in _zero_regs(B)),
         z.astype(fdt), z.astype(fdt), z != 0,
     )
+    if return_flags:
+        init = init + (z.astype(jnp.float32), z.astype(jnp.float32))
     xs = (
         codes.T, ll.T, ll_next.T, row_on.T,
     )

@@ -1175,7 +1175,8 @@ class ShardedCountStore:
 
     def add_reads(self, seq, qual, lengths, has_qual, min_ll_f: float,
                   precision: str = "fast", source: int = 0,
-                  with_q: bool = True, with_noq: bool = False):
+                  with_q: bool = True, with_noq: bool = False,
+                  min_q_char: int | None = None):
         """Fused sharded counterpart of counting._fused_rp_batch: the
         whole read batch — quality-likelihood FSM (+ no-quality encoder
         rows) -> canonical -> all_to_all routing -> per-shard sorted run —
@@ -1237,7 +1238,8 @@ class ShardedCountStore:
                         # the emulated-f64 work entirely.
                         fast = si.ll_scan(seq, qual, q_lens, k, min_ll,
                                           precision="fast",
-                                          return_flags=True)
+                                          return_flags=True,
+                                          min_q_char=min_q_char)
                         flags = fast[5]
 
                         def _exact(_):
@@ -1287,7 +1289,7 @@ class ShardedCountStore:
         keyonly = self.keyonly_runs
         shard_fn = self._program(
             ("add_reads", source, float(min_ll_f), precision, with_q,
-             with_noq, packed, packed_q, keyonly), build,
+             with_noq, packed, packed_q, keyonly, min_q_char), build,
         )
         out = shard_fn(seq, qual, lengths, has_qual)
         if keyonly:

@@ -44,20 +44,75 @@ def _random_batch(rng, B=64, L=128, lowq_frac=0.1):
     return seq, qual, lengths
 
 
+@pytest.mark.parametrize("with_char", [False, True])
 @pytest.mark.parametrize("min_q", [0, 2, 20])
-def test_fuzz_unflagged_reads_match_exact(min_q):
+def test_fuzz_unflagged_reads_match_exact(min_q, with_char):
     k = 21
     rng = np.random.default_rng(min_q)
     min_ll = jnp.asarray(float(Q_TO_LL[33 + min_q]))
+    mc = 33 + min_q if with_char else None
     for _ in range(3):
         seq, qual, lengths = _random_batch(rng)
         fast = si.ll_scan(seq, qual, lengths, k, min_ll, precision="fast",
-                          return_flags=True)
+                          return_flags=True, min_q_char=mc)
         exact = si.ll_scan(seq, qual, lengths, k, min_ll, precision="exact")
         flags = np.asarray(fast[5])
         mism = np.asarray(fast[0]) != np.asarray(exact[0])
         bad = mism.any(axis=1) & ~flags
         assert not bad.any(), "unflagged read diverged from exact"
+
+
+def test_flag_rate_low_on_binned_and_uniform_qualities():
+    """The tracked error-bound + analytic-threshold flag machinery must
+    not over-flag realistic data (the static bound flagged 92-100% of
+    NovaSeq-binned/uniform reads at min_q=20: 2*ll(q23) sits 1.1e-6 from
+    ll(q20), and every q == min_q base was undecidable against the cast
+    threshold), while staying sound."""
+    k = 21
+    rng = np.random.default_rng(0)
+    B, L = 512, 151
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    min_q = 20
+    min_ll = jnp.asarray(float(Q_TO_LL[33 + min_q]))
+    for qs, p in ([2, 12, 23, 37], [0.01, 0.03, 0.16, 0.8]), \
+                 (list(range(2, 41)), None), ([20, 37], [0.25, 0.75]):
+        seq = bases[rng.integers(0, 4, size=(B, L))]
+        q = rng.choice(np.array(qs), p=p, size=(B, L))
+        qual = (q + 33).astype(np.uint8)
+        lengths = np.full(B, L, np.int32)
+        fast = si.ll_scan(seq, qual, lengths, k, min_ll, precision="fast",
+                          return_flags=True, min_q_char=33 + min_q)
+        exact = si.ll_scan(seq, qual, lengths, k, min_ll, precision="exact")
+        flags = np.asarray(fast[5])
+        mism = (np.asarray(fast[0]) != np.asarray(exact[0])).any(axis=1)
+        assert not (mism & ~flags).any()
+        assert flags.mean() < 0.02, f"over-flagging: {flags.mean():.3f}"
+
+
+def test_min_q_exemption_is_sound():
+    """Reads saturated with bases at exactly min_q: the analytic threshold
+    makes those comparisons bitwise-equal (not flagged), and decisions
+    must still match exact everywhere."""
+    k = 9
+    rng = np.random.default_rng(11)
+    B, L = 256, 80
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    for min_q in (2, 20, 40):
+        seq = bases[rng.integers(0, 4, size=(B, L))]
+        # half the bases sit exactly at min_q, the rest just above/below
+        q = rng.choice(np.array([min_q, min_q - 1, min_q + 1, 37]),
+                       p=[0.5, 0.1, 0.2, 0.2], size=(B, L))
+        qual = (q + 33).astype(np.uint8)
+        lengths = np.full(B, L, np.int32)
+        min_ll = jnp.asarray(float(Q_TO_LL[33 + min_q]))
+        fast = si.ll_scan(seq, qual, lengths, k, min_ll, precision="fast",
+                          return_flags=True, min_q_char=33 + min_q)
+        exact = si.ll_scan(seq, qual, lengths, k, min_ll, precision="exact")
+        flags = np.asarray(fast[5])
+        mism = (np.asarray(fast[0]) != np.asarray(exact[0])).any(axis=1)
+        assert not (mism & ~flags).any()
+        # the exemption must actually bite: min_q-heavy reads unflagged
+        assert flags.mean() < 0.05, f"q==min_q still flagging: {flags.mean()}"
 
 
 def test_threshold_sweep_flags_cover_all_flips():

@@ -45,16 +45,20 @@ def test_pallas_fsm_real_fastq(test_fastq_gz):
     compare(reads, 21, 20)
 
 
+@pytest.mark.parametrize("with_char", [False, True])
 @pytest.mark.parametrize("k,min_q", [(21, 20), (13, 30)])
-def test_pallas_fsm_borderline_flags(k, min_q):
+def test_pallas_fsm_borderline_flags(k, min_q, with_char):
     """In-kernel borderline flag == ll_scan(return_flags=True)'s flag
-    (same comparisons, same f32 bound arithmetic)."""
+    (same comparisons, same tracked f32 error-bound arithmetic), with and
+    without the analytic min_q threshold."""
     reads = random_reads(24, max(2, k - 2), 70, seed=100 + k)
     pr = pad_records([("r%d" % i, s, q) for i, (s, q) in enumerate(reads)])
     min_ll = float(Q_TO_LL[33 + min_q])
+    mc = 33 + min_q if with_char else None
     want = si.ll_scan(pr.seq, pr.qual, pr.lengths, k, jnp.asarray(min_ll),
-                      precision="fast", return_flags=True)
+                      precision="fast", return_flags=True, min_q_char=mc)
     got = ll_scan_pallas(pr.seq, pr.qual, pr.lengths, k, min_ll,
-                         interpret=True, pb=2, return_flags=True)
+                         interpret=True, pb=2, return_flags=True,
+                         min_q_char=mc)
     np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
     np.testing.assert_array_equal(np.asarray(got[5]), np.asarray(want[5]))
