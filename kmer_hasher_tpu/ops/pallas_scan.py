@@ -210,6 +210,11 @@ def _kernel(*refs, k: int, min_ll: float, pb: int, err_consts):
     if border_s is not None:
         b = jnp.where(state[8], jnp.ones(shp, U32), zu)
         border_s[...] = b
+        # the tracked error bounds must persist across position blocks or
+        # the bound resets every pb positions and borderline reads go
+        # unflagged (breaking hybrid's bitwise parity with exact)
+        aerr_s[...] = state[9]
+        eerr_s[...] = state[10]
         # the flag block's index map repeats over the (minor) position
         # grid axis, so it stays resident in VMEM; the final block's
         # write is the per-read flag

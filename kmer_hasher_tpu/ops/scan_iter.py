@@ -134,6 +134,41 @@ def _rel_bound() -> float:
             d = np.maximum(np.abs(table - t) - _ABS0 / 2, 0.0)
             den = np.maximum(np.maximum(np.abs(table), np.abs(t)), 1e-30)
             rel = max(rel, float(np.max(d / den)))
+        # Soundness of the eq_t exemptions (ll_scan / pallas_scan): a
+        # bitwise-equal f32 term (llv == min_ll) is exempted from flagging
+        # on the grounds that the exact path then also sees equal table
+        # values. That requires the f32 analytic map to be INJECTIVE
+        # wherever the table is: distinct table values -> distinct f32
+        # values (and monotone, so non-adjacent values cannot collide
+        # either). Checked here, at the one place the bound is derived,
+        # so a future table or backend change that collapses two q values
+        # into one f32 value fails loudly instead of silently unflagging
+        # a genuinely divergent comparison. (The tracked rel/_ABS0 bounds
+        # are deliberately NOT the yardstick: _ABS0 = 2^-39 is a generous
+        # flagging floor that exceeds the table's own gaps near its
+        # ~1e-11 tail, while the actual analytic f32 error there is
+        # relative, ~1e-18.)
+        for name, t32 in (
+            ("host", host.astype(np.float64)),
+            (backend, dev),
+        ):
+            d32 = np.diff(t32)
+            if (d32 < 0.0).any():
+                i = int(np.argmax(d32 < 0.0))
+                raise AssertionError(
+                    "analytic_ll_f32 (%s) not monotone at q=%d — the "
+                    "q == min_q bitwise-equality exemptions are no "
+                    "longer sound" % (name, 34 + i)
+                )
+            collide = (np.diff(table) != 0.0) & (d32 == 0.0)
+            if collide.any():
+                i = int(np.argmax(collide))
+                raise AssertionError(
+                    "analytic_ll_f32 (%s) collides distinct Q_TO_LL "
+                    "entries at q=%d/%d — the q == min_q bitwise"
+                    "-equality exemptions are no longer sound"
+                    % (name, 34 + i, 35 + i)
+                )
         _REL_BOUND = (backend, 2.0 * rel + 2.0 ** -21)
     return _REL_BOUND[1]
 

@@ -62,3 +62,43 @@ def test_pallas_fsm_borderline_flags(k, min_q, with_char):
                          min_q_char=mc)
     np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
     np.testing.assert_array_equal(np.asarray(got[5]), np.asarray(want[5]))
+
+
+def test_pallas_flag_threshold_sweep_matches_ll_scan():
+    """Sweep min_ll around an achievable window sum so the comparison
+    lands inside the *tracked-error band*: low qualities make |ll| large,
+    so the accumulated aerr/eerr bound is micro-scale and a 1e-6-step
+    sweep reliably hits the region where the flag depends on error state
+    carried ACROSS position blocks (pb=2 puts a block boundary every two
+    positions). A kernel that drops the aerr/eerr block-boundary
+    writeback under-flags at several of these thresholds (verified: this
+    test fails against that bug), silently breaking hybrid's bitwise
+    parity with exact."""
+    k = 9
+    rng = np.random.default_rng(1)
+    B, L = 16, 40
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    seq = bases[rng.integers(0, 4, size=(B, L))]
+    qual = (33 + rng.integers(2, 11, size=(B, L))).astype(np.uint8)
+    lengths = np.full(B, L, np.int32)
+    # anchor on an actual f32 window sum (k+1 window = the FSM's first
+    # completed-window comparison value)
+    ll = np.asarray(si.analytic_ll_f32(jnp.asarray(qual))).astype(
+        np.float64)
+    sums = np.lib.stride_tricks.sliding_window_view(
+        ll, k + 1, axis=1).sum(-1)
+    anchor = np.sort(sums.ravel())[sums.size // 6]
+    any_flag = False
+    for off in (-3e-6, -2.5e-6, 0.0, 1.5e-6, 2e-6, 2.5e-6, 3e-6):
+        min_ll = float(anchor + off)
+        want = si.ll_scan(seq, qual, lengths, k, jnp.asarray(min_ll),
+                          precision="fast", return_flags=True)
+        got = ll_scan_pallas(seq, qual, lengths, k, min_ll,
+                             interpret=True, pb=2, return_flags=True)
+        np.testing.assert_array_equal(np.asarray(got[5]),
+                                      np.asarray(want[5]),
+                                      err_msg=f"flags diverge at off={off}")
+        np.testing.assert_array_equal(np.asarray(got[0]),
+                                      np.asarray(want[0]))
+        any_flag |= bool(np.asarray(want[5]).any())
+    assert any_flag  # the sweep actually exercised borderline territory
