@@ -686,16 +686,19 @@ class CountStore:
         the fold's consolidate + compact sort. The staged run stays in the
         tier list, so no work is thrown away. Progress meters use this —
         at 10^8-key scale the fold's compaction sort is seconds per
-        report. Falls back to a full flush when the sorted-run invariant
-        doesn't hold (KMH_BITONIC_MERGE=0), runs were spilled off-device,
-        or a folded base table exists (its keys overlap the runs)."""
-        if (not _BITONIC_MERGE) or self._spilled or self._n_unique > 0:
+        report. A folded base table (e.g. after a checkpoint, which
+        folds) joins the count as one more sorted run — its live prefix
+        is sorted and unique like any consolidated run — so progress
+        reads stay fold-free for the store's whole life. Falls back to a
+        full flush only when the sorted-run invariant doesn't hold
+        (KMH_BITONIC_MERGE=0) or runs were spilled off-device."""
+        if (not _BITONIC_MERGE) or self._spilled:
             self.flush()
             return self._n_unique
         self._build_runs()
         if not self._runs:
-            return 0
-        if len({r[3] for r in self._runs}) == 1:
+            return self._n_unique
+        if self._n_unique == 0 and len({r[3] for r in self._runs}) == 1:
             # uniform kind: merges preserve it, so the staged run is kept
             while len(self._runs) > 1:
                 self._runs.sort(key=lambda r: int(r[0].shape[0]),
@@ -705,18 +708,39 @@ class CountStore:
                 self._runs.append(self._pad_run_pow2(self._merge_two(a, b)))
             hi, lo, cnt = self._runs[0][:3]
             return int(_distinct_count_sorted(hi, lo, cnt))
-        # mixed kinds (several source tags and/or cnt runs): distinct
-        # counting only needs keys (k < 32: live <=> key != sentinel), so
-        # merge key lanes of COPIES and keep the tier state untouched
-        runs = [(r[0], r[1]) for r in self._runs]
+        # base table present and/or mixed kinds: count over COPIES,
+        # leaving the tier state and the folded base untouched
+        if self.k < 32:
+            # distinct counting only needs keys (live <=> key != sentinel)
+            runs = [(r[0], r[1]) for r in self._runs]
+            if self._n_unique > 0:
+                b_hi, b_lo, _c = _run_from_merge(
+                    self.u_hi, self.u_lo, self.cnt,
+                    jnp.asarray(self._n_unique, I32))
+                runs.append((b_hi, b_lo))
+            while len(runs) > 1:
+                runs.sort(key=lambda r: int(r[0].shape[0]), reverse=True)
+                b = runs.pop()
+                a = runs.pop()
+                oh, ol = _merge_runs_keyonly(a[0], a[1], b[0], b[1],
+                                             k=self.k)
+                oh, ol, _c = self._pad_run_pow2((oh, ol, None))
+                runs.append((oh, ol))
+            return int(_distinct_count_sorted(runs[0][0], runs[0][1],
+                                              None))
+        # k == 32: a real all-G key shares the all-ones sentinel, so the
+        # count lanes must ride to distinguish it from dead rows
+        runs = [self._materialize(r)[:3] for r in self._runs]
+        if self._n_unique > 0:
+            runs.append(_run_from_merge(self.u_hi, self.u_lo, self.cnt,
+                                        jnp.asarray(self._n_unique, I32)))
         while len(runs) > 1:
             runs.sort(key=lambda r: int(r[0].shape[0]), reverse=True)
             b = runs.pop()
             a = runs.pop()
-            oh, ol = _merge_runs_keyonly(a[0], a[1], b[0], b[1], k=self.k)
-            oh, ol, _c = self._pad_run_pow2((oh, ol, None))
-            runs.append((oh, ol))
-        return int(_distinct_count_sorted(runs[0][0], runs[0][1], None))
+            out = _merge_runs(a[0], a[1], a[2], b[0], b[1], b[2], k=self.k)
+            runs.append(self._pad_run_pow2(out))
+        return int(_distinct_count_sorted(*runs[0]))
 
     @property
     def total_added(self) -> np.ndarray:

@@ -948,16 +948,17 @@ class ShardedCountStore:
         """Exact global distinct count WITHOUT the fold's consolidation +
         compaction sort (the CountStore.peek_n_unique analogue): merge the
         per-shard tier runs into one staged run set and scan each shard.
-        Falls back to a full fold when a folded base/spill exists or the
+        A folded base table (checkpoints fold) joins as one more sorted
+        run set over COPIES, so progress reads stay fold-free after
+        checkpoints. Falls back to a full fold when spills exist or the
         sorted-run invariant is off."""
         from ..index import count_store as cs
 
-        if (not cs._BITONIC_MERGE or self._spilled
-                or self._n_unique.max() > 0):
+        if not cs._BITONIC_MERGE or self._spilled:
             self._fold()
             return int(self._n_unique.sum())
         if not self._runs:
-            return 0
+            return int(self._n_unique.sum())
 
         def pad_pow2(run):
             hi, lo, cnt = run[0], run[1], run[2]
@@ -976,7 +977,30 @@ class ShardedCountStore:
                 cnt = jnp.pad(cnt, ((0, 0), (0, padw), (0, 0)))
             return (hi, lo, cnt) + run[3:]
 
-        if len({r[3] for r in self._runs}) == 1:
+        base_run = None
+        if self._n_unique.max() > 0:
+            # base-table COPY in run form (same program _fold uses)
+            def to_run(u_hi, u_lo, cnt, ns):
+                r = cs._run_from_merge(
+                    u_hi.reshape(-1), u_lo.reshape(-1),
+                    cnt.reshape(cnt.shape[1], -1), ns[0],
+                )
+                return r[0][None], r[1][None], r[2][None]
+
+            run_fn = self._program(
+                ("base_to_run", int(self.u_hi.shape[1])),
+                lambda: jax.jit(
+                    jax.shard_map(
+                        to_run, mesh=self.mesh,
+                        in_specs=(P(self.axes),) * 4,
+                        out_specs=(P(self.axes),) * 3,
+                    )
+                ),
+            )
+            ns = self._global_put(self._n_unique.astype(np.int32)
+                                  .reshape(-1, 1))
+            base_run = run_fn(self.u_hi, self.u_lo, self.cnt, ns)
+        if base_run is None and len({r[3] for r in self._runs}) == 1:
             # uniform kind: merges preserve it, the staged run is kept
             while len(self._runs) > 1:
                 self._runs.sort(key=lambda r: int(r[0].shape[1]),
@@ -985,10 +1009,13 @@ class ShardedCountStore:
                 a = self._runs.pop()
                 self._runs.append(pad_pow2(self._vmerge_runs(a, b)))
             hi, lo, cnt = self._runs[0][:3]
-        else:
-            # mixed kinds: distinct counting only needs keys (k < 32), so
-            # merge key lanes of COPIES and keep the tier state untouched
+        elif self.k < 32:
+            # base and/or mixed kinds: distinct counting only needs keys
+            # (k < 32), so merge key lanes of COPIES and keep the tier
+            # state (and the folded base) untouched
             runs = [(r[0], r[1], None) for r in self._runs]
+            if base_run is not None:
+                runs.append((base_run[0], base_run[1], None))
             while len(runs) > 1:
                 runs.sort(key=lambda r: int(r[0].shape[1]), reverse=True)
                 b = runs.pop()
@@ -996,6 +1023,18 @@ class ShardedCountStore:
                 oh, ol = self._vmerge_keys(a, b)
                 runs.append(pad_pow2((oh, ol, None)))
             hi, lo, cnt = runs[0][0], runs[0][1], None
+        else:
+            # k == 32 with a base: the all-G key shares the sentinel, so
+            # count lanes ride; merge cnt-carrying COPIES
+            runs = [self._vmaterialize(r)[:3] for r in self._runs]
+            if base_run is not None:
+                runs.append(base_run)
+            while len(runs) > 1:
+                runs.sort(key=lambda r: int(r[0].shape[1]), reverse=True)
+                b = runs.pop()
+                a = runs.pop()
+                runs.append(pad_pow2(self._vmerge_runs(a, b))[:3])
+            hi, lo, cnt = runs[0][:3]
         keyonly = cnt is None
 
         def build():

@@ -423,12 +423,21 @@ def test_peek_n_unique_matches_flush():
         # the peeked store folds to the same answer and stays usable
         assert st.n_unique == peek
         assert st.counts_dict() == st2.counts_dict()
-        # post-flush peek (base non-empty) falls back to flush
+        # post-flush peek (base non-empty, e.g. after a checkpoint): the
+        # base joins the distinct-count merge as one more run — exact
+        # count with NO fold (tier state and the base stay untouched)
         st.add_kmers(*bs[0], defer=True)
+        st._build_runs()
+        runs_before = [tuple(map(id, r[:2])) for r in st._runs]
+        n_unique_before = st._n_unique
         st3 = CountStore(k, counts_n=counts_n)
         for b in bs + [bs[0]]:
             st3.add_kmers(*b, defer=True)
         assert st.peek_n_unique() == st3.n_unique
+        assert st._n_unique == n_unique_before          # no fold happened
+        assert [tuple(map(id, r[:2])) for r in st._runs] == runs_before
+        # ... and the store still folds to the exact same table
+        assert st.counts_dict() == st3.counts_dict()
 
 
 def test_multisource_tagged_keyonly_store(monkeypatch):

@@ -378,6 +378,18 @@ def test_sharded_peek_n_unique_matches_fold(mesh, repeat_40_fq):
     assert shc.peek_n_unique() == want          # no fold happened yet
     assert int(shc.n_unique.sum()) == want      # fold still agrees
     np.testing.assert_array_equal(shc.spectrum(600), ref.spectrum(600))
+    # post-fold peek (base non-empty, e.g. after a checkpoint): the base
+    # joins the distinct-count merge as one more run set — exact count,
+    # NO fold, tier runs untouched
+    shc.add_batch(hi, lo, valid, source=0)
+    ref.add_batch(hi, lo, valid, source=0)
+    runs_before = [tuple(map(id, r[:2])) for r in shc._runs]
+    nu_before = shc._n_unique.copy()
+    want2 = int(ref.n_unique.sum())
+    assert shc.peek_n_unique() == want2
+    assert (shc._n_unique == nu_before).all()   # no fold happened
+    assert [tuple(map(id, r[:2])) for r in shc._runs] == runs_before
+    np.testing.assert_array_equal(shc.spectrum(600), ref.spectrum(600))
 
 
 def test_sharded_multisource_tagged_keyonly(mesh, repeat_40_fq):
