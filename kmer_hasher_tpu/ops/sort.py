@@ -120,18 +120,21 @@ def sort_windows(
     return s_hi, s_lo, s_pos
 
 
-def bitonic_merge_lanes(lanes, n_keys: int):
+def bitonic_merge_lanes(lanes, n_keys: int, log_tail: int = 13):
     """Sort a bitonic sequence carried in parallel u32 lanes: log2(M)
     static-stride compare-exchange stages (pure reshapes + selects — no
-    gather/scatter, each stage one fused HBM pass). ``lanes[:n_keys]``
-    compare lexicographically; the rest follow as payload. M must be a
-    power of two."""
-    M = lanes[0].shape[0]
-    stride = M // 2
-    while stride >= 1:
-        v = [a.reshape(-1, 2, stride) for a in lanes]
-        x = [a[:, 0, :] for a in v]
-        y = [a[:, 1, :] for a in v]
+    gather/scatter). ``lanes[:n_keys]`` compare lexicographically; the
+    rest follow as payload. M must be a power of two.
+
+    Stages with stride >= 2^log_tail each cost one HBM pass (measured
+    ~0.24 ns/elem/stage). Once stride < 2^log_tail every compare-exchange
+    partner lies within a 2^log_tail-element row, so the remaining
+    log_tail stages run on a [M/2^log_tail, 2^log_tail] view — XLA fuses
+    them into ONE VMEM-resident HBM pass (chip probe D4: 12.57 -> 3.76
+    ns/elem for a full 2^24 (u64,u32) merge; R5: the fused tail alone is
+    ~1.15 ns/elem)."""
+
+    def cx(x, y):
         if n_keys == 1:
             le = x[0] <= y[0]
         elif n_keys == 2:
@@ -141,12 +144,37 @@ def bitonic_merge_lanes(lanes, n_keys: int):
             le = ((x[0] < y[0])
                   | ((x[0] == y[0]) & (x[1] < y[1]))
                   | (eq01 & (x[2] <= y[2])))
+        return le
+
+    M = lanes[0].shape[0]
+    Lt = min(M, 1 << log_tail)
+    stride = M // 2
+    while stride >= Lt:
+        v = [a.reshape(-1, 2, stride) for a in lanes]
+        x = [a[:, 0, :] for a in v]
+        y = [a[:, 1, :] for a in v]
+        le = cx(x, y)
         lanes = [
             jnp.stack([jnp.where(le, xa, ya), jnp.where(le, ya, xa)],
                       axis=1).reshape(M)
             for xa, ya in zip(x, y)
         ]
         stride //= 2
+    if stride >= 1:
+        R = M // Lt
+        lanes = [a.reshape(R, Lt) for a in lanes]
+        while stride >= 1:
+            v = [a.reshape(R, -1, 2, stride) for a in lanes]
+            x = [a[:, :, 0, :] for a in v]
+            y = [a[:, :, 1, :] for a in v]
+            le = cx(x, y)
+            lanes = [
+                jnp.stack([jnp.where(le, xa, ya), jnp.where(le, ya, xa)],
+                          axis=2).reshape(R, Lt)
+                for xa, ya in zip(x, y)
+            ]
+            stride //= 2
+        lanes = [a.reshape(M) for a in lanes]
     return lanes
 
 
