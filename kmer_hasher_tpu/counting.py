@@ -618,9 +618,14 @@ def count_kmers_fq_sh_rp(path: str, k: int, prefix_bits: int = 20,
         per batch bucket instead of one per pow-2 flag-count bucket."""
         if not backlog:
             return
-        flag_rows = [np.asarray(f) for _s, _q, _l, f in backlog]  # 1 sync
-        for (seq_b, qual_b, len_b, f_b), fl in zip(backlog, flag_rows):
-            if not fl.any():
+        # ONE tiny readback decides which batches re-run: the per-batch
+        # any() reductions stack into a single [n_batches] bool fetch
+        # (each flag vector fetched separately costs ~30 ms of tunnel
+        # latency apiece); the flag vectors themselves stay device-side
+        any_rows = np.asarray(
+            jnp.stack([f.any() for _s, _q, _l, f in backlog]))
+        for (seq_b, qual_b, len_b, f_b), fl_any in zip(backlog, any_rows):
+            if not fl_any:
                 continue
             lens = jnp.where(f_b, len_b, 0)
             r = _fused_rp_batch(seq_b, qual_b, lens, f_b, k,
