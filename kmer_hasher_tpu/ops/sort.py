@@ -120,19 +120,24 @@ def sort_windows(
     return s_hi, s_lo, s_pos
 
 
-def bitonic_merge_lanes(lanes, n_keys: int, log_tail: int = 13):
-    """Sort a bitonic sequence carried in parallel u32 lanes: log2(M)
-    static-stride compare-exchange stages (pure reshapes + selects — no
-    gather/scatter). ``lanes[:n_keys]`` compare lexicographically; the
-    rest follow as payload. M must be a power of two.
+def bitonic_merge_lanes(lanes, n_keys: int, log_tail: int = 11):
+    """Sort a bitonic sequence carried in parallel u32 lanes.
+    ``lanes[:n_keys]`` compare lexicographically; the rest follow as
+    payload (key-equal rows may land in either order — every caller is
+    payload-order-independent within a key segment). M must be a power
+    of two.
 
-    Stages with stride >= 2^log_tail each cost one HBM pass (measured
-    ~0.24 ns/elem/stage). Once stride < 2^log_tail every compare-exchange
-    partner lies within a 2^log_tail-element row, so the remaining
-    log_tail stages run on a [M/2^log_tail, 2^log_tail] view — XLA fuses
-    them into ONE VMEM-resident HBM pass (chip probe D4: 12.57 -> 3.76
-    ns/elem for a full 2^24 (u64,u32) merge; R5: the fused tail alone is
-    ~1.15 ns/elem)."""
+    Stages with stride >= 2^log_tail are static-stride compare-exchange
+    passes (pure reshapes + selects, ~0.24 ns/elem/stage measured). Once
+    stride < 2^log_tail every remaining exchange lies within a
+    2^log_tail-element block, and fully sorting each (bitonic) block is
+    a valid completion of the network — done as ONE batched lax.sort
+    over the [M/2^log_tail, 2^log_tail] row view (1.11 ns/elem measured,
+    chip probe G4). The row sort replaces the round-3 fused-view tail:
+    views shaped [..., 2, s] with tiny minor dims can materialise in
+    (8,128)-tiled layout with catastrophic padding at large M (a 25.7 GB
+    allocation for a 400 MB intermediate, e2e bench r3), while the 2-D
+    row view is layout-perfect at every size."""
 
     def cx(x, y):
         if n_keys == 1:
@@ -161,20 +166,10 @@ def bitonic_merge_lanes(lanes, n_keys: int, log_tail: int = 13):
         ]
         stride //= 2
     if stride >= 1:
-        R = M // Lt
-        lanes = [a.reshape(R, Lt) for a in lanes]
-        while stride >= 1:
-            v = [a.reshape(R, -1, 2, stride) for a in lanes]
-            x = [a[:, :, 0, :] for a in v]
-            y = [a[:, :, 1, :] for a in v]
-            le = cx(x, y)
-            lanes = [
-                jnp.stack([jnp.where(le, xa, ya), jnp.where(le, ya, xa)],
-                          axis=2).reshape(R, Lt)
-                for xa, ya in zip(x, y)
-            ]
-            stride //= 2
-        lanes = [a.reshape(M) for a in lanes]
+        rows = [a.reshape(M // Lt, Lt) for a in lanes]
+        out = jax.lax.sort(tuple(rows), dimension=-1, num_keys=n_keys,
+                           is_stable=False)
+        lanes = [a.reshape(M) for a in out]
     return lanes
 
 

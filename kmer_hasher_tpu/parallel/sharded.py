@@ -50,6 +50,43 @@ def owner_hash(hi: jax.Array, lo: jax.Array, n_shards: int,
     return (h % U32(n_shards)).astype(I32)
 
 
+def _global_put(mesh: Mesh, full_np, spec=None):
+    """Host value (identical on every process) -> global array sharded
+    ``spec`` (default: first-axis over all mesh axes) over the mesh.
+    Plain device array on a single process."""
+    if jax.process_count() == 1:
+        return jnp.asarray(full_np)
+    from jax.sharding import NamedSharding
+
+    full_np = np.asarray(full_np)
+    if spec is None:
+        spec = P(tuple(mesh.axis_names))
+    sharding = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(
+        full_np.shape, sharding, lambda idx: full_np[idx]
+    )
+
+
+def _replicated(mesh: Mesh, x):
+    """Host value (identical on every process) -> fully-replicated global
+    array (the multi-process-safe form of a P() shard_map input)."""
+    return _global_put(mesh, x, spec=P())
+
+
+_PROGRAMS: dict = {}
+
+
+def _shared_program(key, build):
+    """Module-level cache of jitted shard_map programs keyed by (mesh,
+    static shapes): capacity-overflow retries and repeat builds at an
+    already-seen capacity reuse the compiled program instead of paying a
+    fresh trace + compile (minutes over the tunnel, count_store.py:832)."""
+    fn = _PROGRAMS.get(key)
+    if fn is None:
+        fn = _PROGRAMS[key] = build()
+    return fn
+
+
 def _bucket_for_send(hi, lo, pos, valid, n_shards: int, capacity: int, k: int,
                      owner=None):
     """Lay out (key, pos) tuples into per-owner send buckets [D, C].
@@ -124,6 +161,8 @@ class ShardedKmerIndex:
                  drop_trailing_exact_k: bool = True):
         if isinstance(seq, str):
             seq = np.frombuffer(seq.encode(), np.uint8)
+        elif isinstance(seq, (bytes, bytearray)):
+            seq = np.frombuffer(bytes(seq), np.uint8)
         seq = np.asarray(seq, np.uint8)
         if not 1 <= k <= 32:
             raise ValueError("k must be in 1..32")
@@ -153,59 +192,79 @@ class ShardedKmerIndex:
         self.chunk = Lc
         cap = int(capacity_factor * Lc / D)
         self.capacity = 1 << max(3, (cap - 1).bit_length())
+        # multi-process (jax.distributed) meshes: every process holds the
+        # same full sequence; globalize it once (sharded over the mesh)
+        # and pass the scalars replicated — the readbacks then allgather
+        seq_g = _global_put(self.mesh, seq)
+        meta = _replicated(self.mesh, np.asarray([L, quirk], np.int32))
         for attempt in range(3):
-            out = self._build(seq, jnp.asarray(L, I32),
-                              jnp.asarray(quirk, I32))
+            out = self._build(seq_g, meta)
             s_hi, s_lo, s_pos, n_valid, overflow = out
-            if int(np.asarray(overflow)[0]) == 0:
+            # overflow is psum-replicated: any local shard holds the value
+            if int(np.asarray(overflow.addressable_data(0)).ravel()[0]) == 0:
                 break
             self.capacity *= 2  # skewed shards: retry with more headroom
         else:
             raise RuntimeError("all_to_all capacity overflow after retries")
         self.s_hi, self.s_lo, self.s_pos = s_hi, s_lo, s_pos
-        self.n_valid = np.asarray(n_valid)  # [D]
+        self.n_valid = _host_read(n_valid)  # [D]
+        self._nv_g = _global_put(self.mesh, self.n_valid.astype(np.int32))
         self.total_kmers = int(self.n_valid.sum())
 
-    def _build(self, seq_padded, true_len, quirk_pos):
+    def _repl(self, x):
+        """Replicated shard_map input (multi-process-safe P() arg)."""
+        return _replicated(self.mesh, x)
+
+    def _np_view(self, x):
+        """Host view for shard-indexed table extraction: allgathered numpy
+        on a multi-process mesh, the device array itself otherwise (so the
+        single-process path never materialises the index on host)."""
+        return _host_read(x) if jax.process_count() > 1 else x
+
+    def _build(self, seq_g, meta):
         k, D, Lc, C = self.k, self.n_shards, self.chunk, self.capacity
-        axis = self.axis
+        axis, mesh = self.axis, self.mesh
         halo = max(1, k - 1)
 
-        def fn(seq_local):
-            seq_local = seq_local.reshape(-1)  # [Lc]
-            me = jax.lax.axis_index(axis)
-            # halo: first (k-1) bases of the RIGHT neighbour
-            nxt = jax.lax.ppermute(
-                seq_local[:halo], axis,
-                [(i, (i - 1) % D) for i in range(D)],
-            )
-            ext = jnp.concatenate([seq_local, nxt])  # [Lc + halo]
-            start = me.astype(I32) * Lc
-            hi, lo, valid = enc.encode_stream(
-                ext, k, jnp.minimum(true_len - start, Lc + halo),
-                canonical=False, drop_trailing_exact_k=False,
-            )
-            idx = jnp.arange(Lc + halo, dtype=I32)
-            gpos = start + idx + 1  # 1-based global window start
-            valid &= idx < Lc  # windows starting in this chunk only
-            valid &= gpos != quirk_pos
-            # windows crossing into the wrapped halo of the last device are
-            # already invalid via true_len masking
-            s_hi, s_lo, s_pos, n_valid, ovf = _route_and_build_shard(
-                hi, lo, gpos, valid, D, C, k, axis
-            )
-            return (
-                s_hi[None], s_lo[None], s_pos[None], n_valid[None],
-                ovf[None],
+        def build():
+            def fn(seq_local, meta):
+                true_len, quirk_pos = meta[0], meta[1]
+                seq_local = seq_local.reshape(-1)  # [Lc]
+                me = jax.lax.axis_index(axis)
+                # halo: first (k-1) bases of the RIGHT neighbour
+                nxt = jax.lax.ppermute(
+                    seq_local[:halo], axis,
+                    [(i, (i - 1) % D) for i in range(D)],
+                )
+                ext = jnp.concatenate([seq_local, nxt])  # [Lc + halo]
+                start = me.astype(I32) * Lc
+                hi, lo, valid = enc.encode_stream(
+                    ext, k, jnp.minimum(true_len - start, Lc + halo),
+                    canonical=False, drop_trailing_exact_k=False,
+                )
+                idx = jnp.arange(Lc + halo, dtype=I32)
+                gpos = start + idx + 1  # 1-based global window start
+                valid &= idx < Lc  # windows starting in this chunk only
+                valid &= gpos != quirk_pos
+                # windows crossing into the wrapped halo of the last device
+                # are already invalid via true_len masking
+                s_hi, s_lo, s_pos, n_valid, ovf = _route_and_build_shard(
+                    hi, lo, gpos, valid, D, C, k, axis
+                )
+                return (
+                    s_hi[None], s_lo[None], s_pos[None], n_valid[None],
+                    ovf[None],
+                )
+
+            return jax.jit(
+                jax.shard_map(
+                    fn, mesh=mesh, in_specs=(P(axis), P()),
+                    out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+                )
             )
 
-        shard_fn = jax.jit(
-            jax.shard_map(
-                fn, mesh=self.mesh, in_specs=P(axis),
-                out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
-            )
-        )
-        return shard_fn(seq_padded)
+        shard_fn = _shared_program(("kidx_build", mesh, k, Lc, C), build)
+        return shard_fn(seq_g, meta)
 
     # -- kmer.pos table family (src/kmer_hash.c:1054-1147), sharded --------
     def _range_partitioned(self, capacity_factor: float = 2.0,
@@ -221,74 +280,96 @@ class ShardedKmerIndex:
         cache."""
         if splitters is None and getattr(self, "_rp", None) is not None:
             return self._rp
-        D, k, axis = self.n_shards, self.k, self.axis
+        D, k, axis, mesh = self.n_shards, self.k, self.axis, self.mesh
+        cap_shard = int(self.s_hi.shape[1])
         if splitters is not None:
             spl_hi, spl_lo = splitters
         else:
-            # sample S quantile keys per shard, pick D-1 global splitters
+            # sample S quantile keys per shard ON DEVICE and fetch only the
+            # [D, S] sample matrix (the full-index host readback this
+            # replaces was O(index) over a ~2 MB/s tunnel for O(D*S) bytes
+            # of information); the D-1 global splitters come from the
+            # pooled samples on host
             S = 64
-            samp_hi = np.zeros((D, S), np.uint32)
-            samp_lo = np.zeros((D, S), np.uint32)
-            s_hi_np = np.asarray(self.s_hi)
-            s_lo_np = np.asarray(self.s_lo)
-            for d in range(D):
-                nv = max(int(self.n_valid[d]), 1)
-                idx = (np.arange(S, dtype=np.int64) * nv) // S
-                samp_hi[d] = s_hi_np[d][idx]
-                samp_lo[d] = s_lo_np[d][idx]
+
+            def build_sample():
+                def samp_fn(s_hi, s_lo, nv):
+                    flat_hi = s_hi.reshape(-1)
+                    flat_lo = s_lo.reshape(-1)
+                    n = jnp.maximum(nv[0], 1)
+                    idx = (jnp.arange(S, dtype=I64) * n) // S
+                    return flat_hi[idx][None], flat_lo[idx][None]
+
+                return jax.jit(
+                    jax.shard_map(
+                        samp_fn, mesh=mesh,
+                        in_specs=(P(axis), P(axis), P(axis)),
+                        out_specs=(P(axis), P(axis)),
+                    )
+                )
+
+            samp = _shared_program(("kidx_sample", mesh, cap_shard, S),
+                                   build_sample)
+            samp_hi, samp_lo = samp(self.s_hi, self.s_lo, self._nv_g)
+            samp_hi = _host_read(samp_hi)
+            samp_lo = _host_read(samp_lo)
             keys = ((samp_hi.astype(np.uint64) << 32)
                     | samp_lo.astype(np.uint64))
             keys = np.sort(keys.reshape(-1))
             spl = keys[[(i + 1) * len(keys) // D for i in range(D - 1)]]
-            spl_hi = jnp.asarray((spl >> 32).astype(np.uint32))
-            spl_lo = jnp.asarray(spl.astype(np.uint32))
-        n_valid = jnp.asarray(self.n_valid, I32)
-        cap_shard = int(self.s_hi.shape[1])
+            spl_hi = self._repl((spl >> 32).astype(np.uint32))
+            spl_lo = self._repl(spl.astype(np.uint32))
         C = 1 << max(4, int(capacity_factor * cap_shard / D - 1)
                      .bit_length())
 
         for _attempt in range(4):
-            def fn(s_hi, s_lo, s_pos, nv):
-                s_hi, s_lo = s_hi.reshape(-1), s_lo.reshape(-1)
-                s_pos = s_pos.reshape(-1)
-                live = jnp.arange(s_hi.shape[0], dtype=I32) < nv[0]
-                # owner = rank of key among splitters (right side)
-                owner = srt.searchsorted2(spl_hi, spl_lo, D - 1, s_hi, s_lo,
-                                          "right")
-                b = _bucket_for_send(s_hi, s_lo, s_pos, live, D, C, k,
-                                     owner=owner)
-                b_hi, b_lo, b_pos, b_val, ovf = b
-                r_hi = jax.lax.all_to_all(b_hi, axis, 0, 0).reshape(-1)
-                r_lo = jax.lax.all_to_all(b_lo, axis, 0, 0).reshape(-1)
-                r_pos = jax.lax.all_to_all(b_pos, axis, 0, 0).reshape(-1)
-                r_val = jax.lax.all_to_all(b_val, axis, 0, 0).reshape(-1)
-                o_hi, o_lo, o_pos = srt.sort_windows(
-                    r_hi, r_lo, r_pos.astype(I32), r_val, k
-                )
-                nv_out = r_val.sum().astype(I32)
-                ovf_t = jax.lax.psum(ovf.astype(I32), axis)
-                return (o_hi[None], o_lo[None], o_pos[None], nv_out[None],
-                        ovf_t[None])
+            def build_rp(C=C):
+                def fn(s_hi, s_lo, s_pos, nv, spl_hi, spl_lo):
+                    s_hi, s_lo = s_hi.reshape(-1), s_lo.reshape(-1)
+                    s_pos = s_pos.reshape(-1)
+                    live = jnp.arange(s_hi.shape[0], dtype=I32) < nv[0]
+                    # owner = rank of key among splitters (right side)
+                    owner = srt.searchsorted2(spl_hi, spl_lo, D - 1,
+                                              s_hi, s_lo, "right")
+                    b = _bucket_for_send(s_hi, s_lo, s_pos, live, D, C, k,
+                                         owner=owner)
+                    b_hi, b_lo, b_pos, b_val, ovf = b
+                    r_hi = jax.lax.all_to_all(b_hi, axis, 0, 0).reshape(-1)
+                    r_lo = jax.lax.all_to_all(b_lo, axis, 0, 0).reshape(-1)
+                    r_pos = jax.lax.all_to_all(b_pos, axis, 0, 0).reshape(-1)
+                    r_val = jax.lax.all_to_all(b_val, axis, 0, 0).reshape(-1)
+                    o_hi, o_lo, o_pos = srt.sort_windows(
+                        r_hi, r_lo, r_pos.astype(I32), r_val, k
+                    )
+                    nv_out = r_val.sum().astype(I32)
+                    ovf_t = jax.lax.psum(ovf.astype(I32), axis)
+                    return (o_hi[None], o_lo[None], o_pos[None],
+                            nv_out[None], ovf_t[None])
 
-            shard_fn = jax.jit(
-                jax.shard_map(
-                    fn, mesh=self.mesh,
-                    in_specs=(P(axis), P(axis), P(axis), P(axis)),
-                    out_specs=(P(axis),) * 5,
+                return jax.jit(
+                    jax.shard_map(
+                        fn, mesh=mesh,
+                        in_specs=(P(axis), P(axis), P(axis), P(axis),
+                                  P(), P()),
+                        out_specs=(P(axis),) * 5,
+                    )
                 )
-            )
+
+            shard_fn = _shared_program(("kidx_rp", mesh, k, cap_shard, C),
+                                       build_rp)
             r_hi, r_lo, r_pos, nv, ovf = shard_fn(
-                self.s_hi, self.s_lo, self.s_pos, n_valid
+                self.s_hi, self.s_lo, self.s_pos, self._nv_g,
+                jnp.asarray(spl_hi), jnp.asarray(spl_lo)
             )
-            if int(np.asarray(ovf)[0]) == 0:
+            if int(np.asarray(ovf.addressable_data(0)).ravel()[0]) == 0:
                 break
             C *= 2
         else:
             raise RuntimeError("range-partition capacity overflow")
         if splitters is not None:
-            return (r_hi, r_lo, r_pos, np.asarray(nv))
+            return (r_hi, r_lo, r_pos, _host_read(nv))
         self._rp_spl = (spl_hi, spl_lo)
-        self._rp = (r_hi, r_lo, r_pos, np.asarray(nv))
+        self._rp = (r_hi, r_lo, r_pos, _host_read(nv))
         return self._rp
 
     def _rp_group_stats(self):
@@ -298,29 +379,33 @@ class ShardedKmerIndex:
         from ..index.position_index import _group_stats
 
         r_hi, r_lo, r_pos, nv = self._range_partitioned()
-        axis = self.axis
+        axis, mesh = self.axis, self.mesh
 
-        def fn(hi, lo, pos, n):
-            hi, lo, pos = hi.reshape(-1), lo.reshape(-1), pos.reshape(-1)
-            live = jnp.arange(hi.shape[0], dtype=I32) < n[0]
-            starts = srt.segment_starts(hi, lo, live)
-            seg = srt.segment_ids(starts)
-            counts, i_col, rank, m, cum_m = _group_stats(pos, n[0], starts,
-                                                         seg)
-            n_unique = starts.sum().astype(I32)
-            return (counts[None], i_col[None], m[None], cum_m[None],
-                    n_unique[None], starts[None], seg[None])
+        def build():
+            def fn(hi, lo, pos, n):
+                hi, lo, pos = hi.reshape(-1), lo.reshape(-1), pos.reshape(-1)
+                live = jnp.arange(hi.shape[0], dtype=I32) < n[0]
+                starts = srt.segment_starts(hi, lo, live)
+                seg = srt.segment_ids(starts)
+                counts, i_col, rank, m, cum_m = _group_stats(pos, n[0],
+                                                             starts, seg)
+                n_unique = starts.sum().astype(I32)
+                return (counts[None], i_col[None], m[None], cum_m[None],
+                        n_unique[None], starts[None], seg[None])
 
-        shard_fn = jax.jit(
-            jax.shard_map(
-                fn, mesh=self.mesh, in_specs=(P(axis),) * 3 + (P(axis),),
-                out_specs=(P(axis),) * 7,
+            return jax.jit(
+                jax.shard_map(
+                    fn, mesh=mesh, in_specs=(P(axis),) * 4,
+                    out_specs=(P(axis),) * 7,
+                )
             )
-        )
+
+        shard_fn = _shared_program(
+            ("kidx_rp_stats", mesh, int(r_hi.shape[1])), build)
         counts, i_col, m, cum_m, n_unique, starts, seg = shard_fn(
-            r_hi, r_lo, r_pos, jnp.asarray(nv, I32)
+            r_hi, r_lo, r_pos, _global_put(mesh, nv.astype(np.int32))
         )
-        n_unique = np.asarray(n_unique)
+        n_unique = _host_read(n_unique)
         base = np.concatenate([[0], np.cumsum(n_unique)[:-1]])
         self._rp_stats = (counts, i_col, m, cum_m, n_unique, base, starts,
                           seg)
@@ -336,6 +421,8 @@ class ShardedKmerIndex:
 
         r_hi, r_lo, _r_pos, _nv = self._range_partitioned()
         _c, _i, _m, _cm, n_unique, _base, starts, seg = self._rp_group_stats()
+        r_hi, r_lo = self._np_view(r_hi), self._np_view(r_lo)
+        starts, seg = self._np_view(starts), self._np_view(seg)
         out = []
         for d in range(self.n_shards):
             u_hi, u_lo, _n = _unique_compact(r_hi[d], r_lo[d], starts[d],
@@ -347,7 +434,7 @@ class ShardedKmerIndex:
 
     def counts(self) -> np.ndarray:
         counts, _i, _m, _cm, n_unique, _base, _s, _g = self._rp_group_stats()
-        counts = np.asarray(counts)
+        counts = _host_read(counts)
         return np.concatenate(
             [counts[d, : int(n_unique[d])] for d in range(self.n_shards)]
         )
@@ -357,8 +444,8 @@ class ShardedKmerIndex:
         canonical order — equals the single-chip table exactly."""
         r_hi, r_lo, r_pos, nv = self._range_partitioned()
         _c, i_col, _m, _cm, _nu, base, _s, _g = self._rp_group_stats()
-        i_col = np.asarray(i_col)
-        r_pos_np = np.asarray(r_pos)
+        i_col = _host_read(i_col)
+        r_pos_np = _host_read(r_pos)
         rows = []
         for d in range(self.n_shards):
             n = int(nv[d])
@@ -375,6 +462,9 @@ class ShardedKmerIndex:
 
         r_hi, r_lo, r_pos, nv = self._range_partitioned()
         _c, i_col, m, cum_m, _nu, base, _s, _g = self._rp_group_stats()
+        r_pos = self._np_view(r_pos)
+        i_col, m, cum_m = (self._np_view(i_col), self._np_view(m),
+                           self._np_view(cum_m))
         for d in range(self.n_shards):
             n = int(nv[d])
             if n == 0:
@@ -410,7 +500,7 @@ class ShardedKmerIndex:
     def total_pairs(self) -> int:
         _c, _i, m, cum_m, _nu, _base, _s, _g = self._rp_group_stats()
         _r_hi, _r_lo, _r_pos, nv = self._range_partitioned()
-        cum_m = np.asarray(cum_m)
+        cum_m = _host_read(cum_m)
         return int(sum(cum_m[d, int(nv[d]) - 1] for d in
                        range(self.n_shards) if int(nv[d])))
 
@@ -440,7 +530,7 @@ class ShardedKmerIndex:
     def lookup_counts(self, q_hi, q_lo) -> np.ndarray:
         """Occurrence count per query k-mer, psum-merged across shards."""
         axis = self.axis
-        n_valid = jnp.asarray(self.n_valid, I32)
+        n_valid = self._nv_g
 
         def fn(s_hi, s_lo, nv, qh, ql):
             s_hi, s_lo = s_hi.reshape(-1), s_lo.reshape(-1)
@@ -456,7 +546,8 @@ class ShardedKmerIndex:
         )
         return np.asarray(
             shard_fn(self.s_hi, self.s_lo, n_valid,
-                     jnp.ravel(q_hi), jnp.ravel(q_lo))
+                     self._repl(jnp.ravel(q_hi)),
+                     self._repl(jnp.ravel(q_lo)))
         )
 
     def _hit_totals(self, qh, ql, qv) -> np.ndarray:
@@ -464,7 +555,7 @@ class ShardedKmerIndex:
         query, so drain loops can clamp their chunk capacity before
         compiling the (capacity-sized) expansion program."""
         axis = self.axis
-        n_valid = jnp.asarray(self.n_valid, I32)
+        n_valid = self._nv_g
 
         def fn(s_hi, s_lo, nv, qh, ql, qv):
             s_hi, s_lo = s_hi.reshape(-1), s_lo.reshape(-1)
@@ -479,8 +570,9 @@ class ShardedKmerIndex:
                 out_specs=P(axis),
             )
         )
-        return np.asarray(shard_fn(self.s_hi, self.s_lo, n_valid,
-                                   qh, ql, qv)).astype(np.int64)
+        return _host_read(shard_fn(
+            self.s_hi, self.s_lo, n_valid, self._repl(qh), self._repl(ql),
+            self._repl(qv))).astype(np.int64)
 
     def seq_kmer_pos(self, query, k: int,
                      max_hits_per_shard: int = 1 << 20) -> np.ndarray:
@@ -506,6 +598,8 @@ class ShardedKmerIndex:
         """
         if isinstance(query, str):
             query = np.frombuffer(query.encode(), np.uint8)
+        elif isinstance(query, (bytes, bytearray)):
+            query = np.frombuffer(bytes(query), np.uint8)
         query = np.asarray(query, np.uint8)
         if query.shape[-1] <= k or k > 31:
             raise ValueError(
@@ -524,8 +618,10 @@ class ShardedKmerIndex:
             jnp.asarray(query), k, tl, drop_trailing_exact_k=True
         )
         axis = self.axis
-        n_valid = jnp.asarray(self.n_valid, I32)
+        n_valid = self._nv_g
         totals = self._hit_totals(q_hi, q_lo, q_valid)
+        q_hi, q_lo = self._repl(q_hi), self._repl(q_lo)
+        q_valid = self._repl(q_valid)
         C = srt.clamp_chunk_capacity(max_hits_per_shard,
                                      int(totals.max(initial=0)))
         if exp.use_plan(int(totals.max(initial=0)), int(q_hi.shape[0]), C):
@@ -564,7 +660,8 @@ class ShardedKmerIndex:
             ))
 
             def call(start):
-                starts = jnp.full((self.n_shards, 1), start, I64)
+                starts = _global_put(
+                    self.mesh, np.full((self.n_shards, 1), start, np.int64))
                 return shard_fn(self.s_pos, p_cum, p_rs, p_w, p_lb, p_tot,
                                 starts)
 
@@ -597,7 +694,8 @@ class ShardedKmerIndex:
         )
 
         def call(start):
-            starts = jnp.full((self.n_shards, 1), start, I64)
+            starts = _global_put(
+                self.mesh, np.full((self.n_shards, 1), start, np.int64))
             return shard_fn(self.s_hi, self.s_lo, self.s_pos, n_valid,
                             q_hi, q_lo, q_valid, starts)
 
@@ -620,9 +718,9 @@ class ShardedKmerIndex:
         start = 0
         while True:
             rows, n, total = call(start)
-            rows, n = np.asarray(rows), np.asarray(n)
+            rows, n = _host_read(rows), _host_read(n)
             if totals is None:
-                totals = np.asarray(total).astype(np.int64)
+                totals = _host_read(total).astype(np.int64)
             frontier = None  # min last-drained key among unfinished shards
             for d in range(D):
                 if n[d]:
@@ -662,12 +760,12 @@ class ShardedKmerIndex:
         start = 0
         while True:
             rows, n, total = call(start)
-            rows, n = np.asarray(rows), np.asarray(n)
+            rows, n = _host_read(rows), _host_read(n)
             for d in range(self.n_shards):
                 if n[d]:
                     chunks.append(rows[d, : n[d]])
             start += C
-            if start >= int(np.asarray(total).max()):
+            if start >= int(_host_read(total).max()):
                 return chunks
 
     def positions_of(self, q_hi, q_lo, max_hits_per_shard: int = 1 << 16
@@ -675,10 +773,11 @@ class ShardedKmerIndex:
         """All 1-based positions of the queried k-mers, gathered from every
         shard (ascending, merged on host); chunk-drained, never truncated."""
         axis = self.axis
-        n_valid = jnp.asarray(self.n_valid, I32)
+        n_valid = self._nv_g
         q_hi, q_lo = jnp.ravel(q_hi), jnp.ravel(q_lo)
         totals = self._hit_totals(q_hi, q_lo,
                                   jnp.ones(q_hi.shape[0], bool))
+        q_hi, q_lo = self._repl(q_hi), self._repl(q_lo)
         C = srt.clamp_chunk_capacity(max_hits_per_shard,
                                      int(totals.max(initial=0)))
         if exp.use_plan(int(totals.max(initial=0)), int(q_hi.shape[0]), C):
@@ -714,7 +813,8 @@ class ShardedKmerIndex:
             ))
 
             def call(start):
-                starts = jnp.full((self.n_shards, 1), start, I64)
+                starts = _global_put(
+                    self.mesh, np.full((self.n_shards, 1), start, np.int64))
                 return shard_fn(self.s_pos, p_cum, p_rs, p_lb, p_tot,
                                 starts)
         else:
@@ -743,7 +843,8 @@ class ShardedKmerIndex:
             )
 
             def call(start):
-                starts = jnp.full((self.n_shards, 1), start, I64)
+                starts = _global_put(
+                    self.mesh, np.full((self.n_shards, 1), start, np.int64))
                 return shard_fn(self.s_hi, self.s_lo, self.s_pos, n_valid,
                                 q_hi, q_lo, starts)
 
@@ -772,8 +873,8 @@ def kmer_pairs_sharded(a: "ShardedKmerIndex", b: "ShardedKmerIndex",
     a_hi, a_lo, a_pos, a_nv = a._range_partitioned()
     spl = a._rp_spl
     b_hi, b_lo, b_pos, b_nv = b._range_partitioned(splitters=spl)
-    a_nv_d = jnp.asarray(a_nv, I32)
-    b_nv_d = jnp.asarray(b_nv, I32)
+    a_nv_d = _global_put(a.mesh, a_nv.astype(np.int32))
+    b_nv_d = _global_put(a.mesh, b_nv.astype(np.int32))
 
     def fn_total(ah, al, an, bh, bl, bn):
         ah, al = ah.reshape(-1), al.reshape(-1)
@@ -782,7 +883,7 @@ def kmer_pairs_sharded(a: "ShardedKmerIndex", b: "ShardedKmerIndex",
         live_a = jnp.arange(ah.shape[0], dtype=I32) < an[0]
         return jnp.where(live_a, ub - lb, 0).astype(I64).sum()[None]
 
-    totals = np.asarray(jax.jit(jax.shard_map(
+    totals = _host_read(jax.jit(jax.shard_map(
         fn_total, mesh=a.mesh, in_specs=(P(axis),) * 6,
         out_specs=P(axis),
     ))(a_hi, a_lo, a_nv_d, b_hi, b_lo, b_nv_d)).astype(np.int64)
@@ -824,7 +925,7 @@ def kmer_pairs_sharded(a: "ShardedKmerIndex", b: "ShardedKmerIndex",
         ))
 
         def call(start):
-            starts = jnp.full((D, 1), start, I64)
+            starts = _global_put(a.mesh, np.full((D, 1), start, np.int64))
             return shard_fn_p(b_pos, p_cum, p_rs, p_lb, p_x, p_tot, starts)
     else:
 
@@ -853,7 +954,7 @@ def kmer_pairs_sharded(a: "ShardedKmerIndex", b: "ShardedKmerIndex",
         )
 
         def call(start):
-            starts = jnp.full((D, 1), start, I64)
+            starts = _global_put(a.mesh, np.full((D, 1), start, np.int64))
             return shard_fn(a_hi, a_lo, a_pos, a_nv_d,
                             b_hi, b_lo, b_pos, b_nv_d, starts)
 
@@ -861,12 +962,12 @@ def kmer_pairs_sharded(a: "ShardedKmerIndex", b: "ShardedKmerIndex",
     start = 0
     while True:
         rows, n, total = call(start)
-        rows, n = np.asarray(rows), np.asarray(n)
+        rows, n = _host_read(rows), _host_read(n)
         for d in range(D):
             if n[d]:
                 per_shard[d].append(rows[d, : n[d]])
         start += C
-        if start >= int(np.asarray(total).max()):
+        if start >= int(_host_read(total).max()):
             break
     blocks = [blk for d in range(D) for blk in per_shard[d]]
     if not blocks:
@@ -1064,16 +1165,8 @@ class ShardedCountStore:
 
     def _global_put(self, full_np):
         """Host value (identical on every process) -> global array sharded
-        P(axis) over the mesh. Plain device array on a single process."""
-        if jax.process_count() == 1:
-            return jnp.asarray(full_np)
-        from jax.sharding import NamedSharding
-
-        full_np = np.asarray(full_np)
-        sharding = NamedSharding(self.mesh, P(self.axes))
-        return jax.make_array_from_callback(
-            full_np.shape, sharding, lambda idx: full_np[idx]
-        )
+        P(axes) over the mesh. Plain device array on a single process."""
+        return _global_put(self.mesh, full_np, spec=P(self.axes))
 
     def _globalize(self, arr):
         """Turn per-process local batch rows into one global [D, n] array

@@ -145,6 +145,92 @@ print("WORKER_OK", pid)
 """
 
 
+INDEX_WORKER = r"""
+import json, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+coord, pid = sys.argv[1], int(sys.argv[2])
+sys.path.insert(0, {repo!r})
+from kmer_hasher_tpu.parallel.distributed import init_distributed
+init_distributed(coord, num_processes=2, process_id=pid)
+
+import numpy as np
+from jax.sharding import Mesh
+from kmer_hasher_tpu.io import read_fastx
+from kmer_hasher_tpu.parallel.sharded import ShardedKmerIndex
+
+seq = read_fastx("/root/reference/test.fa")[0][1][:4000]
+mesh = Mesh(np.asarray(jax.devices()), ("shards",))
+idx = ShardedKmerIndex(seq, 8, mesh)
+tabs = idx.tables(1 | 2 | 8)
+hits = idx.seq_kmer_pos(seq[1000:1200], 8)
+if pid == 0:
+    print("TABLES " + json.dumps({{
+        "total": idx.total_kmers,
+        "n_kmers": idx.n_kmers,
+        "kmer_head": tabs["kmer"][:5],
+        "pos": np.asarray(tabs["pos"]).tolist(),
+        "count": np.asarray(tabs["count"]).tolist(),
+        "hits": np.asarray(hits).tolist(),
+    }}))
+print("WORKER_OK", pid)
+"""
+
+
+def test_two_process_index_build(tmp_path):
+    """ShardedKmerIndex on a 2-process mesh: build, range-partitioned
+    tables, and cross-sequence query all equal the single-process run."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coord = f"localhost:{port}"
+    script = tmp_path / "worker_idx.py"
+    script.write_text(INDEX_WORKER.format(repo=repo))
+    env = {**os.environ,
+           "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+           "JAX_PLATFORMS": "cpu"}
+    procs = [
+        subprocess.Popen([sys.executable, str(script), coord, str(i)],
+                         stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                         env=env)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("distributed workers timed out")
+        outs.append((p.returncode, out.decode(), err.decode()))
+    for rc, out, err in outs:
+        assert rc == 0, f"worker failed:\n{out}\n{err[-2000:]}"
+        assert "WORKER_OK" in out
+    line = next(ln for ln in outs[0][1].splitlines()
+                if ln.startswith("TABLES "))
+    dist = json.loads(line.split(" ", 1)[1])
+
+    import jax
+    from jax.sharding import Mesh
+
+    from kmer_hasher_tpu.io import read_fastx
+    from kmer_hasher_tpu.parallel.sharded import ShardedKmerIndex
+
+    seq = read_fastx("/root/reference/test.fa")[0][1][:4000]
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("shards",))
+    idx = ShardedKmerIndex(seq, 8, mesh)
+    tabs = idx.tables(1 | 2 | 8)
+    assert dist["total"] == idx.total_kmers
+    assert dist["n_kmers"] == idx.n_kmers
+    assert dist["kmer_head"] == tabs["kmer"][:5]
+    np.testing.assert_array_equal(np.asarray(dist["pos"]), tabs["pos"])
+    np.testing.assert_array_equal(np.asarray(dist["count"]), tabs["count"])
+    np.testing.assert_array_equal(np.asarray(dist["hits"]),
+                                  idx.seq_kmer_pos(seq[1000:1200], 8))
+
+
 def test_two_process_high_level_counting(tmp_path):
     """count_kmers_fq_sh_rp(mesh=) on a 2-process mesh: each process feeds
     its row slice of every batch (per-host input sharding), results equal

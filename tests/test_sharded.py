@@ -432,3 +432,43 @@ def test_sharded_multisource_tagged_keyonly(mesh, repeat_40_fq):
     np.testing.assert_array_equal(
         shc.spectrum_n(600, [1, 2, 3], [0, 0, 1], [1, 1]),
         single.spectrum_n(600, [1, 2, 3], [0, 0, 1], [1, 1]))
+
+
+def test_on_device_splitter_sampling(mesh, test_fa):
+    """VERDICT r3: _range_partitioned samples splitters ON DEVICE ([D, S]
+    fetch only) and they equal the host-side strided-quantile derivation
+    from the full shards."""
+    seq = test_fa[:2500]
+    k = 9
+    sh = ShardedKmerIndex(seq, k, mesh)
+    sh._range_partitioned()
+    spl_hi, spl_lo = (np.asarray(sh._rp_spl[0]), np.asarray(sh._rp_spl[1]))
+    # host derivation from the full sorted shards (the old readback path)
+    D, S = sh.n_shards, 64
+    s_hi_np, s_lo_np = np.asarray(sh.s_hi), np.asarray(sh.s_lo)
+    samp = np.zeros((D, S), np.uint64)
+    for d in range(D):
+        nv = max(int(sh.n_valid[d]), 1)
+        idx = (np.arange(S, dtype=np.int64) * nv) // S
+        samp[d] = ((s_hi_np[d][idx].astype(np.uint64) << 32)
+                   | s_lo_np[d][idx].astype(np.uint64))
+    keys = np.sort(samp.reshape(-1))
+    want = keys[[(i + 1) * len(keys) // D for i in range(D - 1)]]
+    np.testing.assert_array_equal(spl_hi, (want >> 32).astype(np.uint32))
+    np.testing.assert_array_equal(spl_lo, want.astype(np.uint32))
+
+
+def test_index_programs_cached_across_builds(mesh, test_fa):
+    """VERDICT r3: a second build at an already-seen capacity reuses the
+    cached shard_map programs (no new trace/compile entries)."""
+    from kmer_hasher_tpu.parallel import sharded as sp
+
+    seq = test_fa[:2000]
+    k = 9
+    a = ShardedKmerIndex(seq, k, mesh)
+    a._range_partitioned()
+    n_before = len(sp._PROGRAMS)
+    b = ShardedKmerIndex(seq, k, mesh)
+    b._range_partitioned()
+    assert len(sp._PROGRAMS) == n_before  # all programs reused
+    assert b.total_kmers == a.total_kmers

@@ -24,8 +24,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "..", ".."))
+if "__file__" in globals():  # direct run; the chip worker adds the repo
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", ".."))
 
 from kmer_hasher_tpu.counting import _fused_rp_batch  # noqa: E402
 from kmer_hasher_tpu.index.count_store import CountStore  # noqa: E402
