@@ -693,18 +693,26 @@ def _checkpoint_progress(store, ckpt_path, src_path, reads_done,
         os.replace(tmp, ckpt_path)
 
 
-def seq_kmer_depth(store: CountStore, seq, k: int) -> np.ndarray:
+def seq_kmer_depth(store: CountStore, seq, k: int,
+                   semantics: str = "intent") -> np.ndarray:
     """``seq.kmer.depth.sh`` (src/kmer_reader.c:155-194): per-position
     canonical k-mer counts, shape (counts_n, len(seq)), NA (INT_MIN) where
-    no valid window exists.
+    no count was written.
 
-    Deliberate deviations from the reference (PARITY.md dev 1-2, 1b):
-    windows overlapping N are NA (the C rolls a stale register across N
-    gaps after exactly-k regions and looks up a partial window at
-    end-of-sequence), and counts are window-start-aligned (the C's rolling
-    branch writes before ++i, shifting every count one column left and
-    dropping each region's first window — found by the compiled-C
-    ground-truth diff, tests/test_ground_truth.py)."""
+    ``semantics="intent"`` (default) deviates deliberately from the
+    reference (PARITY.md dev 1-2, 1b): windows overlapping N are NA (the
+    C rolls a stale register across N gaps after exactly-k regions and
+    looks up a partial window at end-of-sequence), and counts are
+    window-start-aligned (the C's rolling branch writes before ++i,
+    shifting every count one column left and dropping each region's first
+    window — found by the compiled-C ground-truth diff,
+    tests/test_ground_truth.py).
+
+    ``semantics="c"`` reproduces the reference byte-for-byte on the
+    device path (the refsem.seq_kmer_depth default): the one-column
+    shift, the stale-register windows across N gaps, and the
+    partial-window write at end-of-sequence, via post-passes over the
+    batched device encodes (see _seq_kmer_depth_c)."""
     if store.k != k:
         raise ValueError("Receieved error from seq_kmer_counts: k mismatch")
     if isinstance(seq, str):
@@ -712,6 +720,8 @@ def seq_kmer_depth(store: CountStore, seq, k: int) -> np.ndarray:
     elif isinstance(seq, (bytes, bytearray)):
         seq = np.frombuffer(bytes(seq), np.uint8)
     seq = np.asarray(seq, np.uint8)
+    if semantics == "c":
+        return _seq_kmer_depth_c(store, seq, k)
     L = int(seq.shape[0])
     Lp = 1 << max(5, (L - 1).bit_length())
     if Lp != L:
@@ -724,6 +734,162 @@ def seq_kmer_depth(store: CountStore, seq, k: int) -> np.ndarray:
     out = np.full((store.counts_n, L), np.int32(-(2 ** 31)), np.int32)
     sel = np.where(valid_np[:L])[0]
     out[:, sel] = rows[:L][sel].T
+    return out
+
+
+def _seq_kmer_depth_c(store: CountStore, seq: np.ndarray, k: int
+                      ) -> np.ndarray:
+    """Exact-C depth track on the device path (src/kmer_reader.c:155-194,
+    bit-parity with the compiled C core and refsem.seq_kmer_depth's
+    default "c" semantics).
+
+    The C loop is sequential, but its outputs decompose by maximal non-N
+    region into three batched sources (PARITY.md dev 1/1b/2):
+
+    * a build-completing region (len >= k) writes column ``s`` = window(s)
+      then roll-writes column ``c`` = window(c+1) — all plain windows of
+      the ORIGINAL sequence (one batched encode);
+    * a region entered with a STALE register (the region right after an
+      exactly-k build) mixes up to k-1 pre-gap bases into its first
+      windows — exactly the windows of a (prev-k-bases ++ this-region)
+      junction snippet (one batched encode of [J, 2k-1] rows);
+    * an init() that runs off the end writes the partial register's count
+      at column n-k (computed host-side over <= k bases).
+
+    Everything is looked up in ONE batched store.lookup; the planner is
+    O(#regions) numpy."""
+    n = int(seq.shape[0])
+    NA = np.int32(-(2 ** 31))
+    out = np.full((store.counts_n, n), NA, np.int32)
+    if n < k:
+        # the C underflows its output buffer here (PARITY.md dev 2); we
+        # validate and return all-NA
+        return out
+    isn = (seq | np.uint8(0x20)) == np.uint8(ord("n"))
+    d = np.diff((~isn).astype(np.int8), prepend=np.int8(0),
+                append=np.int8(0))
+    r_starts = np.flatnonzero(d == 1)
+    r_ends = np.flatnonzero(d == -1)  # exclusive
+
+    Lp = 1 << max(5, (n - 1).bit_length())
+    padded = seq
+    if Lp != n:
+        padded = np.concatenate([seq, np.full(Lp - n, ord("N"), np.uint8)])
+    hi_o, lo_o, _v = enc.encode_stream(
+        padded, k, n, canonical=True, drop_trailing_exact_k=False
+    )
+    hi_o, lo_o = np.asarray(hi_o), np.asarray(lo_o)
+
+    # --- planner: columns, and where each column's kmer comes from ------
+    cols: list = []          # output column per event
+    src_o: list = []         # original-window start per event (or -1)
+    src_j: list = []         # (junction row, window offset) per event
+    junctions: list = []     # (prev_start, cur_start, cur_len)
+
+    stale = False
+    last_active_end = -1     # end of the last build/stale-rolled region
+    last_active_r = -1
+    m = len(r_starts)
+    for r in range(m):
+        s, e = int(r_starts[r]), int(r_ends[r])
+        Lr = e - s
+        if stale:
+            stale = False
+            last_active_end, last_active_r = e, r
+            jrow = len(junctions)
+            junctions.append((int(r_starts[r - 1]), s, Lr))
+            for t in range(min(Lr, k - 1)):  # mixed-register steps
+                c = s + t - k
+                if c >= 0:
+                    cols.append(c)
+                    src_o.append(-1)
+                    src_j.append((jrow, t + 1))
+            for t in range(k - 1, Lr):       # register pure again
+                c = s + t - k
+                if c >= 0:
+                    cols.append(c)
+                    src_o.append(c + 1)
+                    src_j.append(None)
+            # roll ended at N (or EOS); next region rebuilds
+        elif Lr >= k:
+            last_active_end, last_active_r = e, r
+            if Lr == k:
+                cols.append(s)               # rebuild write survives
+                src_o.append(s)
+                src_j.append(None)
+                stale = True                 # sq[s+k] is N (or EOS)
+            else:
+                for c in range(s, s + Lr - k):  # roll: col c = window(c+1)
+                    cols.append(c)
+                    src_o.append(c + 1)
+                    src_j.append(None)
+        # else: short region in INIT mode — consumed-but-reset, invisible
+
+    # --- end-of-sequence partial write (init ran off the end) -----------
+    partial = None
+    if last_active_end == n:
+        pass  # rolling/build ended exactly at EOS: loop exits, no write
+    elif stale and last_active_r == m - 1:
+        pass  # exactly-k build then Ns to EOS: skip_n exits the loop
+    else:
+        # a rebuild init scanned past last_active_end and hit EOS: its
+        # register holds the LAST region's bases (reset at each earlier
+        # short region), or nothing if only Ns remain
+        if m and last_active_r < m - 1:
+            s, e = int(r_starts[-1]), int(r_ends[-1])
+            tail = seq[s:e]
+        else:
+            tail = seq[:0]
+        off_f = 0
+        off_r = 0
+        for b in tail.tolist():
+            code = (b >> 1) & 3
+            off_f = ((off_f << 2) | code) & 0xFFFFFFFFFFFFFFFF
+            off_r = (off_r >> 2) | (((code + 2) % 4) << 62)
+        mask = (1 << (2 * k)) - 1 if k < 32 else (1 << 64) - 1
+        kmer = min(off_f & mask, off_r >> (64 - 2 * k))
+        partial = (np.uint32(kmer >> 32), np.uint32(kmer & 0xFFFFFFFF))
+        cols.append(n - k)
+        src_o.append(-1)
+        src_j.append(None)
+
+    if not cols:
+        return out
+
+    # --- junction snippet encode (one batched device call) --------------
+    hi_j = lo_j = None
+    if junctions:
+        W = 2 * k - 1
+        Wp = 1 << max(5, (W - 1).bit_length())
+        rows_ = np.full((len(junctions), Wp), ord("N"), np.uint8)
+        for ji, (ps, cs, cl) in enumerate(junctions):
+            rows_[ji, :k] = seq[ps:ps + k]
+            take = min(cl, k - 1)
+            rows_[ji, k:k + take] = seq[cs:cs + take]
+        hj, lj, _vj = enc.encode_stream(
+            rows_, k, np.full(len(junctions), W, np.int64),
+            canonical=True, drop_trailing_exact_k=False,
+        )
+        hi_j, lo_j = np.asarray(hj), np.asarray(lj)
+
+    # --- one batched lookup, then scatter into the track -----------------
+    E = len(cols)
+    q_hi = np.zeros(E, np.uint32)
+    q_lo = np.zeros(E, np.uint32)
+    for i in range(E):
+        if src_j[i] is not None:
+            jr, t = src_j[i]
+            q_hi[i], q_lo[i] = hi_j[jr, t], lo_j[jr, t]
+        elif src_o[i] >= 0:
+            q_hi[i], q_lo[i] = hi_o[src_o[i]], lo_o[src_o[i]]
+        else:
+            q_hi[i], q_lo[i] = partial
+    Ep = 1 << max(3, (E - 1).bit_length())
+    if Ep != E:
+        q_hi = np.concatenate([q_hi, np.zeros(Ep - E, np.uint32)])
+        q_lo = np.concatenate([q_lo, np.zeros(Ep - E, np.uint32)])
+    rows = np.asarray(store.lookup(q_hi, q_lo))[:E]  # [E, counts_n]
+    out[:, np.asarray(cols)] = rows.T
     return out
 
 

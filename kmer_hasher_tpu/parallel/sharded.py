@@ -1667,11 +1667,24 @@ class ShardedCountStore:
         nv = self._global_put(self.n_unique.astype(np.int32))
 
         def fn(cnt, ns):
+            from ..index import count_store as cs
+
             cnt0 = cnt.reshape(cnt.shape[1], -1)[:, 0]
             live = jnp.arange(cnt0.shape[0], dtype=I32) < ns[0]
-            c = jnp.minimum(cnt0.astype(I64), max_count)
-            c = jnp.where(live, c, max_count + 1)
-            spec = jnp.zeros(max_count + 2, jnp.float64).at[c].add(1.0)
+            if cs._use_sort_spectrum():
+                # sort-based histogram (the single-chip _spectrum twin):
+                # scatter-add runs ~8.7 ns/elem on this chip, the u32
+                # sort + bin boundary searches ~3.5
+                c = jnp.minimum(cnt0.astype(U32), np.uint32(max_count))
+                c = jnp.where(live, c, np.uint32(max_count + 1))
+                c_sorted = jax.lax.sort(c, dimension=-1, is_stable=False)
+                bins = jnp.arange(max_count + 3, dtype=U32)
+                idx = jnp.searchsorted(c_sorted, bins, side="left")
+                spec = (idx[1:] - idx[:-1]).astype(jnp.float64)
+            else:
+                c = jnp.minimum(cnt0.astype(I64), max_count)
+                c = jnp.where(live, c, max_count + 1)
+                spec = jnp.zeros(max_count + 2, jnp.float64).at[c].add(1.0)
             return jax.lax.psum(spec[: max_count + 1], axes)
 
         shard_fn = jax.jit(

@@ -280,3 +280,42 @@ def test_q6_packed_counting_matches_unpacked(tmp_path, monkeypatch):
     st_raw = counting.count_kmers_fq_sh_rp(str(path), k=11, min_q=20)
     assert st_packed.counts_dict() == st_raw.counts_dict()
     assert st_packed.total_added.tolist() == st_raw.total_added.tolist()
+
+
+def test_depth_track_c_semantics_matches_refsem(repeat_40_fq):
+    """VERDICT r3: semantics="c" on the device path reproduces the
+    reference's depth loop exactly (one-column shift, stale-register
+    windows across N gaps after exactly-k regions, partial end-of-seq
+    writes) — refsem's "c" mode is the bit-exact oracle
+    (src/kmer_reader.c:155-194, ground-truth tested)."""
+    k = 5
+    st = count_kmers_fq_sh_rp(f"{REF}/repeat_40.fq", k=k, min_q=0,
+                              source_n=2, source=0)
+    reads = [(s, q) for (_n, s, q) in repeat_40_fq]
+    want_st = rs.count_kmers_reads_ll(reads, k=k, min_q_phred=0,
+                                      source=0, source_n=2)
+    base = repeat_40_fq[0][1].decode()
+    rng = np.random.default_rng(11)
+    queries = [
+        base,                                     # no N at all
+        "ACTGG" + "N" + base[:30],                # exactly-k head -> stale
+        base[:25] + "NN" + "ACTGG" + "N" + base[30:60],  # mid stale
+        "ACTGG" + "N" + "GGA" + "NN" + base[:20],  # stale over short region
+        base[:20] + "NNN",                        # trailing Ns (partial 0)
+        base[:20] + "N" + "GGA",                  # trailing short region
+        "ACTGG" + "N",                            # exactly-k then Ns: none
+        "NNNNNNN",                                # all N (partial 0)
+        "GGA",                                    # shorter than k -> NA
+        "ACT" + "N" + "GG",                       # only short regions
+        base[:5],                                 # exactly k, no N
+    ]
+    for _ in range(20):  # fuzz: random N-riddled strings
+        L = int(rng.integers(k, 60))
+        chars = rng.choice(list("ACGTN"), size=L,
+                           p=[0.22, 0.22, 0.22, 0.22, 0.12])
+        queries.append("".join(chars))
+    for q in queries:
+        got = seq_kmer_depth(st, q, k, semantics="c")
+        want = rs.seq_kmer_depth(want_st, q, k, semantics="c")
+        np.testing.assert_array_equal(
+            got, want.astype(np.int64), err_msg=f"query={q!r}")

@@ -1,5 +1,6 @@
 """Deferred (log-structured) merging must be observably identical to eager
 merging, flushing transparently on every read."""
+import jax
 import numpy as np
 
 from kmer_hasher_tpu.index.count_store import CountStore
@@ -475,3 +476,26 @@ def test_multisource_tagged_keyonly_store(monkeypatch):
     assert dicts[0] == dicts[1]
     if True:  # peek computed before the flush above must agree
         assert peek == dicts[0][1]
+
+
+def test_spectrum_sort_equals_scatter(monkeypatch):
+    """VERDICT r3: the sort-based histogram is bit-equal to the scatter
+    form on both store modes (incl. ktree zero-cell accounting)."""
+    rng = np.random.default_rng(7)
+    k = 13
+    n = 4000
+    hi = np.zeros(n, np.uint32)
+    lo = rng.integers(0, 500, n).astype(np.uint32)  # heavy duplicates
+    valid = rng.random(n) < 0.9
+    for mode in ("sh", "ktree"):
+        st = CountStore(k, counts_n=1, mode=mode)
+        st.add_kmers(hi, lo, valid)
+        monkeypatch.setenv("KMH_SORT_SPECTRUM", "1")
+        jax.clear_caches()
+        s_sort = st.spectrum(60)
+        monkeypatch.setenv("KMH_SORT_SPECTRUM", "0")
+        jax.clear_caches()
+        s_scat = st.spectrum(60)
+        monkeypatch.delenv("KMH_SORT_SPECTRUM")
+        jax.clear_caches()
+        np.testing.assert_array_equal(s_sort, s_scat)

@@ -49,6 +49,11 @@ def main():
         old_out, old_err = sys.stdout, sys.stderr
         ok = True
         t = time.time()
+        # drop cached repo modules so each job sees the CURRENT source
+        # (the worker process is long-lived; stale kmer_hasher_tpu modules
+        # made round-3 probe results lie about edited code)
+        for m in [m for m in sys.modules if m.startswith("kmer_hasher_tpu")]:
+            del sys.modules[m]
         try:
             sys.stdout = sys.stderr = buf
             src = open(path).read()
