@@ -369,8 +369,22 @@ class ShardedKmerIndex:
         if splitters is not None:
             return (r_hi, r_lo, r_pos, _host_read(nv))
         self._rp_spl = (spl_hi, spl_lo)
+        # NOTE: this cache holds a full second (key, pos) copy of the
+        # index in HBM (plus _rp_stats) for as long as tables are in use —
+        # at 16 GB/chip it halves the maximum index size once tables()
+        # has been touched. drop_range_partition() releases it.
         self._rp = (r_hi, r_lo, r_pos, _host_read(nv))
         return self._rp
+
+    def drop_range_partition(self) -> None:
+        """Release the cached range-partitioned copy of the index (and its
+        group stats): tables()/iter_pair_chunks keep a full second
+        (key, pos) copy in HBM — call this when done extracting tables to
+        return to single-copy memory use. The next table call rebuilds it
+        (one cached-program re-shard)."""
+        self._rp = None
+        self._rp_spl = None
+        self._rp_stats = None
 
     def _rp_group_stats(self):
         """Per-range-shard segment stats + global kmer-rank bases (cached)."""

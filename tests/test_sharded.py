@@ -472,3 +472,14 @@ def test_index_programs_cached_across_builds(mesh, test_fa):
     b._range_partitioned()
     assert len(sp._PROGRAMS) == n_before  # all programs reused
     assert b.total_kmers == a.total_kmers
+
+
+def test_drop_range_partition(mesh, test_fa):
+    seq = test_fa[:1500]
+    sh = ShardedKmerIndex(seq, 8, mesh)
+    t1 = sh.tables(opt_flag=2)
+    assert sh._rp is not None
+    sh.drop_range_partition()
+    assert sh._rp is None and sh._rp_stats is None
+    t2 = sh.tables(opt_flag=2)  # rebuilds via the cached program
+    np.testing.assert_array_equal(t1["pos"], t2["pos"])

@@ -68,6 +68,16 @@ def main():
         with open(out_path, "w") as f:
             f.write(buf.getvalue())
         os.rename(path, path[:-3] + (".done" if ok else ".fail"))
+        # free every device buffer a job left behind (a failed job's
+        # traceback/jit-cache references otherwise pin GBs of HBM and
+        # poison every following job with RESOURCE_EXHAUSTED)
+        import gc
+
+        import jax
+
+        gc.collect()
+        for arr in jax.live_arrays():
+            arr.delete()
         print(f"finished {name} ok={ok}", flush=True)
         if name == "quit.py":
             return
