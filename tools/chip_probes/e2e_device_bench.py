@@ -37,9 +37,13 @@ def sync1(x):
     return np.asarray(x.ravel()[:1])
 
 
-def make_batches(n_batches, rows, read_len, seed=0):
+def make_batches(n_batches, rows, read_len, seed=0, quals="stress"):
     """Generate padded (seq, qual, lengths, has_qual) batches ON DEVICE
-    (the throttled host cannot generate 100 MB of random bytes quickly)."""
+    (the throttled host cannot generate 100 MB of random bytes quickly).
+
+    quals="stress" mirrors examples/counting_stress.make_reads: phred
+    30-40 with ~2% low-quality bases — realistic window pass/flag rates.
+    quals="uniform" is an adversarial uniform phred 2..40 draw."""
     from kmer_hasher_tpu.io.fastx import col_bucket
 
     Lp = col_bucket(read_len)
@@ -47,12 +51,20 @@ def make_batches(n_batches, rows, read_len, seed=0):
 
     @jax.jit
     def gen(key):
-        k1, k2 = jax.random.split(key)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
         seq = NUC[jax.random.randint(k1, (rows, Lp), 0, 4)]
         col = jnp.arange(Lp)[None, :]
         seq = jnp.where(col < read_len, seq, jnp.uint8(ord("N")))
-        qual = jax.random.randint(k2, (rows, Lp), 33 + 2, 33 + 41
-                                  ).astype(jnp.uint8)
+        if quals == "stress":
+            qual = jax.random.randint(k2, (rows, Lp), 63, 74
+                                      ).astype(jnp.uint8)
+            low = jax.random.uniform(k3, (rows, Lp)) < 0.02
+            lowq = jax.random.randint(k4, (rows, Lp), 35, 53
+                                      ).astype(jnp.uint8)
+            qual = jnp.where(low, lowq, qual)
+        else:
+            qual = jax.random.randint(k2, (rows, Lp), 33 + 2, 33 + 41
+                                      ).astype(jnp.uint8)
         return seq, qual
 
     batches = []
@@ -85,6 +97,8 @@ def run_e2e(batches, k, mode, min_q=20):
     if backlog:
         any_rows = np.asarray(
             jnp.stack([f.any() for _s, _q, _l, f in backlog]))
+        print(f"  [sweep: {int(any_rows.sum())}/{len(backlog)} batches "
+              "flagged]", flush=True)
         for (seq_b, qual_b, len_b, f_b), fl_any in zip(backlog, any_rows):
             if not fl_any:
                 continue
@@ -113,6 +127,33 @@ def run_fused_only(batches, k, mode, min_q=20):
     sync1(jnp.concatenate(heads))
 
 
+def build_runs(batches, k, mode, min_q=20):
+    """Pre-build every batch's LSM run (fused program outputs, retained)."""
+    fsm = {"hybrid": "pallas_hybrid", "fast": "pallas", "exact": "exact"}[
+        mode] if jax.default_backend() == "tpu" else (
+        "hybrid" if mode == "hybrid" else mode)
+    min_ll_f = float(Q_TO_LL[33 + int(min_q)])
+    runs = []
+    for (seq, qual, lengths, has_qual) in batches:
+        r = _fused_rp_batch(seq, qual, lengths, has_qual, k, 1, 0,
+                            min_ll_f, fsm, False, keyonly=True,
+                            min_q_char=33 + int(min_q))
+        runs.append(r)
+    sync1(runs[-1][0])
+    return runs
+
+
+def run_store_only(runs, k):
+    """Time the LSM leg alone: add_run + tier merges + final sync over
+    PRE-BUILT runs."""
+    store = CountStore(k, counts_n=1, mode="sh")
+    for r in runs:
+        store.add_run(r[0], r[1], r[2], r[3], source=0)
+    for run in store._runs:
+        sync1(run[0])
+    return store
+
+
 def run_fsm_only(batches, k, min_q=20):
     from kmer_hasher_tpu.ops.pallas_scan import ll_scan_pallas
 
@@ -136,17 +177,20 @@ def main():
     k = int(os.environ.get("E2E_K", "21"))
     mode = os.environ.get("E2E_MODE", "hybrid")
     read_len = int(os.environ.get("E2E_READLEN", "151"))
+    quals = os.environ.get("E2E_QUALS", "stress")
     n_reads = n_batches * rows
     print(f"e2e device bench: {n_batches} x {rows} rows, k={k}, "
-          f"mode={mode}, {n_reads} reads", flush=True)
+          f"mode={mode}, quals={quals}, {n_reads} reads", flush=True)
     t0 = time.time()
-    batches = make_batches(n_batches, rows, read_len)
+    batches = make_batches(n_batches, rows, read_len, quals=quals)
     print(f"staged {n_reads} reads in HBM in {time.time()-t0:.1f}s",
           flush=True)
+    runs = build_runs(batches, k, mode)
 
     for name, fn in (
         ("FSM", lambda: run_fsm_only(batches, k)),
         ("FUSED", lambda: run_fused_only(batches, k, mode)),
+        ("STORE", lambda: run_store_only(runs, k)),
         ("E2E", lambda: run_e2e(batches, k, mode)),
     ):
         t0 = time.time()
