@@ -300,7 +300,11 @@ def _fused_rp_batch(seq, qual, lengths, has_qual, k: int, counts_n: int,
         emit, fhi, flo, rhi, rlo = ll_scan_pallas(
             seq, qual, lens_q, k, min_ll_f, out_layout="LB"
         )
-        hq_bcast = has_qual[None, :]
+        # the kernel's "LB" outputs are TILE-padded to [Lp, Bp]; pad the
+        # row masks to match (pad rows have length 0, so they never emit)
+        Bp = emit.shape[1]
+        hq_bcast = jnp.pad(has_qual,
+                           (0, Bp - has_qual.shape[0]))[None, :]
     elif fsm == "pallas_hybrid":
         # hybrid on TPU: the Pallas FSM kernel computes the borderline
         # flag in-kernel (ROADMAP §2); flagged reads contribute nothing
@@ -312,7 +316,10 @@ def _fused_rp_batch(seq, qual, lengths, has_qual, k: int, counts_n: int,
             return_flags=True, min_q_char=min_q_char,
         )
         emit = emit & ~flags[None, :]
-        hq_bcast = has_qual[None, :]
+        Bp = emit.shape[1]
+        hq_bcast = jnp.pad(has_qual,
+                           (0, Bp - has_qual.shape[0]))[None, :]
+        flags = flags[: has_qual.shape[0]]  # drop the TILE-pad rows
     elif fsm == "hybrid":
         # fast f32 scan with borderline flags; flagged reads contribute
         # NOTHING here (their windows are re-counted exactly by the
@@ -610,30 +617,7 @@ def count_kmers_fq_sh_rp(path: str, k: int, prefix_bits: int = 20,
     sweep_every = 64
 
     def sweep_backlog():
-        """Re-count the borderline-flagged reads exactly. The batch stays
-        DEVICE-resident in the backlog (no host gather / re-upload) and
-        the sweep reuses the full-batch fused program with ``fsm="exact"``
-        and non-flagged lengths zeroed — the same program shape as every
-        other batch, so hybrid adds at most ONE extra compiled program
-        per batch bucket instead of one per pow-2 flag-count bucket."""
-        if not backlog:
-            return
-        # ONE tiny readback decides which batches re-run: the per-batch
-        # any() reductions stack into a single [n_batches] bool fetch
-        # (each flag vector fetched separately costs ~30 ms of tunnel
-        # latency apiece); the flag vectors themselves stay device-side
-        any_rows = np.asarray(
-            jnp.stack([f.any() for _s, _q, _l, f in backlog]))
-        for (seq_b, qual_b, len_b, f_b), fl_any in zip(backlog, any_rows):
-            if not fl_any:
-                continue
-            lens = jnp.where(f_b, len_b, 0)
-            r = _fused_rp_batch(seq_b, qual_b, lens, f_b, k,
-                                store.counts_n, source, min_ll_f,
-                                "exact", False,
-                                keyonly=store.keyonly_runs)
-            store.add_run(r[0], r[1], r[2], r[3], source=source)
-        backlog.clear()
+        _sweep_backlog(store, backlog, k, source, min_ll_f)
 
     reads_done = int(skip_reads)
     since_ckpt = 0
@@ -672,6 +656,73 @@ def count_kmers_fq_sh_rp(path: str, k: int, prefix_bits: int = 20,
             done=max_reads is None or consumed < max_reads,
         )
     return store
+
+
+_SWEEP_ROWS = 256  # compacted exact-sweep batch rows (static shape)
+
+
+@functools.partial(jax.jit, static_argnames=("rows",))
+def _compact_flagged(seq, qual, lengths, flags, rows: int):
+    """Gather a batch's flagged rows into a small [rows, L] batch,
+    device-side (no host gather / re-upload). Filler rows (when fewer
+    than ``rows`` are flagged) carry length 0, so the exact re-scan
+    ignores them."""
+    _, idx = jax.lax.top_k(flags.astype(jnp.int32), rows)
+
+    def take_rows(x):
+        return jnp.take(x, idx, axis=0)
+
+    if isinstance(seq, tuple):
+        seq_c = tuple(take_rows(p) for p in seq)
+    else:
+        seq_c = take_rows(seq)
+    if isinstance(qual, tuple):  # (qnib, qdict): the dict rides whole
+        qual_c = (take_rows(qual[0]), qual[1])
+    else:
+        qual_c = take_rows(qual)
+    f_c = jnp.take(flags, idx)
+    len_c = jnp.where(f_c, jnp.take(lengths, idx), 0)
+    return seq_c, qual_c, len_c, f_c
+
+
+def _sweep_backlog(store, backlog, k, source, min_ll_f) -> None:
+    """Re-count the borderline-flagged reads exactly (f64), emptying
+    ``backlog`` ([(seq, qual, lengths, flags)] device-resident batches).
+
+    ONE tiny readback (the stacked per-batch flag counts) decides what
+    re-runs; flag vectors stay device-side. A batch with a handful of
+    flagged reads — the overwhelmingly common case: even at ~1e-6 window
+    flag rates nearly every 16K-row batch flags SOME read, which made the
+    old whole-batch exact re-scan cost ~125 ms/batch (e2e_device_bench
+    r3) — compacts its flagged rows into a small [_SWEEP_ROWS, L] batch
+    on device and exact-scans only that (~2 ms). Batches with more
+    flagged rows than _SWEEP_ROWS (adversarial inputs) fall back to the
+    full-batch exact program with non-flagged lengths zeroed. Either way
+    hybrid stays bitwise-equal to exact_ll=True."""
+    if not backlog:
+        return
+    n_flags = np.asarray(
+        jnp.stack([f.sum() for _s, _q, _l, f in backlog]))
+    for (seq_b, qual_b, len_b, f_b), nf in zip(backlog, n_flags):
+        if nf == 0:
+            continue
+        B = int(len_b.shape[0])
+        C = min(_SWEEP_ROWS, B)
+        if nf <= C:
+            seq_c, qual_c, len_c, f_c = _compact_flagged(
+                seq_b, qual_b, len_b, f_b, C)
+            r = _fused_rp_batch(seq_c, qual_c, len_c, f_c, k,
+                                store.counts_n, source, min_ll_f,
+                                "exact", False,
+                                keyonly=store.keyonly_runs)
+        else:
+            lens = jnp.where(f_b, len_b, 0)
+            r = _fused_rp_batch(seq_b, qual_b, lens, f_b, k,
+                                store.counts_n, source, min_ll_f,
+                                "exact", False,
+                                keyonly=store.keyonly_runs)
+        store.add_run(r[0], r[1], r[2], r[3], source=source)
+    backlog.clear()
 
 
 def _checkpoint_progress(store, ckpt_path, src_path, reads_done,

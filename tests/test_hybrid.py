@@ -194,3 +194,57 @@ def test_hybrid_counting_on_borderline_rich_reads(tmp_path):
     np.testing.assert_array_equal(sh_hy.spectrum(600), sh_ex.spectrum(600))
     np.testing.assert_array_equal(np.asarray(exact.spectrum(600)),
                                   np.asarray(sh_hy.spectrum(600)))
+
+
+def test_compacted_sweep_few_flags_and_fallback(monkeypatch):
+    """The round-3 compacted exact sweep: a big batch with a FEW flagged
+    reads re-scans only a small gathered [C, L] batch (C < B), and a
+    batch with more flags than _SWEEP_ROWS falls back to the full-batch
+    exact program — both must add exactly the flagged reads' exact-mode
+    kmers. Flags are injected directly (FSM flag generation is
+    backend-sensitive; the chip e2e bench exercises the organic path)."""
+    from kmer_hasher_tpu.index.count_store import CountStore
+
+    k = 11
+    min_q = 20
+    min_ll_f = float(Q_TO_LL[33 + min_q])
+    rng = np.random.default_rng(7)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    B, L = 512, 64
+    seq = bases[rng.integers(0, 4, size=(B, L))]
+    qual = rng.integers(63, 74, size=(B, L)).astype(np.uint8)
+    lengths = np.full(B, L, np.int32)
+
+    def expected_store(flag_rows):
+        st = CountStore(k, counts_n=1, mode="sh")
+        lens = np.zeros(B, np.int32)
+        lens[flag_rows] = L
+        r = counting._fused_rp_batch(
+            jnp.asarray(seq), jnp.asarray(qual), jnp.asarray(lens),
+            jnp.asarray(lens > 0), k, 1, 0, min_ll_f, "exact", False,
+            keyonly=st.keyonly_runs)
+        st.add_run(r[0], r[1], r[2], r[3], source=0)
+        return st
+
+    compacts = []
+    real_compact = counting._compact_flagged
+
+    def spy(seq, qual, lengths, flags, rows):
+        compacts.append(rows)
+        return real_compact(seq, qual, lengths, flags, rows)
+
+    monkeypatch.setattr(counting, "_compact_flagged", spy)
+    monkeypatch.setattr(counting, "_SWEEP_ROWS", 16)
+    for flag_rows, expect_compact in (([3, 100, 501], True),
+                                      (list(range(0, 340, 20)), False)):
+        flags = np.zeros(B, bool)
+        flags[flag_rows] = True
+        st = CountStore(k, counts_n=1, mode="sh")
+        backlog = [(jnp.asarray(seq), jnp.asarray(qual),
+                    jnp.asarray(lengths), jnp.asarray(flags))]
+        compacts.clear()
+        counting._sweep_backlog(st, backlog, k, 0, min_ll_f)
+        assert backlog == []
+        assert compacts == ([16] if expect_compact else [])
+        want = expected_store(flag_rows)
+        assert st.counts_dict() == want.counts_dict()

@@ -95,18 +95,9 @@ def run_e2e(batches, k, mode, min_q=20):
         if fsm in ("hybrid", "pallas_hybrid"):
             backlog.append((seq, qual, lengths, r[4]))
     if backlog:
-        any_rows = np.asarray(
-            jnp.stack([f.any() for _s, _q, _l, f in backlog]))
-        print(f"  [sweep: {int(any_rows.sum())}/{len(backlog)} batches "
-              "flagged]", flush=True)
-        for (seq_b, qual_b, len_b, f_b), fl_any in zip(backlog, any_rows):
-            if not fl_any:
-                continue
-            lens = jnp.where(f_b, len_b, 0)
-            r = _fused_rp_batch(seq_b, qual_b, lens, f_b, k,
-                                store.counts_n, 0, min_ll_f, "exact",
-                                False, keyonly=store.keyonly_runs)
-            store.add_run(r[0], r[1], r[2], r[3], source=0)
+        from kmer_hasher_tpu.counting import _sweep_backlog
+
+        _sweep_backlog(store, backlog, k, 0, min_ll_f)
     # single final sync: one element of every live tier run
     for run in store._runs:
         sync1(run[0])
