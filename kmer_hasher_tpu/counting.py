@@ -270,12 +270,13 @@ def _add_canonical_fsm(store: CountStore, emit, fhi, flo, rhi, rlo,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "counts_n", "source", "min_ll_f", "fsm",
-                     "with_noq", "keyonly", "min_q_char"),
+                     "with_noq", "keyonly", "min_q_char", "n_win"),
 )
 def _fused_rp_batch(seq, qual, lengths, has_qual, k: int, counts_n: int,
                     source: int, min_ll_f: float, fsm: str,
                     with_noq: bool = False, keyonly: bool = False,
-                    min_q_char: int | None = None):
+                    min_q_char: int | None = None,
+                    n_win: int | None = None):
     """One fused device program for the whole flagship batch pipeline:
     quality-likelihood FSM (+ no-quality encoder rows) -> canonical
     min(fwd, rc) -> batch sort + segment-reduce -> LSM run.
@@ -284,6 +285,13 @@ def _fused_rp_batch(seq, qual, lengths, has_qual, k: int, counts_n: int,
     host dispatch, and the unfused loop issued ~30 of them per batch —
     an order of magnitude over the actual device time.
     Returns (run_hi, run_lo, run_cnt, n_obs[counts_n]).
+
+    ``n_win`` (static) trims the window-start axis to the batch's true
+    maximum (bucketed by the caller): window starts past
+    ``true_max_len - k`` can never emit, but they inflate the run's
+    pow-2 capacity — at 151 bp reads in 192-wide buckets the padded
+    window slots are 1.3x the real ones, and every padded row rides
+    every LSM tier merge afterwards.
     """
     from .index import count_store as cs
 
@@ -336,6 +344,19 @@ def _fused_rp_batch(seq, qual, lengths, has_qual, k: int, counts_n: int,
         )
         hq_bcast = has_qual[:, None]
     chi, clo = enc.canonical_windows(fhi, flo, rhi, rlo)
+    if n_win is not None:
+        # FSM windows are END-aligned (column p = the window ending at
+        # p, ll_scan docstring): columns < k-1 (no full window yet) and
+        # columns >= the true max length never emit — keep exactly the
+        # n_win columns [k-1, n_win + k - 1)
+        if fsm in ("pallas", "pallas_hybrid"):  # [L, B] layout
+            nw_end = min(n_win + k - 1, emit.shape[0])
+            emit = emit[k - 1:nw_end]
+            chi, clo = chi[k - 1:nw_end], clo[k - 1:nw_end]
+        else:  # [B, L] layout
+            nw_end = min(n_win + k - 1, emit.shape[1])
+            emit = emit[:, k - 1:nw_end]
+            chi, clo = chi[:, k - 1:nw_end], clo[:, k - 1:nw_end]
     if not with_noq:
         flat_hi, flat_lo = chi.reshape(-1), clo.reshape(-1)
         flat_ok = (emit & hq_bcast).reshape(-1)
@@ -347,6 +368,9 @@ def _fused_rp_batch(seq, qual, lengths, has_qual, k: int, counts_n: int,
             seq, k, jnp.where(no_q, lengths, 0), canonical=True,
             drop_trailing_exact_k=False,
         )
+        if n_win is not None:
+            nw = min(n_win, v2.shape[1])
+            hi2, lo2, v2 = hi2[:, :nw], lo2[:, :nw], v2[:, :nw]
         flat_hi = jnp.concatenate([chi.reshape(-1), hi2.reshape(-1)])
         flat_lo = jnp.concatenate([clo.reshape(-1), lo2.reshape(-1)])
         flat_ok = jnp.concatenate(
@@ -358,6 +382,9 @@ def _fused_rp_batch(seq, qual, lengths, has_qual, k: int, counts_n: int,
             seq, k, jnp.where(no_q, lengths, 0), canonical=True,
             drop_trailing_exact_k=False,
         )
+        if n_win is not None:
+            nw = min(n_win, v2.shape[1])
+            hi2, lo2, v2 = hi2[:, :nw], lo2[:, :nw], v2[:, :nw]
         chi = jnp.where(hq_bcast, chi, hi2)
         clo = jnp.where(hq_bcast, clo, lo2)
         emit = (emit & hq_bcast) | v2
@@ -619,6 +646,12 @@ def count_kmers_fq_sh_rp(path: str, k: int, prefix_bits: int = 20,
     def sweep_backlog():
         _sweep_backlog(store, backlog, k, source, min_ll_f)
 
+    def win_bucket(lengths_h) -> int:
+        """Static window-axis trim for the batch: bucket the true max
+        read length to a multiple of 16 (bounds program variants)."""
+        lmax = int(lengths_h.max(initial=1))
+        return max(1, -(-lmax // 16) * 16 - k + 1)
+
     reads_done = int(skip_reads)
     since_ckpt = 0
     for b in _iter_padded_batches(
@@ -626,14 +659,15 @@ def count_kmers_fq_sh_rp(path: str, k: int, prefix_bits: int = 20,
             packed=_use_packed_upload()):
         n_recs = int((b.lengths_h > 0).sum())
         with_noq = bool(((~b.has_qual_h) & (b.lengths_h > k)).any())
+        n_win = win_bucket(b.lengths_h)
         run_hi, run_lo, run_cnt, n_obs, flags = _fused_rp_batch(
             b.seq, b.qual, b.lengths, b.has_qual, k, store.counts_n,
             source, min_ll_f, fsm, with_noq, keyonly=store.keyonly_runs,
-            min_q_char=33 + int(min_q),
+            min_q_char=33 + int(min_q), n_win=n_win,
         )
         store.add_run(run_hi, run_lo, run_cnt, n_obs, source=source)
         if fsm in ("hybrid", "pallas_hybrid"):
-            backlog.append((b.seq, b.qual, b.lengths, flags))
+            backlog.append((b.seq, b.qual, b.lengths, flags, n_win))
             if len(backlog) >= sweep_every:
                 sweep_backlog()
         reads_done += n_recs
@@ -702,10 +736,11 @@ def _sweep_backlog(store, backlog, k, source, min_ll_f) -> None:
     if not backlog:
         return
     n_flags = np.asarray(
-        jnp.stack([f.sum() for _s, _q, _l, f in backlog]))
-    for (seq_b, qual_b, len_b, f_b), nf in zip(backlog, n_flags):
+        jnp.stack([b[3].sum() for b in backlog]))
+    for (seq_b, qual_b, len_b, f_b, *rest), nf in zip(backlog, n_flags):
         if nf == 0:
             continue
+        n_win = rest[0] if rest else None
         B = int(len_b.shape[0])
         C = min(_SWEEP_ROWS, B)
         if nf <= C:
@@ -714,13 +749,13 @@ def _sweep_backlog(store, backlog, k, source, min_ll_f) -> None:
             r = _fused_rp_batch(seq_c, qual_c, len_c, f_c, k,
                                 store.counts_n, source, min_ll_f,
                                 "exact", False,
-                                keyonly=store.keyonly_runs)
+                                keyonly=store.keyonly_runs, n_win=n_win)
         else:
             lens = jnp.where(f_b, len_b, 0)
             r = _fused_rp_batch(seq_b, qual_b, lens, f_b, k,
                                 store.counts_n, source, min_ll_f,
                                 "exact", False,
-                                keyonly=store.keyonly_runs)
+                                keyonly=store.keyonly_runs, n_win=n_win)
         store.add_run(r[0], r[1], r[2], r[3], source=source)
     backlog.clear()
 

@@ -62,6 +62,13 @@ def make_batches(n_batches, rows, read_len, seed=0, quals="stress"):
             lowq = jax.random.randint(k4, (rows, Lp), 35, 53
                                       ).astype(jnp.uint8)
             qual = jnp.where(low, lowq, qual)
+        elif quals == "binned":
+            # NovaSeq RTA3 alphabet 'F'/':'/','/'#' (phred 37/25/11/2)
+            bins = jnp.asarray(np.frombuffer(b"F:,#", np.uint8))
+            pick = jax.random.choice(
+                k2, 4, (rows, Lp),
+                p=jnp.asarray([0.88, 0.08, 0.02, 0.02]))
+            qual = bins[pick]
         else:
             qual = jax.random.randint(k2, (rows, Lp), 33 + 2, 33 + 41
                                       ).astype(jnp.uint8)
@@ -78,7 +85,12 @@ def make_batches(n_batches, rows, read_len, seed=0, quals="stress"):
     return batches
 
 
-def run_e2e(batches, k, mode, min_q=20):
+def _n_win(read_len, k):
+    """The production win_bucket: true max length bucketed to mult-16."""
+    return max(1, -(-read_len // 16) * 16 - k + 1)
+
+
+def run_e2e(batches, k, mode, min_q=20, timing=False):
     """The production counting loop over pre-staged device batches."""
     fsm = {"hybrid": "pallas_hybrid", "fast": "pallas", "exact": "exact"}[
         mode] if jax.default_backend() == "tpu" else (
@@ -86,21 +98,31 @@ def run_e2e(batches, k, mode, min_q=20):
     min_ll_f = float(Q_TO_LL[33 + int(min_q)])
     store = CountStore(k, counts_n=1, mode="sh")
     backlog = []
+    t0 = time.time()
     for (seq, qual, lengths, has_qual) in batches:
+        nw = _n_win(int(lengths[0]), k)
         r = _fused_rp_batch(seq, qual, lengths, has_qual, k,
                             store.counts_n, 0, min_ll_f, fsm, False,
                             keyonly=store.keyonly_runs,
-                            min_q_char=33 + int(min_q))
+                            min_q_char=33 + int(min_q), n_win=nw)
         store.add_run(r[0], r[1], r[2], r[3], source=0)
         if fsm in ("hybrid", "pallas_hybrid"):
-            backlog.append((seq, qual, lengths, r[4]))
+            backlog.append((seq, qual, lengths, r[4], nw))
+    t_loop = time.time() - t0
+    t0 = time.time()
     if backlog:
         from kmer_hasher_tpu.counting import _sweep_backlog
 
         _sweep_backlog(store, backlog, k, 0, min_ll_f)
+    t_sweep = time.time() - t0
+    t0 = time.time()
     # single final sync: one element of every live tier run
     for run in store._runs:
         sync1(run[0])
+    t_sync = time.time() - t0
+    if timing:
+        print(f"  [e2e segments: loop-dispatch {t_loop:.2f}s, sweep "
+              f"{t_sweep:.2f}s, final-sync {t_sync:.2f}s]", flush=True)
     return store
 
 
@@ -113,7 +135,8 @@ def run_fused_only(batches, k, mode, min_q=20):
     for (seq, qual, lengths, has_qual) in batches:
         r = _fused_rp_batch(seq, qual, lengths, has_qual, k, 1, 0,
                             min_ll_f, fsm, False, keyonly=True,
-                            min_q_char=33 + int(min_q))
+                            min_q_char=33 + int(min_q),
+                            n_win=_n_win(int(lengths[0]), k))
         heads.append(r[0][:1])
     sync1(jnp.concatenate(heads))
 
@@ -128,7 +151,8 @@ def build_runs(batches, k, mode, min_q=20):
     for (seq, qual, lengths, has_qual) in batches:
         r = _fused_rp_batch(seq, qual, lengths, has_qual, k, 1, 0,
                             min_ll_f, fsm, False, keyonly=True,
-                            min_q_char=33 + int(min_q))
+                            min_q_char=33 + int(min_q),
+                            n_win=_n_win(int(lengths[0]), k))
         runs.append(r)
     sync1(runs[-1][0])
     return runs
@@ -164,8 +188,12 @@ def run_fsm_only(batches, k, min_q=20):
 
 def main():
     n_batches = int(os.environ.get("E2E_BATCHES", "64"))
-    rows = int(os.environ.get("E2E_ROWS", "16384"))
     k = int(os.environ.get("E2E_K", "21"))
+    rl = int(os.environ.get("E2E_READLEN", "151"))
+    # default rows fill the pow-2 run capacity: largest 1024-multiple with
+    # rows * n_win <= 2^22 (99% utilisation vs 68% at pow-2 row buckets)
+    auto = (1 << 22) // _n_win(rl, k) // 1024 * 1024
+    rows = int(os.environ.get("E2E_ROWS", str(auto)))
     mode = os.environ.get("E2E_MODE", "hybrid")
     read_len = int(os.environ.get("E2E_READLEN", "151"))
     quals = os.environ.get("E2E_QUALS", "stress")
@@ -182,7 +210,7 @@ def main():
         ("FSM", lambda: run_fsm_only(batches, k)),
         ("FUSED", lambda: run_fused_only(batches, k, mode)),
         ("STORE", lambda: run_store_only(runs, k)),
-        ("E2E", lambda: run_e2e(batches, k, mode)),
+        ("E2E", lambda: run_e2e(batches, k, mode, timing=True)),
     ):
         t0 = time.time()
         fn()
