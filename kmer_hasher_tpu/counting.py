@@ -233,11 +233,12 @@ def _pad_from_raw(seq_all, qual_all, offsets, qpres, i: int, j: int,
     lens = (offsets[i + 1:j + 1] - offsets[i:j]).astype(np.int64)
     B = j - i
     # Row bucket scales with the ACTUAL batch (pow-2), capped at the nominal
-    # batch_rows bucket: full batches all share one program; a small file or
-    # the final partial batch gets a proportionally small program instead of
-    # paying the full 16K-row pad (keeps CPU tests fast).
-    Bp = 1 << max(3, (max(B, 1) - 1).bit_length())
-    Bp = min(Bp, 1 << max(3, (batch_rows - 1).bit_length()))
+    # batch_rows bucket (a 1024-multiple for tuned batch sizes): full
+    # batches all share one program; a small file or the final partial
+    # batch gets a proportionally small program instead of paying the
+    # full pad (keeps CPU tests fast).
+    from .io.fastx import row_bucket
+    Bp = row_bucket(B, batch_rows)
     Lmax = int(lens.max()) if B else 1
     from .io.fastx import col_bucket
     Lp = col_bucket(Lmax)
@@ -652,11 +653,13 @@ def count_kmers_fq_sh_rp(path: str, k: int, prefix_bits: int = 20,
         lmax = int(lengths_h.max(initial=1))
         return max(1, -(-lmax // 16) * 16 - k + 1)
 
+    batch_rows = _tuned_batch_rows(path, k)
+
     reads_done = int(skip_reads)
     since_ckpt = 0
     for b in _iter_padded_batches(
             path, max_reads, skip=skip_reads, to_device=True,
-            packed=_use_packed_upload()):
+            packed=_use_packed_upload(), batch_rows=batch_rows):
         n_recs = int((b.lengths_h > 0).sum())
         with_noq = bool(((~b.has_qual_h) & (b.lengths_h > k)).any())
         n_win = win_bucket(b.lengths_h)
@@ -758,6 +761,34 @@ def _sweep_backlog(store, backlog, k, source, min_ll_f) -> None:
                                 keyonly=store.keyonly_runs, n_win=n_win)
         store.add_run(r[0], r[1], r[2], r[3], source=source)
     backlog.clear()
+
+
+def _tuned_batch_rows(path: str, k: int) -> Optional[int]:
+    """Pick batch rows so a full batch's windows just fill the pow-2 LSM
+    run capacity: rows = largest 1024-multiple with rows * n_win <= 2^22
+    (~99% capacity utilisation; a pow-2 row bucket at 151 bp reads wastes
+    ~1.9x of every tier merge on dead padding). Uses the FIRST record's
+    length (uniform-length read files — the norm; variable-length files
+    stay correct, just less tuned, since n_win is derived per batch).
+    KMH_BATCH_ROWS overrides; returns None (the reader's default) when
+    the file can't be peeked."""
+    import os
+
+    if os.environ.get("KMH_BATCH_ROWS"):
+        return None  # the reader reads the env itself
+    try:
+        from .io.fastx import iter_fastx
+
+        for recs in iter_fastx(path, batch_size=1, max_records=1):
+            if recs:
+                L0 = len(recs[0][1])
+                n_win = max(1, -(-L0 // 16) * 16 - k + 1)
+                rows = (1 << 22) // n_win // 1024 * 1024
+                return int(min(max(rows, 8192), 65536))
+            break
+    except Exception:  # unreadable here; let the reader raise properly
+        pass
+    return None
 
 
 def _checkpoint_progress(store, ckpt_path, src_path, reads_done,

@@ -143,6 +143,23 @@ class PaddedReads:
         return int(self.seq.shape[0])
 
 
+def row_cap_bucket(batch_records: int) -> int:
+    """Row capacity for FULL batches: a multiple of 1024 (the Pallas FSM
+    tile) instead of a power of two, so tuned batch sizes like 29696
+    (which fill an LSM run's pow-2 capacity to ~99%) keep their exact row
+    count; partial batches still bucket to pow2 below this cap."""
+    if batch_records >= 1024:
+        return -(-batch_records // 1024) * 1024
+    return 1 << max(3, (batch_records - 1).bit_length())
+
+
+def row_bucket(B: int, batch_records: int) -> int:
+    """Padded row count for a batch of B records within a
+    batch_records-sized stream (see row_cap_bucket)."""
+    return min(1 << max(3, (max(B, 1) - 1).bit_length()),
+               row_cap_bucket(batch_records))
+
+
 def col_bucket(lmax: int) -> int:
     """Padded column count for read batches: multiples of 64 above 32
     instead of powers of two — a 151 bp read pads to 192 columns, not

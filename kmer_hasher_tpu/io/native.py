@@ -204,7 +204,9 @@ def _iter_fastx_filled(path: str, batch_records: int,
     h = _lib.fastx_open(os.fsencode(path))
     if not h:
         raise FileNotFoundError(path)
-    row_cap = 1 << max(3, (batch_records - 1).bit_length())
+    from .fastx import row_cap_bucket
+
+    row_cap = row_cap_bucket(batch_records)
     u8p = ctypes.POINTER(ctypes.c_uint8)
     i32p = ctypes.POINTER(ctypes.c_int32)
     try:

@@ -90,7 +90,7 @@ def _n_win(read_len, k):
     return max(1, -(-read_len // 16) * 16 - k + 1)
 
 
-def run_e2e(batches, k, mode, min_q=20, timing=False):
+def run_e2e(batches, k, mode, min_q=20, timing=False, read_len=151):
     """The production counting loop over pre-staged device batches."""
     fsm = {"hybrid": "pallas_hybrid", "fast": "pallas", "exact": "exact"}[
         mode] if jax.default_backend() == "tpu" else (
@@ -98,9 +98,9 @@ def run_e2e(batches, k, mode, min_q=20, timing=False):
     min_ll_f = float(Q_TO_LL[33 + int(min_q)])
     store = CountStore(k, counts_n=1, mode="sh")
     backlog = []
+    nw = _n_win(read_len, k)
     t0 = time.time()
     for (seq, qual, lengths, has_qual) in batches:
-        nw = _n_win(int(lengths[0]), k)
         r = _fused_rp_batch(seq, qual, lengths, has_qual, k,
                             store.counts_n, 0, min_ll_f, fsm, False,
                             keyonly=store.keyonly_runs,
@@ -126,7 +126,7 @@ def run_e2e(batches, k, mode, min_q=20, timing=False):
     return store
 
 
-def run_fused_only(batches, k, mode, min_q=20):
+def run_fused_only(batches, k, mode, min_q=20, read_len=151):
     fsm = {"hybrid": "pallas_hybrid", "fast": "pallas", "exact": "exact"}[
         mode] if jax.default_backend() == "tpu" else (
         "hybrid" if mode == "hybrid" else mode)
@@ -136,12 +136,12 @@ def run_fused_only(batches, k, mode, min_q=20):
         r = _fused_rp_batch(seq, qual, lengths, has_qual, k, 1, 0,
                             min_ll_f, fsm, False, keyonly=True,
                             min_q_char=33 + int(min_q),
-                            n_win=_n_win(int(lengths[0]), k))
+                            n_win=_n_win(read_len, k))
         heads.append(r[0][:1])
     sync1(jnp.concatenate(heads))
 
 
-def build_runs(batches, k, mode, min_q=20):
+def build_runs(batches, k, mode, min_q=20, read_len=151):
     """Pre-build every batch's LSM run (fused program outputs, retained)."""
     fsm = {"hybrid": "pallas_hybrid", "fast": "pallas", "exact": "exact"}[
         mode] if jax.default_backend() == "tpu" else (
@@ -152,7 +152,7 @@ def build_runs(batches, k, mode, min_q=20):
         r = _fused_rp_batch(seq, qual, lengths, has_qual, k, 1, 0,
                             min_ll_f, fsm, False, keyonly=True,
                             min_q_char=33 + int(min_q),
-                            n_win=_n_win(int(lengths[0]), k))
+                            n_win=_n_win(read_len, k))
         runs.append(r)
     sync1(runs[-1][0])
     return runs
@@ -204,13 +204,15 @@ def main():
     batches = make_batches(n_batches, rows, read_len, quals=quals)
     print(f"staged {n_reads} reads in HBM in {time.time()-t0:.1f}s",
           flush=True)
-    runs = build_runs(batches, k, mode)
+    runs = build_runs(batches, k, mode, read_len=read_len)
 
     for name, fn in (
         ("FSM", lambda: run_fsm_only(batches, k)),
-        ("FUSED", lambda: run_fused_only(batches, k, mode)),
+        ("FUSED", lambda: run_fused_only(batches, k, mode,
+                                         read_len=read_len)),
         ("STORE", lambda: run_store_only(runs, k)),
-        ("E2E", lambda: run_e2e(batches, k, mode, timing=True)),
+        ("E2E", lambda: run_e2e(batches, k, mode, timing=True,
+                                read_len=read_len)),
     ):
         t0 = time.time()
         fn()
