@@ -695,7 +695,7 @@ def count_kmers_fq_sh_rp(path: str, k: int, prefix_bits: int = 20,
     return store
 
 
-_SWEEP_ROWS = 256  # compacted exact-sweep batch rows (static shape)
+_SWEEP_ROWS = (256, 2048)  # compacted exact-sweep row buckets (static)
 
 
 @functools.partial(jax.jit, static_argnames=("rows",))
@@ -731,22 +731,25 @@ def _sweep_backlog(store, backlog, k, source, min_ll_f) -> None:
     flagged reads — the overwhelmingly common case: even at ~1e-6 window
     flag rates nearly every 16K-row batch flags SOME read, which made the
     old whole-batch exact re-scan cost ~125 ms/batch (e2e_device_bench
-    r3) — compacts its flagged rows into a small [_SWEEP_ROWS, L] batch
-    on device and exact-scans only that (~2 ms). Batches with more
-    flagged rows than _SWEEP_ROWS (adversarial inputs) fall back to the
-    full-batch exact program with non-flagged lengths zeroed. Either way
-    hybrid stays bitwise-equal to exact_ll=True."""
+    r3) — compacts its flagged rows into the smallest fitting
+    [_SWEEP_ROWS bucket, L] batch on device and exact-scans only that
+    (~2-8 ms). Batches with more flagged rows than the largest bucket
+    (adversarial inputs) fall back to the full-batch exact program with
+    non-flagged lengths zeroed. Either way hybrid stays bitwise-equal to
+    exact_ll=True."""
     if not backlog:
         return
     n_flags = np.asarray(
         jnp.stack([b[3].sum() for b in backlog]))
+    buckets = (_SWEEP_ROWS if isinstance(_SWEEP_ROWS, (tuple, list))
+               else (_SWEEP_ROWS,))
     for (seq_b, qual_b, len_b, f_b, *rest), nf in zip(backlog, n_flags):
         if nf == 0:
             continue
         n_win = rest[0] if rest else None
         B = int(len_b.shape[0])
-        C = min(_SWEEP_ROWS, B)
-        if nf <= C:
+        C = next((min(c, B) for c in buckets if nf <= min(c, B)), None)
+        if C is not None and C < B:
             seq_c, qual_c, len_c, f_c = _compact_flagged(
                 seq_b, qual_b, len_b, f_b, C)
             r = _fused_rp_batch(seq_c, qual_c, len_c, f_c, k,
