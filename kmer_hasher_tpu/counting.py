@@ -1040,7 +1040,8 @@ def _count_rp_sharded(path, k, min_q, max_reads, source_n, source, store,
     min_ll_f = float(Q_TO_LL[33 + int(min_q)])
     for seq, qual, lengths, has_qual in _iter_padded_batches(
             path, max_reads, skip=skip_reads,
-            packed=_use_packed_upload()):
+            packed=_use_packed_upload(),
+            batch_rows=_tuned_batch_rows(path, k)):
         n_recs = int((lengths > 0).sum())
         packed = isinstance(seq, tuple)
         packed_q = isinstance(qual, tuple)
@@ -1072,11 +1073,14 @@ def _count_rp_sharded(path, k, min_q, max_reads, source_n, source, store,
         if not (with_q or with_noq):
             continue
         # ONE fused shard_map program per batch: FSM + canonical +
-        # routing + run build (the sharded twin of _fused_rp_batch)
+        # routing + run build (the sharded twin of _fused_rp_batch);
+        # n_win from the FULL batch so it matches across processes
+        lmax = int(lengths.max(initial=1))
+        n_win = max(1, -(-lmax // 16) * 16 - k + 1)
         store.add_reads(seq, qual, lengths, has_qual, min_ll_f,
                         precision=precision, source=source,
                         with_q=with_q, with_noq=with_noq,
-                        min_q_char=33 + int(min_q))
+                        min_q_char=33 + int(min_q), n_win=n_win)
         reads_done += n_recs
         since_ckpt += n_recs
         if checkpoint_every is not None and since_ckpt >= checkpoint_every:

@@ -1322,7 +1322,8 @@ class ShardedCountStore:
     def add_reads(self, seq, qual, lengths, has_qual, min_ll_f: float,
                   precision: str = "fast", source: int = 0,
                   with_q: bool = True, with_noq: bool = False,
-                  min_q_char: int | None = None):
+                  min_q_char: int | None = None,
+                  n_win: int | None = None):
         """Fused sharded counterpart of counting._fused_rp_batch: the
         whole read batch — quality-likelihood FSM (+ no-quality encoder
         rows) -> canonical -> all_to_all routing -> per-shard sorted run —
@@ -1337,6 +1338,10 @@ class ShardedCountStore:
         across the collective)."""
         from ..ops import encode as enc
         from ..ops import scan_iter as si
+
+        # ``n_win`` (static, identical on every process — derived from the
+        # FULL batch) trims the window axis like counting._fused_rp_batch:
+        # dead window columns inflate the routed runs' pow-2 capacities
 
         axes, k = self.axes, self.k
         onehot = jnp.zeros(self.counts_n, U32).at[source].set(1)
@@ -1405,12 +1410,24 @@ class ShardedCountStore:
                     chi, clo = enc.canonical_windows(out[1], out[2],
                                                      out[3], out[4])
                     emit = out[0]
+                    if n_win is not None:
+                        # FSM windows are END-aligned: live ends sit in
+                        # [k-1, true_max_len)
+                        nw = max(1, min(n_win, emit.shape[1] - k + 1))
+                        emit = emit[:, k - 1:k - 1 + nw]
+                        chi = chi[:, k - 1:k - 1 + nw]
+                        clo = clo[:, k - 1:k - 1 + nw]
                 if with_noq:
                     hi2, lo2, v2 = enc.encode_stream(
                         seq, k, jnp.where(~hq, lens, 0), canonical=True,
                         drop_trailing_exact_k=False,
                     )
                     v2 = v2 & (lens > k)[:, None]
+                    if n_win is not None:
+                        # encoder windows are START-aligned
+                        nw = max(1, min(n_win, v2.shape[1] - k + 1))
+                        hi2, lo2, v2 = (hi2[:, :nw], lo2[:, :nw],
+                                        v2[:, :nw])
                     if chi is None:
                         chi, clo, emit = hi2, lo2, v2
                     else:
@@ -1435,7 +1452,8 @@ class ShardedCountStore:
         keyonly = self.keyonly_runs
         shard_fn = self._program(
             ("add_reads", source, float(min_ll_f), precision, with_q,
-             with_noq, packed, packed_q, keyonly, min_q_char), build,
+             with_noq, packed, packed_q, keyonly, min_q_char, n_win),
+            build,
         )
         out = shard_fn(seq, qual, lengths, has_qual)
         if keyonly:
