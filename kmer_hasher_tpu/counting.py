@@ -448,13 +448,14 @@ def _progress(report_every: Optional[int], name: str):
 
 @functools.partial(
     jax.jit, static_argnames=("k", "counts_n", "min_q_char", "with_q",
-                              "with_noq", "keyonly")
+                              "with_noq", "keyonly", "n_win")
 )
 def _fused_threshold_batch(seq, qual, lengths, has_qual, k: int,
                            counts_n: int, min_q_char: int, with_q: bool,
-                           with_noq: bool, keyonly: bool = False):
+                           with_noq: bool, keyonly: bool = False,
+                           n_win: int | None = None):
     """Fused batch program for the per-base-threshold entries (same
-    dispatch-cost rationale as _fused_rp_batch)."""
+    dispatch-cost and window-trim rationale as _fused_rp_batch)."""
     from .index import count_store as cs
 
     if isinstance(seq, tuple):  # compact upload form: (codes, nmask)
@@ -462,6 +463,15 @@ def _fused_threshold_batch(seq, qual, lengths, has_qual, k: int,
     if isinstance(qual, tuple):  # 4-bit dictionary form: (qnib, qdict)
         qual = enc.unpack_qual(*qual)
     mq = jnp.asarray(min_q_char)
+
+    def trim(chi, clo, ok):
+        if n_win is None:
+            return chi, clo, ok
+        # threshold_scan windows are END-aligned like ll_scan's
+        nw = max(1, min(n_win, ok.shape[1] - k + 1))
+        return (chi[:, k - 1:k - 1 + nw], clo[:, k - 1:k - 1 + nw],
+                ok[:, k - 1:k - 1 + nw])
+
     parts = []
     if with_q:
         out = si.threshold_scan(
@@ -469,14 +479,14 @@ def _fused_threshold_batch(seq, qual, lengths, has_qual, k: int,
             has_qual=True,
         )
         chi, clo = enc.canonical_windows(*out[1:])
-        parts.append((chi, clo, out[0] & has_qual[:, None]))
+        parts.append(trim(chi, clo, out[0] & has_qual[:, None]))
     if with_noq:
         out = si.threshold_scan(
             seq, qual, jnp.where(~has_qual, lengths, 0), k, mq,
             has_qual=False,
         )
         chi, clo = enc.canonical_windows(*out[1:])
-        parts.append((chi, clo, out[0] & (~has_qual)[:, None]))
+        parts.append(trim(chi, clo, out[0] & (~has_qual)[:, None]))
     flat_hi = jnp.concatenate([p[0].reshape(-1) for p in parts])
     flat_lo = jnp.concatenate([p[1].reshape(-1) for p in parts])
     flat_ok = jnp.concatenate([p[2].reshape(-1) for p in parts])
@@ -500,15 +510,18 @@ def _count_fastq_threshold(path: str, k: int, min_q: int,
     min_q_char = 33 + int(min_q)  # '!' + q, src/kmer_hash.c:633
     meter = _progress(report_every, f"count_fq[{path}]")
     for b in _iter_padded_batches(
-            path, max_reads, packed=_use_packed_upload(), to_device=True):
+            path, max_reads, packed=_use_packed_upload(), to_device=True,
+            batch_rows=_tuned_batch_rows(path, k)):
         n_recs = int((b.lengths_h > 0).sum())
         with_q = bool(b.has_qual_h.any())
         with_noq = bool(((~b.has_qual_h) & (b.lengths_h > 0)).any())
         if not (with_q or with_noq):
             continue
+        lmax = int(b.lengths_h.max(initial=1))
         run_hi, run_lo, run_cnt, n_obs = _fused_threshold_batch(
             b.seq, b.qual, b.lengths, b.has_qual, k, store.counts_n,
             min_q_char, with_q, with_noq, keyonly=store.keyonly_runs,
+            n_win=max(1, -(-lmax // 16) * 16 - k + 1),
         )
         store.add_run(run_hi, run_lo, run_cnt, n_obs)
         if meter:
