@@ -131,3 +131,25 @@ def test_k16_all_g_kmers_with_invalid_tail():
     np.testing.assert_array_equal(idx.counts(), t["count"])
     np.testing.assert_array_equal(idx.pos_table(), t["pos"])
     np.testing.assert_array_equal(idx.pair_table(), t["pair.pos"])
+
+
+def test_build_many_matches_individual(test_fa):
+    """KmerIndex.build_many: one batched device build per length bucket,
+    each result byte-identical to an individually built index."""
+    from kmer_hasher_tpu.index import KmerIndex
+
+    k = 9
+    seqs = [test_fa[:500], test_fa[500:1700], test_fa[1700:1764],
+            test_fa[2000:2500], "ACTG" * 40 + "N" + "GGATC" * 30]
+    many = KmerIndex.build_many(seqs, k)
+    assert len(many) == len(seqs)
+    for s, ix in zip(seqs, many):
+        one = KmerIndex(s, k)
+        assert ix.n_valid == one.n_valid
+        assert ix.n_kmers == one.n_kmers
+        t_many = ix.tables(opt_flag=15)
+        t_one = one.tables(opt_flag=15)
+        assert t_many["kmer"] == t_one["kmer"]
+        np.testing.assert_array_equal(t_many["pos"], t_one["pos"])
+        np.testing.assert_array_equal(t_many["pair.pos"], t_one["pair.pos"])
+        np.testing.assert_array_equal(t_many["count"], t_one["count"])
