@@ -170,7 +170,8 @@ def cmd_depth(a):
     from .utils import checkpoint as ckpt
 
     store = ckpt.load_count_store(a.store)
-    d = seq_kmer_depth(store, _read_first_seq(a.fasta), a.k)
+    d = seq_kmer_depth(store, _read_first_seq(a.fasta), a.k,
+                       semantics=a.semantics)
     np.save(a.out, d)
     print(json.dumps({"shape": list(d.shape), "out": a.out}))
 
@@ -248,6 +249,11 @@ def main(argv=None):
     s.add_argument("fasta")
     s.add_argument("-k", type=int, required=True)
     s.add_argument("-o", "--out", required=True)
+    s.add_argument("--semantics", choices=["intent", "c"],
+                   default="intent",
+                   help="'c' reproduces the reference's depth loop "
+                        "byte-for-byte incl. its column shift and "
+                        "stale-register windows (PARITY.md)")
     s.set_defaults(fn=cmd_depth)
 
     a = p.parse_args(argv)
