@@ -176,13 +176,15 @@ class KmerIndex:
         program (contigs, transcripts, amplicons — the reference loops
         make.kmer.hash per sequence, src/kmer_hash.c:506-540).
 
-        The batched [B, L] sort runs well above the flat single-sequence
-        rate on TPU (chip probe G4: 1.11-2.88 ns/elem for row lengths
-        2^11..2^17 vs 3.6 flat), so B same-bucket sequences cost far
-        less than B separate builds. Sequences bucket by padded length;
-        each bucket is one build_index_arrays call. Returns one
-        KmerIndex per input, in input order, each indistinguishable
-        from a individually-built one."""
+        The batched [B, L] sort beats the flat single-sequence rate on
+        TPU for MANY SHORT rows (zb_build_many probe: 327 Mk/s full
+        build at [256, 2^14] vs the 268 Mk/s flat headline) but XLA's
+        per-row sort degrades for few long rows (41 Mk/s at [1, 2^25]),
+        so buckets with long rows or too few rows route to individual
+        1-D builds (the flat-sort path). Sequences bucket by padded
+        length; each short bucket is one build_index_arrays call.
+        Returns one KmerIndex per input, in input order, each
+        indistinguishable from an individually-built one."""
         if not 1 <= k <= MAX_K:
             raise ValueError("k must be a positive integer less than 1+MAX_K")
         arrs = []
@@ -204,6 +206,12 @@ class KmerIndex:
             by_bucket.setdefault(L_pad, []).append(i)
         out: List[Optional[KmerIndex]] = [None] * len(arrs)
         for L_pad, idxs in sorted(by_bucket.items()):
+            if L_pad > (1 << 16) or len(idxs) < 4:
+                # measured crossover: long rows / tiny batches sort
+                # faster on the flat 1-D path
+                for i in idxs:
+                    out[i] = cls(arrs[i], k)
+                continue
             mat = np.full((len(idxs), L_pad), ord("N"), np.uint8)
             lens = np.empty(len(idxs), np.int64)
             for r, i in enumerate(idxs):
