@@ -781,11 +781,13 @@ def _sweep_backlog(store, backlog, k, source, min_ll_f) -> None:
 
 def _tuned_batch_rows(path: str, k: int) -> Optional[int]:
     """Pick batch rows so a full batch's windows just fill the pow-2 LSM
-    run capacity: rows = largest 1024-multiple with rows * n_win <= 2^22
+    run capacity: rows = largest 1024-multiple with rows * n_win <= 2^23
     (~99% capacity utilisation; a pow-2 row bucket at 151 bp reads wastes
-    ~1.9x of every tier merge on dead padding). Uses the FIRST record's
-    length (uniform-length read files — the norm; variable-length files
-    stay correct, just less tuned, since n_win is derived per batch).
+    ~1.9x of every tier merge on dead padding, and bigger runs mean one
+    fewer merge level per read — 2^23 measured 6-11% over 2^22 on the
+    device e2e/STORE legs). Uses the FIRST record's length
+    (uniform-length read files — the norm; variable-length files stay
+    correct, just less tuned, since n_win is derived per batch).
     KMH_BATCH_ROWS overrides; returns None (the reader's default) when
     the file can't be peeked."""
     import os
@@ -799,7 +801,7 @@ def _tuned_batch_rows(path: str, k: int) -> Optional[int]:
             if recs:
                 L0 = len(recs[0][1])
                 n_win = max(1, -(-L0 // 16) * 16 - k + 1)
-                rows = (1 << 22) // n_win // 1024 * 1024
+                rows = (1 << 23) // n_win // 1024 * 1024
                 return int(min(max(rows, 8192), 65536))
             break
     except Exception:  # unreadable here; let the reader raise properly
