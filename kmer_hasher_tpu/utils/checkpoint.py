@@ -29,7 +29,13 @@ def save_count_store(store, path, progress=None) -> None:
     meta blob; ``load_count_store`` restores either). ``progress`` is an
     optional JSON-serialisable resume cursor (e.g. source file + reads
     consumed) stored in the meta blob — read it back with
-    ``load_progress``."""
+    ``load_progress``.
+
+    Multi-process note: the fold/allgather inside is collective (every
+    process must call), but only process 0 writes the file. A caller
+    that immediately RELOADS on every process must barrier first
+    (``multihost_utils.sync_global_devices``) — normal resume flows load
+    in a fresh run and need no barrier."""
     if hasattr(store, "mesh"):  # ShardedCountStore (import-cycle-free)
         return _save_sharded_count_store(store, path, progress)
     store.flush()

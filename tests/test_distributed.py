@@ -138,7 +138,19 @@ mesh = Mesh(np.asarray(jax.devices()), ("shards",))
 store = count_kmers_fq_sh_rp("/root/reference/test.fastq.gz", 11, min_q=20,
                              max_reads=64, mesh=mesh)
 spec = store.spectrum(50)  # collective: every process participates
+# multi-process checkpoint round-trip: save (process 0 writes), restore on
+# the same mesh, spectra must match bitwise
+import tempfile, os
+from kmer_hasher_tpu.utils import checkpoint as ckpt
+path = os.path.join(tempfile.gettempdir(), "kmh_dist_ckpt_test.npz")
+ckpt.save_count_store(store, path)
+from jax.experimental import multihost_utils
+multihost_utils.sync_global_devices("ckpt_written")  # 0 wrote the file
+restored = ckpt.load_count_store(path, mesh=mesh)
+rspec = restored.spectrum(50)
+assert (rspec == spec).all(), "checkpoint round-trip spectrum mismatch"
 if pid == 0:
+    os.unlink(path)
     print("SPECTRUM " + json.dumps(spec.tolist()))
     print("TOTAL " + json.dumps(store.total_added.tolist()))
 print("WORKER_OK", pid)
