@@ -78,6 +78,12 @@ def main():
         gc.collect()
         for arr in jax.live_arrays():
             arr.delete()
+        if not ok:
+            # a crashed job can leave executables whose device constants
+            # live_arrays() doesn't track; drop the jit caches too (the
+            # persistent compile cache makes reloads cheap)
+            jax.clear_caches()
+            gc.collect()
         print(f"finished {name} ok={ok}", flush=True)
         if name == "quit.py":
             return
