@@ -319,3 +319,21 @@ def test_depth_track_c_semantics_matches_refsem(repeat_40_fq):
         want = rs.seq_kmer_depth(want_st, q, k, semantics="c")
         np.testing.assert_array_equal(
             got, want.astype(np.int64), err_msg=f"query={q!r}")
+
+
+def test_tuned_batch_rows():
+    """Tuned rows fill the 2^23 run capacity: 151 bp -> n_win 140 ->
+    59392 rows (1024-multiple), clamped to [8192, 65536]; env override
+    returns None so the reader's env path wins."""
+    from kmer_hasher_tpu.counting import _tuned_batch_rows
+
+    rows = _tuned_batch_rows(f"{REF}/repeat_40.fq", 21)  # 250 bp reads
+    # 250 -> bucket16 256 -> n_win 236 -> 2^23//236//1024*1024 = 34816
+    assert rows == 34816
+    import os
+    os.environ["KMH_BATCH_ROWS"] = "12345"
+    try:
+        assert _tuned_batch_rows(f"{REF}/repeat_40.fq", 21) is None
+    finally:
+        del os.environ["KMH_BATCH_ROWS"]
+    assert _tuned_batch_rows("/nonexistent.fq", 21) is None
