@@ -139,7 +139,8 @@ def bitonic_merge_lanes(lanes, n_keys: int, log_tail: int = 11):
     allocation for a 400 MB intermediate, e2e bench r3), while the 2-D
     row view is layout-perfect at every size."""
 
-    def cx(x, y):
+    def cxl(x, y):
+        """Compare-exchange two lane lists: returns (mins, maxs)."""
         if n_keys == 1:
             le = x[0] <= y[0]
         elif n_keys == 2:
@@ -149,19 +150,37 @@ def bitonic_merge_lanes(lanes, n_keys: int, log_tail: int = 11):
             le = ((x[0] < y[0])
                   | ((x[0] == y[0]) & (x[1] < y[1]))
                   | (eq01 & (x[2] <= y[2])))
-        return le
+        return ([jnp.where(le, xa, ya) for xa, ya in zip(x, y)],
+                [jnp.where(le, ya, xa) for xa, ya in zip(x, y)])
 
     M = lanes[0].shape[0]
     Lt = min(M, 1 << log_tail)
     stride = M // 2
+    while stride // 2 >= Lt:
+        # fused stage PAIR (strides 2s then s): both exchanges live
+        # within a 4s block, so the [.., 4, s] view does two network
+        # stages in ONE HBM pass (chip probe zi: 2.21 -> 1.78 ns/elem
+        # on a full 2^24 (u32,u32) merge)
+        s = stride // 2
+        v = [a.reshape(-1, 4, s) for a in lanes]
+        r0 = [a[:, 0] for a in v]
+        r1 = [a[:, 1] for a in v]
+        r2 = [a[:, 2] for a in v]
+        r3 = [a[:, 3] for a in v]
+        r0, r2 = cxl(r0, r2)  # stride 2s: (0,2)
+        r1, r3 = cxl(r1, r3)  # stride 2s: (1,3)
+        r0, r1 = cxl(r0, r1)  # stride s: (0,1)
+        r2, r3 = cxl(r2, r3)  # stride s: (2,3)
+        lanes = [
+            jnp.stack([a, b, c, d], axis=1).reshape(M)
+            for a, b, c, d in zip(r0, r1, r2, r3)
+        ]
+        stride //= 4
     while stride >= Lt:
         v = [a.reshape(-1, 2, stride) for a in lanes]
-        x = [a[:, 0, :] for a in v]
-        y = [a[:, 1, :] for a in v]
-        le = cx(x, y)
+        x, y = cxl([a[:, 0, :] for a in v], [a[:, 1, :] for a in v])
         lanes = [
-            jnp.stack([jnp.where(le, xa, ya), jnp.where(le, ya, xa)],
-                      axis=1).reshape(M)
+            jnp.stack([xa, ya], axis=1).reshape(M)
             for xa, ya in zip(x, y)
         ]
         stride //= 2
