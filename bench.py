@@ -51,10 +51,14 @@ def main() -> None:
         def body(i, carry):
             seq, acc = carry
             seq = seq.at[i].set(NUC[i % 4])
-            s_hi, _s_lo, _s_pos, n_valid, _st, _sg = build_index_arrays(
+            s_hi, s_lo, _s_pos, n_valid, _st, _sg = build_index_arrays(
                 seq, K, L
             )
-            return seq, acc + n_valid + s_hi[0].astype(jnp.int32)
+            # consume sort-dependent values from BOTH key lanes: for
+            # k <= 16 s_hi is identically zero and an s_hi-only
+            # accumulator lets XLA dead-code-eliminate the whole sort
+            return seq, (acc + n_valid + s_hi[0].astype(jnp.int32)
+                         + s_lo[0].astype(jnp.int32))
         _, acc = jax.lax.fori_loop(0, CHAIN, body, (seq, jnp.int32(0)))
         return acc
 
