@@ -337,3 +337,37 @@ def test_tuned_batch_rows():
     finally:
         del os.environ["KMH_BATCH_ROWS"]
     assert _tuned_batch_rows("/nonexistent.fq", 21) is None
+
+
+def test_fused_batch_n_win_trim_equivalence():
+    """The static window-axis trim must not change results: same run
+    contents with and without n_win, on pure-qual, pure-noq, and MIXED
+    has_qual batches (the where-mixed branch aligns FSM end-aligned and
+    encoder start-aligned columns)."""
+    from kmer_hasher_tpu.counting import _fused_rp_batch
+    from kmer_hasher_tpu.qll import Q_TO_LL
+
+    rng = np.random.default_rng(3)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    B, L, k = 16, 64, 9
+    seq = bases[rng.integers(0, 4, (B, L))]
+    qual = rng.integers(63, 74, (B, L)).astype(np.uint8)
+    lengths = rng.integers(k + 1, 42, B).astype(np.int32)  # lmax < L
+    min_ll_f = float(Q_TO_LL[33 + 20])
+    lmax = int(lengths.max())
+    n_win = max(1, -(-lmax // 16) * 16 - k + 1)
+    for hq in (np.ones(B, bool), np.zeros(B, bool),
+               rng.random(B) < 0.5):
+        ref = _fused_rp_batch(seq, qual, lengths, hq, k, 1, 0, min_ll_f,
+                              "fast", True, keyonly=True)
+        got = _fused_rp_batch(seq, qual, lengths, hq, k, 1, 0, min_ll_f,
+                              "fast", True, keyonly=True, n_win=n_win)
+        # run contents are sorted unique keys; compare live prefixes via
+        # the multiset of live (hi, lo)
+        def live(r):
+            h, lo_ = np.asarray(r[0]), np.asarray(r[1])
+            m = ~((h == 0xFFFFFFFF) & (lo_ == 0xFFFFFFFF))
+            return sorted(zip(h[m].tolist(), lo_[m].tolist()))
+        assert live(got) == live(ref)
+        np.testing.assert_array_equal(np.asarray(got[3]),
+                                      np.asarray(ref[3]))
