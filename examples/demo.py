@@ -104,6 +104,17 @@ print(f"seq.kmer.depth: read 0 depth track, "
       f"{int((d[0] != NA).sum())} valid columns, max depth "
       f"{int(d[0][d[0] != NA].max())}")
 
+# --- exact-C depth semantics + batched index construction (round 3) --------
+d_c = seq_kmer_depth(store, read0, k=21, semantics="c")
+print(f"seq.kmer.depth semantics='c': byte-exact reference track, "
+      f"{int((d_c[0] != NA).sum())} written columns (note the one-column "
+      "shift the C code applies)")
+from kmer_hasher_tpu.api import make_kmer_hash_many
+contigs = [seq[i:i + 3000] for i in range(0, 12000, 3000)]
+idxs = make_kmer_hash_many(contigs, k=12)
+print(f"make_kmer_hash_many: {len(idxs)} contigs indexed in one batched "
+      f"build, {sum(ix.n_kmers for ix in idxs)} distinct 12-mers total")
+
 # --- save / restore --------------------------------------------------------
 ckpt.save_count_store(store, "/tmp/kmh_store.npz")
 store2 = ckpt.load_count_store("/tmp/kmh_store.npz")
