@@ -737,7 +737,9 @@ def _compact_flagged(seq, qual, lengths, flags, rows: int):
 
 def _sweep_backlog(store, backlog, k, source, min_ll_f) -> None:
     """Re-count the borderline-flagged reads exactly (f64), emptying
-    ``backlog`` ([(seq, qual, lengths, flags)] device-resident batches).
+    ``backlog`` ([(seq, qual, lengths, flags[, n_win])] device-resident
+    batches; the optional trailing n_win is the batch's static
+    window-axis trim).
 
     ONE tiny readback (the stacked per-batch flag counts) decides what
     re-runs; flag vectors stay device-side. A batch with a handful of
