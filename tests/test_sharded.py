@@ -483,3 +483,29 @@ def test_drop_range_partition(mesh, test_fa):
     assert sh._rp is None and sh._rp_stats is None
     t2 = sh.tables(opt_flag=2)  # rebuilds via the cached program
     np.testing.assert_array_equal(t1["pos"], t2["pos"])
+
+
+def test_sharded_peek_k32_with_base(mesh):
+    """The k=32 fold-free peek with a non-empty base table (count lanes
+    must ride because a real all-G key shares the dead sentinel)."""
+    rng = np.random.default_rng(3)
+    k = 32
+    ref = CountStore(k, counts_n=1)
+    shc = ShardedCountStore(k, mesh, counts_n=1)
+    D = shc.n_shards
+    for rep in range(2):
+        hi = rng.integers(0, 1 << 12, (D, 64), dtype=np.int64).astype(
+            np.uint32)
+        lo = rng.integers(0, 1 << 12, (D, 64), dtype=np.int64).astype(
+            np.uint32)
+        valid = rng.random((D, 64)) < 0.9
+        shc.add_batch(hi, lo, valid, source=0)
+        ref.add_kmers(hi, lo, valid, source=0)
+        if rep == 0:
+            assert int(shc.n_unique.sum()) == ref.n_unique  # fold = base
+    # tier runs exist on top of the folded base now
+    assert shc._runs
+    nu_before = shc._n_unique.copy()
+    assert shc.peek_n_unique() == ref.n_unique
+    assert (shc._n_unique == nu_before).all()  # no fold happened
+    np.testing.assert_array_equal(shc.spectrum(40), ref.spectrum(40))
