@@ -28,6 +28,17 @@ from .qll import Q_TO_LL
 MAX_K = 32
 
 
+def win_bucket(lmax: int, k: int) -> int:
+    """Static window-axis trim for a batch: the true max read length
+    bucketed to a multiple of 16 (bounds compiled-program variants),
+    minus the k-1 window offset. EVERY site that sizes or trims the
+    window axis must use this one definition — the per-batch trim
+    (_fused_rp_batch / _fused_threshold_batch / ShardedCountStore
+    .add_reads) and the run-capacity tuning (_tuned_batch_rows) have to
+    agree, and the sharded trim must match across processes."""
+    return max(1, -(-max(1, int(lmax)) // 16) * 16 - k + 1)
+
+
 def derive_prefix_suffix_bits(k: int, prefix_bits: int) -> Tuple[int, int]:
     """Reader-pool bit split (src/kmer_reader.c:86-95), clamped sanely."""
     total = 2 * k
@@ -517,11 +528,10 @@ def _count_fastq_threshold(path: str, k: int, min_q: int,
         with_noq = bool(((~b.has_qual_h) & (b.lengths_h > 0)).any())
         if not (with_q or with_noq):
             continue
-        lmax = int(b.lengths_h.max(initial=1))
         run_hi, run_lo, run_cnt, n_obs = _fused_threshold_batch(
             b.seq, b.qual, b.lengths, b.has_qual, k, store.counts_n,
             min_q_char, with_q, with_noq, keyonly=store.keyonly_runs,
-            n_win=max(1, -(-lmax // 16) * 16 - k + 1),
+            n_win=win_bucket(b.lengths_h.max(initial=1), k),
         )
         store.add_run(run_hi, run_lo, run_cnt, n_obs)
         if meter:
@@ -660,12 +670,6 @@ def count_kmers_fq_sh_rp(path: str, k: int, prefix_bits: int = 20,
     def sweep_backlog():
         _sweep_backlog(store, backlog, k, source, min_ll_f)
 
-    def win_bucket(lengths_h) -> int:
-        """Static window-axis trim for the batch: bucket the true max
-        read length to a multiple of 16 (bounds program variants)."""
-        lmax = int(lengths_h.max(initial=1))
-        return max(1, -(-lmax // 16) * 16 - k + 1)
-
     batch_rows = _tuned_batch_rows(path, k)
 
     reads_done = int(skip_reads)
@@ -675,7 +679,7 @@ def count_kmers_fq_sh_rp(path: str, k: int, prefix_bits: int = 20,
             packed=_use_packed_upload(), batch_rows=batch_rows):
         n_recs = int((b.lengths_h > 0).sum())
         with_noq = bool(((~b.has_qual_h) & (b.lengths_h > k)).any())
-        n_win = win_bucket(b.lengths_h)
+        n_win = win_bucket(b.lengths_h.max(initial=1), k)
         run_hi, run_lo, run_cnt, n_obs, flags = _fused_rp_batch(
             b.seq, b.qual, b.lengths, b.has_qual, k, store.counts_n,
             source, min_ll_f, fsm, with_noq, keyonly=store.keyonly_runs,
@@ -801,8 +805,7 @@ def _tuned_batch_rows(path: str, k: int) -> Optional[int]:
 
         for recs in iter_fastx(path, batch_size=1, max_records=1):
             if recs:
-                L0 = len(recs[0][1])
-                n_win = max(1, -(-L0 // 16) * 16 - k + 1)
+                n_win = win_bucket(len(recs[0][1]), k)
                 rows = (1 << 23) // n_win // 1024 * 1024
                 return int(min(max(rows, 8192), 65536))
             break
@@ -918,11 +921,23 @@ def _seq_kmer_depth_c(store: CountStore, seq: np.ndarray, k: int
     hi_o, lo_o = np.asarray(hi_o), np.asarray(lo_o)
 
     # --- planner: columns, and where each column's kmer comes from ------
-    cols: list = []          # output column per event
-    src_o: list = []         # original-window start per event (or -1)
-    src_j: list = []         # (junction row, window offset) per event
-    junctions: list = []     # (prev_start, cur_start, cur_len)
+    # events are (col, src) parallel array blocks, O(#regions) Python
+    # with np.arange spans per region (a chromosome-scale query would
+    # otherwise spin tens of millions of pure-Python iterations on this
+    # ~50x-throttled host): jrow >= 0 -> junction-snippet window jt;
+    # else src_o >= 0 -> original window src_o; else the EOS partial
+    col_b: list = []
+    srco_b: list = []
+    jrow_b: list = []
+    jt_b: list = []
 
+    def emit(cols_a, srco_a, jrow_a, jt_a):
+        col_b.append(np.asarray(cols_a, np.int64))
+        srco_b.append(np.asarray(srco_a, np.int64))
+        jrow_b.append(np.asarray(jrow_a, np.int64))
+        jt_b.append(np.asarray(jt_a, np.int64))
+
+    junctions: list = []     # (prev_start, cur_start, cur_len)
     stale = False
     last_active_end = -1     # end of the last build/stale-rolled region
     last_active_r = -1
@@ -935,31 +950,27 @@ def _seq_kmer_depth_c(store: CountStore, seq: np.ndarray, k: int
             last_active_end, last_active_r = e, r
             jrow = len(junctions)
             junctions.append((int(r_starts[r - 1]), s, Lr))
-            for t in range(min(Lr, k - 1)):  # mixed-register steps
-                c = s + t - k
-                if c >= 0:
-                    cols.append(c)
-                    src_o.append(-1)
-                    src_j.append((jrow, t + 1))
-            for t in range(k - 1, Lr):       # register pure again
-                c = s + t - k
-                if c >= 0:
-                    cols.append(c)
-                    src_o.append(c + 1)
-                    src_j.append(None)
+            t = np.arange(min(Lr, k - 1))    # mixed-register steps
+            c = s + t - k
+            keep = c >= 0
+            nkeep = int(keep.sum())
+            emit(c[keep], np.full(nkeep, -1), np.full(nkeep, jrow),
+                 (t + 1)[keep])
+            c = s + np.arange(k - 1, Lr) - k  # register pure again
+            keep = c >= 0
+            nkeep = int(keep.sum())
+            emit(c[keep], c[keep] + 1, np.full(nkeep, -1),
+                 np.zeros(nkeep))
             # roll ended at N (or EOS); next region rebuilds
         elif Lr >= k:
             last_active_end, last_active_r = e, r
             if Lr == k:
-                cols.append(s)               # rebuild write survives
-                src_o.append(s)
-                src_j.append(None)
+                emit([s], [s], [-1], [0])    # rebuild write survives
                 stale = True                 # sq[s+k] is N (or EOS)
             else:
-                for c in range(s, s + Lr - k):  # roll: col c = window(c+1)
-                    cols.append(c)
-                    src_o.append(c + 1)
-                    src_j.append(None)
+                c = np.arange(s, s + Lr - k)  # roll: col c = window(c+1)
+                emit(c, c + 1, np.full(c.shape[0], -1),
+                     np.zeros(c.shape[0]))
         # else: short region in INIT mode — consumed-but-reset, invisible
 
     # --- end-of-sequence partial write (init ran off the end) -----------
@@ -986,12 +997,15 @@ def _seq_kmer_depth_c(store: CountStore, seq: np.ndarray, k: int
         mask = (1 << (2 * k)) - 1 if k < 32 else (1 << 64) - 1
         kmer = min(off_f & mask, off_r >> (64 - 2 * k))
         partial = (np.uint32(kmer >> 32), np.uint32(kmer & 0xFFFFFFFF))
-        cols.append(n - k)
-        src_o.append(-1)
-        src_j.append(None)
+        emit([n - k], [-2], [-1], [0])  # -2 = the EOS partial source
 
-    if not cols:
+    cols = (np.concatenate(col_b) if col_b
+            else np.zeros(0, np.int64))
+    if cols.size == 0:
         return out
+    srco = np.concatenate(srco_b)
+    jrow_a = np.concatenate(jrow_b)
+    jt_a = np.concatenate(jt_b)
 
     # --- junction snippet encode (one batched device call) --------------
     hi_j = lo_j = None
@@ -1010,23 +1024,26 @@ def _seq_kmer_depth_c(store: CountStore, seq: np.ndarray, k: int
         hi_j, lo_j = np.asarray(hj), np.asarray(lj)
 
     # --- one batched lookup, then scatter into the track -----------------
-    E = len(cols)
+    E = int(cols.shape[0])
     q_hi = np.zeros(E, np.uint32)
     q_lo = np.zeros(E, np.uint32)
-    for i in range(E):
-        if src_j[i] is not None:
-            jr, t = src_j[i]
-            q_hi[i], q_lo[i] = hi_j[jr, t], lo_j[jr, t]
-        elif src_o[i] >= 0:
-            q_hi[i], q_lo[i] = hi_o[src_o[i]], lo_o[src_o[i]]
-        else:
-            q_hi[i], q_lo[i] = partial
+    mj = jrow_a >= 0
+    if mj.any():
+        q_hi[mj] = hi_j[jrow_a[mj], jt_a[mj]]
+        q_lo[mj] = lo_j[jrow_a[mj], jt_a[mj]]
+    mo = (~mj) & (srco >= 0)
+    if mo.any():
+        q_hi[mo] = hi_o[srco[mo]]
+        q_lo[mo] = lo_o[srco[mo]]
+    mp = (~mj) & (srco == -2)
+    if mp.any():
+        q_hi[mp], q_lo[mp] = partial
     Ep = 1 << max(3, (E - 1).bit_length())
     if Ep != E:
         q_hi = np.concatenate([q_hi, np.zeros(Ep - E, np.uint32)])
         q_lo = np.concatenate([q_lo, np.zeros(Ep - E, np.uint32)])
     rows = np.asarray(store.lookup(q_hi, q_lo))[:E]  # [E, counts_n]
-    out[:, np.asarray(cols)] = rows.T
+    out[:, cols] = rows.T
     return out
 
 
@@ -1092,8 +1109,7 @@ def _count_rp_sharded(path, k, min_q, max_reads, source_n, source, store,
         # ONE fused shard_map program per batch: FSM + canonical +
         # routing + run build (the sharded twin of _fused_rp_batch);
         # n_win from the FULL batch so it matches across processes
-        lmax = int(lengths.max(initial=1))
-        n_win = max(1, -(-lmax // 16) * 16 - k + 1)
+        n_win = win_bucket(lengths.max(initial=1), k)
         store.add_reads(seq, qual, lengths, has_qual, min_ll_f,
                         precision=precision, source=source,
                         with_q=with_q, with_noq=with_noq,

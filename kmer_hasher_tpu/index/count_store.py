@@ -549,17 +549,21 @@ def _distinct_prefixes(u_hi, u_lo, n_unique, suffix_bits):
 def _use_sort_spectrum() -> bool:
     """Sort-based histogram (default): XLA:TPU scatter-add runs at ~115 M
     elem/s (8.7 ns/elem, PERF.md), while a 1-key u32 sort + bin-boundary
-    binary searches is sort-rate bound (~3.5 ns/elem measured).
-    KMH_SORT_SPECTRUM=0 reverts to the scatter form."""
+    binary searches is sort-rate bound (~1.7 ns/elem measured, 55x).
+    KMH_SORT_SPECTRUM=0 reverts to the scatter form. Read by CALLERS and
+    passed as a static arg so toggling the env var mid-process takes
+    effect (an env read inside the jit would freeze at first trace)."""
     import os
 
     return os.environ.get("KMH_SORT_SPECTRUM", "1") != "0"
 
 
-@functools.partial(jax.jit, static_argnames=("max_count", "include_zeros"))
+@functools.partial(jax.jit, static_argnames=("max_count", "include_zeros",
+                                             "sort_based"))
 def _spectrum(cnt0, live, n_alloc_blocks, suffix_bits, n_unique,
-              max_count: int, include_zeros: bool):
-    if _use_sort_spectrum():
+              max_count: int, include_zeros: bool,
+              sort_based: bool = True):
+    if sort_based:
         # histogram by sorting the clamped count column and differencing
         # bin boundaries: counts of value v = searchsorted(v+1) -
         # searchsorted(v) over the sorted column. B+2 binary searches of
@@ -1078,6 +1082,7 @@ class CountStore:
                 self.cnt[:, 0], live, n_alloc,
                 jnp.asarray(self.suffix_bits, I64),
                 jnp.asarray(self.n_unique, I64), max_count, include_zeros,
+                sort_based=_use_sort_spectrum(),
             )
         )
 

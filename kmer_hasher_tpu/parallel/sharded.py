@@ -1094,27 +1094,8 @@ class ShardedCountStore:
 
         base_run = None
         if self._n_unique.max() > 0:
-            # base-table COPY in run form (same program _fold uses)
-            def to_run(u_hi, u_lo, cnt, ns):
-                r = cs._run_from_merge(
-                    u_hi.reshape(-1), u_lo.reshape(-1),
-                    cnt.reshape(cnt.shape[1], -1), ns[0],
-                )
-                return r[0][None], r[1][None], r[2][None]
-
-            run_fn = self._program(
-                ("base_to_run", int(self.u_hi.shape[1])),
-                lambda: jax.jit(
-                    jax.shard_map(
-                        to_run, mesh=self.mesh,
-                        in_specs=(P(self.axes),) * 4,
-                        out_specs=(P(self.axes),) * 3,
-                    )
-                ),
-            )
-            ns = self._global_put(self._n_unique.astype(np.int32)
-                                  .reshape(-1, 1))
-            base_run = run_fn(self.u_hi, self.u_lo, self.cnt, ns)
+            # base-table COPY in run form (same cached program _fold uses)
+            base_run = self._base_run()
         if base_run is None and len({r[3] for r in self._runs}) == 1:
             # uniform kind: merges preserve it, the staged run is kept
             while len(self._runs) > 1:
@@ -1464,9 +1445,14 @@ class ShardedCountStore:
     def _vmaterialize(self, run):
         """Materialise the count column of a key-only per-shard run set:
         (hi [D,C], lo [D,C], None, tag) -> cnt [D, C, counts_n] (one-hot
-        of the run's source tag)."""
+        of the run's source tag). Count-carrying runs pass through
+        unchanged — deriving liveness from key != all-ones would mark a
+        REAL all-G k=32 kmer dead (the single-chip _materialize has the
+        same passthrough)."""
         from ..index import count_store as cs
 
+        if run[2] is not None:
+            return run
         tag = run[3] if len(run) > 3 else 0
         counts_n = self.counts_n
 
@@ -1615,15 +1601,14 @@ class ShardedCountStore:
             a = payload
         return tuple(self._global_put(x) for x in a)
 
-    def _fold(self):
-        """Fold runs into the compact per-shard base table (syncs once)."""
-        if not self._runs and not self._spilled:
-            return
+    def _base_run(self):
+        """The folded base table as one more (sorted, consolidated) run
+        set — used by _fold and the fold-free peek. The shard_map program
+        caches per base capacity (re-jitting per fold was a fresh trace
+        on every fold on this throttled host)."""
         from ..index import count_store as cs
 
-        if self._n_unique.max() > 0:
-            base_run = None
-
+        def build():
             def to_run(u_hi, u_lo, cnt, ns):
                 r = cs._run_from_merge(
                     u_hi.reshape(-1), u_lo.reshape(-1),
@@ -1631,16 +1616,27 @@ class ShardedCountStore:
                 )
                 return r[0][None], r[1][None], r[2][None]
 
-            run_fn = jax.jit(
+            return jax.jit(
                 jax.shard_map(
                     to_run, mesh=self.mesh, in_specs=(P(self.axes),) * 4,
                     out_specs=(P(self.axes),) * 3,
                 )
             )
-            ns = self._global_put(self._n_unique.astype(np.int32)
-                                  .reshape(-1, 1))
-            self._runs.append(
-                run_fn(self.u_hi, self.u_lo, self.cnt, ns) + (None,))
+
+        run_fn = self._program(("base_to_run", int(self.u_hi.shape[1])),
+                               build)
+        ns = self._global_put(self._n_unique.astype(np.int32)
+                              .reshape(-1, 1))
+        return run_fn(self.u_hi, self.u_lo, self.cnt, ns)
+
+    def _fold(self):
+        """Fold runs into the compact per-shard base table (syncs once)."""
+        if not self._runs and not self._spilled:
+            return
+        from ..index import count_store as cs
+
+        if self._n_unique.max() > 0:
+            self._runs.append(self._base_run() + (None,))
         self._runs.sort(key=lambda r: int(r[0].shape[1]), reverse=True)
         if not self._runs:  # only spilled runs: seed from the first one
             self._runs.append(
@@ -1698,12 +1694,14 @@ class ShardedCountStore:
         axes = self.axes
         nv = self._global_put(self.n_unique.astype(np.int32))
 
-        def fn(cnt, ns):
-            from ..index import count_store as cs
+        from ..index import count_store as cs
 
+        sort_based = cs._use_sort_spectrum()  # read OUTSIDE the trace
+
+        def fn(cnt, ns):
             cnt0 = cnt.reshape(cnt.shape[1], -1)[:, 0]
             live = jnp.arange(cnt0.shape[0], dtype=I32) < ns[0]
-            if cs._use_sort_spectrum():
+            if sort_based:
                 # sort-based histogram (the single-chip _spectrum twin):
                 # scatter-add runs ~8.7 ns/elem on this chip, the u32
                 # sort + bin boundary searches ~3.5

@@ -139,9 +139,27 @@ def test_build_many_matches_individual(test_fa):
     from kmer_hasher_tpu.index import KmerIndex
 
     k = 9
+    # >= 4 sequences in the 512-bucket so the BATCHED path actually runs
+    # (long rows / tiny buckets route to individual 1-D builds)
     seqs = [test_fa[:500], test_fa[500:1700], test_fa[1700:1764],
-            test_fa[2000:2500], "ACTG" * 40 + "N" + "GGATC" * 30]
-    many = KmerIndex.build_many(seqs, k)
+            test_fa[2000:2500], "ACTG" * 40 + "N" + "GGATC" * 30,
+            test_fa[3000:3400], test_fa[3400:3900]]
+    from kmer_hasher_tpu.index import position_index as pix
+
+    batched_shapes = []
+    real_build = pix.build_index_arrays
+
+    def spy(arr, kk, lens, **kw):
+        if getattr(arr, "ndim", 1) == 2:
+            batched_shapes.append(tuple(arr.shape))
+        return real_build(arr, kk, lens, **kw)
+
+    pix.build_index_arrays = spy
+    try:
+        many = KmerIndex.build_many(seqs, k)
+    finally:
+        pix.build_index_arrays = real_build
+    assert batched_shapes == [(5, 512)]  # the batched path actually ran
     assert len(many) == len(seqs)
     for s, ix in zip(seqs, many):
         one = KmerIndex(s, k)

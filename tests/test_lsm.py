@@ -490,12 +490,11 @@ def test_spectrum_sort_equals_scatter(monkeypatch):
     for mode in ("sh", "ktree"):
         st = CountStore(k, counts_n=1, mode=mode)
         st.add_kmers(hi, lo, valid)
+        # the flag is a STATIC jit arg read by the caller, so toggling
+        # the env var mid-process takes effect without cache clearing
         monkeypatch.setenv("KMH_SORT_SPECTRUM", "1")
-        jax.clear_caches()
         s_sort = st.spectrum(60)
         monkeypatch.setenv("KMH_SORT_SPECTRUM", "0")
-        jax.clear_caches()
         s_scat = st.spectrum(60)
         monkeypatch.delenv("KMH_SORT_SPECTRUM")
-        jax.clear_caches()
         np.testing.assert_array_equal(s_sort, s_scat)

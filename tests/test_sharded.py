@@ -503,7 +503,12 @@ def test_sharded_peek_k32_with_base(mesh):
         ref.add_kmers(hi, lo, valid, source=0)
         if rep == 0:
             assert int(shc.n_unique.sum()) == ref.n_unique  # fold = base
-    # tier runs exist on top of the folded base now
+    # tier runs exist on top of the folded base now; plant a REAL all-G
+    # 32-mer in the tier runs (it shares the dead sentinel key — the
+    # count lanes must keep it live through the peek merge)
+    all_g = np.full((D, 4), 0xFFFFFFFF, np.uint32)
+    shc.add_batch(all_g, all_g, np.ones((D, 4), bool), source=0)
+    ref.add_kmers(all_g, all_g, np.ones((D, 4), bool), source=0)
     assert shc._runs
     nu_before = shc._n_unique.copy()
     assert shc.peek_n_unique() == ref.n_unique

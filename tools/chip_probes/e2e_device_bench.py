@@ -86,8 +86,10 @@ def make_batches(n_batches, rows, read_len, seed=0, quals="stress"):
 
 
 def _n_win(read_len, k):
-    """The production win_bucket: true max length bucketed to mult-16."""
-    return max(1, -(-read_len // 16) * 16 - k + 1)
+    """The production window trim (one definition, counting.win_bucket)."""
+    from kmer_hasher_tpu.counting import win_bucket
+
+    return win_bucket(read_len, k)
 
 
 def run_e2e(batches, k, mode, min_q=20, timing=False, read_len=151):
