@@ -1080,10 +1080,15 @@ def _count_rp_sharded(path, k, min_q, max_reads, source_n, source, store,
         packed = isinstance(seq, tuple)
         packed_q = isinstance(qual, tuple)
         B = lengths.shape[0]
-        # program-structure flags come from the FULL batch so they agree
-        # across processes (every process streams the same file)
+        # program-structure statics come from the FULL batch so they agree
+        # across processes: with_q/with_noq select traced branches and
+        # n_win sizes the window axis — all three must be derived BEFORE
+        # the per-process row slice (per-slice maxima can straddle a
+        # 16-length bucket and trace differently-shaped programs entering
+        # the same collective: hang or corrupt routing)
         with_q = bool(has_qual.any())
         with_noq = bool(((~has_qual) & (lengths > 0)).any())
+        n_win = win_bucket(lengths.max(initial=1), k)
         if B % D:
             padr = D - B % D
             if packed:  # 0xFF = all-N pad in the compact form
@@ -1107,9 +1112,7 @@ def _count_rp_sharded(path, k, min_q, max_reads, source_n, source, store,
         if not (with_q or with_noq):
             continue
         # ONE fused shard_map program per batch: FSM + canonical +
-        # routing + run build (the sharded twin of _fused_rp_batch);
-        # n_win from the FULL batch so it matches across processes
-        n_win = win_bucket(lengths.max(initial=1), k)
+        # routing + run build (the sharded twin of _fused_rp_batch)
         store.add_reads(seq, qual, lengths, has_qual, min_ll_f,
                         precision=precision, source=source,
                         with_q=with_q, with_noq=with_noq,

@@ -58,14 +58,17 @@ print("WORKER_OK", pid)
 """
 
 
-def test_two_process_distributed_counting(tmp_path):
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+def _run_two_workers(tmp_path, body: str, name: str = "worker.py",
+                     timeout: int = 240):
+    """Launch 2 jax.distributed CPU worker subprocesses running ``body``
+    (already .format()-ed) and return process 0's stdout lines. Every
+    worker must print WORKER_OK and exit 0."""
     with socket.socket() as s:
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
     coord = f"localhost:{port}"
-    script = tmp_path / "worker.py"
-    script.write_text(WORKER.format(repo=repo))
+    script = tmp_path / name
+    script.write_text(body)
     env = {**os.environ,
            "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
            "JAX_PLATFORMS": "cpu"}
@@ -78,7 +81,7 @@ def test_two_process_distributed_counting(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, err = p.communicate(timeout=240)
+            out, err = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -87,9 +90,18 @@ def test_two_process_distributed_counting(tmp_path):
     for rc, out, err in outs:
         assert rc == 0, f"worker failed:\n{out}\n{err[-2000:]}"
         assert "WORKER_OK" in out
-    spec_line = next(ln for ln in outs[0][1].splitlines()
-                     if ln.startswith("SPECTRUM "))
-    dist_spec = np.asarray(json.loads(spec_line.split(" ", 1)[1]))
+    return outs[0][1].splitlines()
+
+
+def _line_json(lines, tag: str):
+    return json.loads(next(ln for ln in lines
+                           if ln.startswith(tag + " ")).split(" ", 1)[1])
+
+
+def test_two_process_distributed_counting(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    lines = _run_two_workers(tmp_path, WORKER.format(repo=repo))
+    dist_spec = np.asarray(_line_json(lines, "SPECTRUM"))
 
     # single-process reference: same reads, same row layout, one process
     import jax
@@ -193,36 +205,9 @@ def test_two_process_index_build(tmp_path):
     """ShardedKmerIndex on a 2-process mesh: build, range-partitioned
     tables, and cross-sequence query all equal the single-process run."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
-    coord = f"localhost:{port}"
-    script = tmp_path / "worker_idx.py"
-    script.write_text(INDEX_WORKER.format(repo=repo))
-    env = {**os.environ,
-           "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
-           "JAX_PLATFORMS": "cpu"}
-    procs = [
-        subprocess.Popen([sys.executable, str(script), coord, str(i)],
-                         stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-                         env=env)
-        for i in range(2)
-    ]
-    outs = []
-    for p in procs:
-        try:
-            out, err = p.communicate(timeout=240)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            pytest.fail("distributed workers timed out")
-        outs.append((p.returncode, out.decode(), err.decode()))
-    for rc, out, err in outs:
-        assert rc == 0, f"worker failed:\n{out}\n{err[-2000:]}"
-        assert "WORKER_OK" in out
-    line = next(ln for ln in outs[0][1].splitlines()
-                if ln.startswith("TABLES "))
-    dist = json.loads(line.split(" ", 1)[1])
+    lines = _run_two_workers(tmp_path, INDEX_WORKER.format(repo=repo),
+                             name="worker_idx.py")
+    dist = _line_json(lines, "TABLES")
 
     import jax
     from jax.sharding import Mesh
@@ -248,40 +233,10 @@ def test_two_process_high_level_counting(tmp_path):
     its row slice of every batch (per-host input sharding), results equal
     the single-process run byte-for-byte."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
-    coord = f"localhost:{port}"
-    script = tmp_path / "worker_hl.py"
-    script.write_text(HIGH_LEVEL_WORKER.format(repo=repo))
-    env = {**os.environ,
-           "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
-           "JAX_PLATFORMS": "cpu"}
-    procs = [
-        subprocess.Popen([sys.executable, str(script), coord, str(i)],
-                         stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-                         env=env)
-        for i in range(2)
-    ]
-    outs = []
-    for p in procs:
-        try:
-            out, err = p.communicate(timeout=240)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            pytest.fail("distributed workers timed out")
-        outs.append((p.returncode, out.decode(), err.decode()))
-    for rc, out, err in outs:
-        assert rc == 0, f"worker failed:\n{out}\n{err[-2000:]}"
-        assert "WORKER_OK" in out
-    lines = outs[0][1].splitlines()
-    dist_spec = np.asarray(json.loads(
-        next(ln for ln in lines if ln.startswith("SPECTRUM ")).split(" ", 1)[1]
-    ))
-    dist_total = json.loads(
-        next(ln for ln in lines if ln.startswith("TOTAL ")).split(" ", 1)[1]
-    )
+    lines = _run_two_workers(tmp_path, HIGH_LEVEL_WORKER.format(repo=repo),
+                             name="worker_hl.py")
+    dist_spec = np.asarray(_line_json(lines, "SPECTRUM"))
+    dist_total = _line_json(lines, "TOTAL")
 
     import jax
     from jax.sharding import Mesh
@@ -293,3 +248,93 @@ def test_two_process_high_level_counting(tmp_path):
                                   min_q=20, max_reads=64, mesh=mesh)
     np.testing.assert_array_equal(dist_spec, single.spectrum(50))
     assert dist_total == single.total_added.tolist()
+
+
+def store_digest(store) -> str:
+    """sha256 over the folded store's live (key, count) rows — the
+    bitwise identity of a ShardedCountStore's contents."""
+    import hashlib
+
+    from kmer_hasher_tpu.parallel.sharded import _host_read
+
+    store._fold()
+    uh, ul, cn = (_host_read(store.u_hi), _host_read(store.u_lo),
+                  _host_read(store.cnt))
+    h = hashlib.sha256()
+    for d in range(uh.shape[0]):
+        n = int(store._n_unique[d])
+        h.update(uh[d, :n].tobytes())
+        h.update(ul[d, :n].tobytes())
+        h.update(cn[d, :n].tobytes())
+    return h.hexdigest()
+
+
+def write_varlen_fastq(path, seed: int = 7, n_reads: int = 64) -> None:
+    """64 variable-length reads whose per-half max lengths straddle a
+    16-length bucket: rows 0-31 are 30-45 bp, rows 32-63 are 60-90 bp —
+    process 0's slice maxes in the 48 bucket, process 1's in the 96
+    bucket, so any static derived AFTER the per-process slice (the round-3
+    n_win bug, counting.py) traces differently-shaped collectives."""
+    rng = np.random.default_rng(seed)
+    with open(path, "w") as f:
+        for i in range(n_reads):
+            ln = (int(rng.integers(30, 46)) if i < n_reads // 2
+                  else int(rng.integers(60, 91)))
+            seq = "".join("ACGT"[c] for c in rng.integers(0, 4, ln))
+            f.write(f"@r{i}\n{seq}\n+\n{'I' * ln}\n")
+
+
+VARLEN_WORKER = r"""
+import json, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+coord, pid = sys.argv[1], int(sys.argv[2])
+sys.path.insert(0, {repo!r})
+from kmer_hasher_tpu.parallel.distributed import init_distributed
+init_distributed(coord, num_processes=2, process_id=pid)
+
+import numpy as np
+from jax.sharding import Mesh
+from kmer_hasher_tpu.counting import count_kmers_fq_sh_rp
+sys.path.insert(0, {testdir!r})
+from test_distributed import store_digest
+
+mesh = Mesh(np.asarray(jax.devices()), ("shards",))
+store = count_kmers_fq_sh_rp({fq!r}, 11, min_q=20, mesh=mesh)
+spec = store.spectrum(50)
+digest = store_digest(store)  # collective (allgather): EVERY process calls
+if pid == 0:
+    print("SPECTRUM " + json.dumps(spec.tolist()))
+    print("TOTAL " + json.dumps(store.total_added.tolist()))
+    print("DIGEST " + json.dumps(digest))
+print("WORKER_OK", pid)
+"""
+
+
+def test_two_process_varlen_counting(tmp_path):
+    """Variable-length reads split unevenly across the two process slices
+    (short reads land on process 0, long on process 1): statics (n_win,
+    with_q/with_noq) must come from the FULL batch, and the folded store
+    must equal the single-process run bitwise (VERDICT r3 weak-1)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    testdir = os.path.dirname(os.path.abspath(__file__))
+    fq = str(tmp_path / "varlen.fastq")
+    write_varlen_fastq(fq)
+    lines = _run_two_workers(
+        tmp_path,
+        VARLEN_WORKER.format(repo=repo, testdir=testdir, fq=fq),
+        name="worker_varlen.py")
+    dist_spec = np.asarray(_line_json(lines, "SPECTRUM"))
+    dist_total = _line_json(lines, "TOTAL")
+    dist_digest = _line_json(lines, "DIGEST")
+
+    import jax
+    from jax.sharding import Mesh
+
+    from kmer_hasher_tpu.counting import count_kmers_fq_sh_rp
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("shards",))
+    single = count_kmers_fq_sh_rp(fq, 11, min_q=20, mesh=mesh)
+    np.testing.assert_array_equal(dist_spec, single.spectrum(50))
+    assert dist_total == single.total_added.tolist()
+    assert dist_digest == store_digest(single)
