@@ -73,7 +73,31 @@ def _replicated(mesh: Mesh, x):
     return _global_put(mesh, x, spec=P())
 
 
-_PROGRAMS: dict = {}
+class _LRU(dict):
+    """Bounded program cache: inserts past ``maxsize`` evict the least
+    recently *used* entry. Keys hold Mesh objects and values compiled
+    executables — unbounded growth (capacity-doubling retries, many
+    store/index instances per process) would keep every mesh and program
+    alive for the process lifetime (ADVICE r3)."""
+
+    def __init__(self, maxsize: int = 128):
+        super().__init__()
+        self.maxsize = maxsize
+
+    def get_or_build(self, key, build):
+        fn = self.get(key)
+        if fn is not None:
+            # re-insert = move to the fresh end (dicts are ordered)
+            del self[key]
+            self[key] = fn
+            return fn
+        fn = self[key] = build()
+        while len(self) > self.maxsize:
+            del self[next(iter(self))]
+        return fn
+
+
+_PROGRAMS = _LRU(maxsize=128)
 
 
 def _shared_program(key, build):
@@ -81,10 +105,7 @@ def _shared_program(key, build):
     static shapes): capacity-overflow retries and repeat builds at an
     already-seen capacity reuse the compiled program instead of paying a
     fresh trace + compile (minutes over the tunnel, count_store.py:832)."""
-    fn = _PROGRAMS.get(key)
-    if fn is None:
-        fn = _PROGRAMS[key] = build()
-    return fn
+    return _PROGRAMS.get_or_build(key, build)
 
 
 def _bucket_for_send(hi, lo, pos, valid, n_shards: int, capacity: int, k: int,
@@ -545,23 +566,28 @@ class ShardedKmerIndex:
         """Occurrence count per query k-mer, psum-merged across shards."""
         axis = self.axis
         n_valid = self._nv_g
+        q_hi, q_lo = jnp.ravel(q_hi), jnp.ravel(q_lo)
 
-        def fn(s_hi, s_lo, nv, qh, ql):
-            s_hi, s_lo = s_hi.reshape(-1), s_lo.reshape(-1)
-            lb, ub = srt.lookup_bounds(s_hi, s_lo, nv[0], qh, ql)
-            return jax.lax.psum(ub - lb, axis)
+        def build():
+            def fn(s_hi, s_lo, nv, qh, ql):
+                s_hi, s_lo = s_hi.reshape(-1), s_lo.reshape(-1)
+                lb, ub = srt.lookup_bounds(s_hi, s_lo, nv[0], qh, ql)
+                return jax.lax.psum(ub - lb, axis)
 
-        shard_fn = jax.jit(
-            jax.shard_map(
-                fn, mesh=self.mesh,
-                in_specs=(P(axis), P(axis), P(axis), P(), P()),
-                out_specs=P(),
+            return jax.jit(
+                jax.shard_map(
+                    fn, mesh=self.mesh,
+                    in_specs=(P(axis), P(axis), P(axis), P(), P()),
+                    out_specs=P(),
+                )
             )
-        )
+
+        shard_fn = _shared_program(
+            ("kidx_lookup_counts", self.mesh, int(self.s_hi.shape[1]),
+             int(q_hi.shape[0])), build)
         return np.asarray(
             shard_fn(self.s_hi, self.s_lo, n_valid,
-                     self._repl(jnp.ravel(q_hi)),
-                     self._repl(jnp.ravel(q_lo)))
+                     self._repl(q_hi), self._repl(q_lo))
         )
 
     def _hit_totals(self, qh, ql, qv) -> np.ndarray:
@@ -571,19 +597,24 @@ class ShardedKmerIndex:
         axis = self.axis
         n_valid = self._nv_g
 
-        def fn(s_hi, s_lo, nv, qh, ql, qv):
-            s_hi, s_lo = s_hi.reshape(-1), s_lo.reshape(-1)
-            lb, ub = srt.lookup_bounds(s_hi, s_lo, nv[0], qh, ql)
-            cnt = jnp.where(qv, ub - lb, 0)
-            return cnt.astype(I64).sum()[None]
+        def build():
+            def fn(s_hi, s_lo, nv, qh, ql, qv):
+                s_hi, s_lo = s_hi.reshape(-1), s_lo.reshape(-1)
+                lb, ub = srt.lookup_bounds(s_hi, s_lo, nv[0], qh, ql)
+                cnt = jnp.where(qv, ub - lb, 0)
+                return cnt.astype(I64).sum()[None]
 
-        shard_fn = jax.jit(
-            jax.shard_map(
-                fn, mesh=self.mesh,
-                in_specs=(P(axis), P(axis), P(axis), P(), P(), P()),
-                out_specs=P(axis),
+            return jax.jit(
+                jax.shard_map(
+                    fn, mesh=self.mesh,
+                    in_specs=(P(axis), P(axis), P(axis), P(), P(), P()),
+                    out_specs=P(axis),
+                )
             )
-        )
+
+        shard_fn = _shared_program(
+            ("kidx_hit_totals", self.mesh, int(self.s_hi.shape[1]),
+             int(jnp.ravel(qh).shape[0])), build)
         return _host_read(shard_fn(
             self.s_hi, self.s_lo, n_valid, self._repl(qh), self._repl(ql),
             self._repl(qv))).astype(np.int64)
@@ -640,38 +671,50 @@ class ShardedKmerIndex:
                                      int(totals.max(initial=0)))
         if exp.use_plan(int(totals.max(initial=0)), int(q_hi.shape[0]), C):
 
-            def plan_fn(s_hi, s_lo, nv, qh, ql, qv):
-                s_hi, s_lo = s_hi.reshape(-1), s_lo.reshape(-1)
-                lb, ub = srt.lookup_bounds(s_hi, s_lo, nv[0], qh, ql)
-                cnt = jnp.where(qv, ub - lb, 0).astype(I32)
-                cum, rs, w, cols, total = exp._build_plan(cnt, (lb,), C, 1)
-                return (cum[None], rs[None], w[None], cols[0][None],
-                        total[None])
+            def build_plan():
+                def plan_fn(s_hi, s_lo, nv, qh, ql, qv):
+                    s_hi, s_lo = s_hi.reshape(-1), s_lo.reshape(-1)
+                    lb, ub = srt.lookup_bounds(s_hi, s_lo, nv[0], qh, ql)
+                    cnt = jnp.where(qv, ub - lb, 0).astype(I32)
+                    cum, rs, w, cols, total = exp._build_plan(cnt, (lb,),
+                                                              C, 1)
+                    return (cum[None], rs[None], w[None], cols[0][None],
+                            total[None])
 
-            plan_sf = jax.jit(jax.shard_map(
-                plan_fn, mesh=self.mesh,
-                in_specs=(P(axis), P(axis), P(axis), P(), P(), P()),
-                out_specs=(P(axis),) * 5,
-            ))
+                return jax.jit(jax.shard_map(
+                    plan_fn, mesh=self.mesh,
+                    in_specs=(P(axis), P(axis), P(axis), P(), P(), P()),
+                    out_specs=(P(axis),) * 5,
+                ))
+
+            plan_sf = _shared_program(
+                ("kidx_skp_plan", self.mesh, int(self.s_hi.shape[1]),
+                 int(q_hi.shape[0]), C), build_plan)
             p_cum, p_rs, p_w, p_lb, p_tot = plan_sf(
                 self.s_hi, self.s_lo, n_valid, q_hi, q_lo, q_valid)
 
-            def fn(s_pos, cum, rs, w, lbp, tot, start):
-                s_pos = s_pos.reshape(-1)
-                cum, rs = cum.reshape(-1), rs.reshape(-1)
-                w, lbp = w.reshape(-1), lbp.reshape(-1)
-                src, t, g = exp.chunk_src(cum, rs, start[0], C)
-                i_col = (w[src] + k).astype(I32)
-                j_col = s_pos[jnp.clip(lbp[src] + t, 0, s_pos.shape[0] - 1)]
-                ok = g < tot[0]
-                rows = jnp.stack([jnp.where(ok, i_col, 0),
-                                  jnp.where(ok, j_col, 0)], axis=1)
-                return rows[None], ok.sum(dtype=I32)[None], tot[0][None]
+            def build_chunk():
+                def fn(s_pos, cum, rs, w, lbp, tot, start):
+                    s_pos = s_pos.reshape(-1)
+                    cum, rs = cum.reshape(-1), rs.reshape(-1)
+                    w, lbp = w.reshape(-1), lbp.reshape(-1)
+                    src, t, g = exp.chunk_src(cum, rs, start[0], C)
+                    i_col = (w[src] + k).astype(I32)
+                    j_col = s_pos[jnp.clip(lbp[src] + t, 0,
+                                           s_pos.shape[0] - 1)]
+                    ok = g < tot[0]
+                    rows = jnp.stack([jnp.where(ok, i_col, 0),
+                                      jnp.where(ok, j_col, 0)], axis=1)
+                    return rows[None], ok.sum(dtype=I32)[None], tot[0][None]
 
-            shard_fn = jax.jit(jax.shard_map(
-                fn, mesh=self.mesh, in_specs=(P(axis),) * 7,
-                out_specs=(P(axis),) * 3,
-            ))
+                return jax.jit(jax.shard_map(
+                    fn, mesh=self.mesh, in_specs=(P(axis),) * 7,
+                    out_specs=(P(axis),) * 3,
+                ))
+
+            shard_fn = _shared_program(
+                ("kidx_skp_chunkp", self.mesh, int(self.s_pos.shape[1]),
+                 int(q_hi.shape[0]), C, k), build_chunk)
 
             def call(start):
                 starts = _global_put(
@@ -682,30 +725,35 @@ class ShardedKmerIndex:
             yield from self._merge_sorted_streams(call, C)
             return
 
-        def fn(s_hi, s_lo, s_pos, nv, qh, ql, qv, start):
-            s_hi, s_lo = s_hi.reshape(-1), s_lo.reshape(-1)
-            s_pos = s_pos.reshape(-1)
-            lb, ub = srt.lookup_bounds(s_hi, s_lo, nv[0], qh, ql)
-            cnt = jnp.where(qv, ub - lb, 0)
-            cum = jnp.cumsum(cnt.astype(I64))
-            g = start[0] + jnp.arange(C, dtype=I64)
-            w = srt.expand_rank_i64(cum, g, qh.shape[0])
-            t = (g - (cum - cnt.astype(I64))[w]).astype(I32)
-            i_col = (w + k).astype(I32)
-            j_col = s_pos[jnp.clip(lb[w] + t, 0, s_pos.shape[0] - 1)]
-            ok = g < cum[-1]
-            rows = jnp.stack([jnp.where(ok, i_col, 0),
-                              jnp.where(ok, j_col, 0)], axis=1)
-            return rows[None], ok.sum(dtype=I32)[None], cum[-1][None]
+        def build_fb():
+            def fn(s_hi, s_lo, s_pos, nv, qh, ql, qv, start):
+                s_hi, s_lo = s_hi.reshape(-1), s_lo.reshape(-1)
+                s_pos = s_pos.reshape(-1)
+                lb, ub = srt.lookup_bounds(s_hi, s_lo, nv[0], qh, ql)
+                cnt = jnp.where(qv, ub - lb, 0)
+                cum = jnp.cumsum(cnt.astype(I64))
+                g = start[0] + jnp.arange(C, dtype=I64)
+                w = srt.expand_rank_i64(cum, g, qh.shape[0])
+                t = (g - (cum - cnt.astype(I64))[w]).astype(I32)
+                i_col = (w + k).astype(I32)
+                j_col = s_pos[jnp.clip(lb[w] + t, 0, s_pos.shape[0] - 1)]
+                ok = g < cum[-1]
+                rows = jnp.stack([jnp.where(ok, i_col, 0),
+                                  jnp.where(ok, j_col, 0)], axis=1)
+                return rows[None], ok.sum(dtype=I32)[None], cum[-1][None]
 
-        shard_fn = jax.jit(
-            jax.shard_map(
-                fn, mesh=self.mesh,
-                in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P(), P(),
-                          P()),
-                out_specs=(P(axis), P(axis), P(axis)),
+            return jax.jit(
+                jax.shard_map(
+                    fn, mesh=self.mesh,
+                    in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P(),
+                              P(), P()),
+                    out_specs=(P(axis), P(axis), P(axis)),
+                )
             )
-        )
+
+        shard_fn = _shared_program(
+            ("kidx_skp_chunk", self.mesh, int(self.s_hi.shape[1]),
+             int(q_hi.shape[0]), C, k), build_fb)
 
         def call(start):
             starts = _global_put(
@@ -796,35 +844,46 @@ class ShardedKmerIndex:
                                      int(totals.max(initial=0)))
         if exp.use_plan(int(totals.max(initial=0)), int(q_hi.shape[0]), C):
 
-            def plan_fn(s_hi, s_lo, nv, qh, ql):
-                s_hi, s_lo = s_hi.reshape(-1), s_lo.reshape(-1)
-                lb, ub = srt.lookup_bounds(s_hi, s_lo, nv[0], qh, ql)
-                cnt = (ub - lb).astype(I32)
-                cum, rs, _w, cols, total = exp._build_plan(cnt, (lb,), C, 1)
-                return cum[None], rs[None], cols[0][None], total[None]
+            def build_plan():
+                def plan_fn(s_hi, s_lo, nv, qh, ql):
+                    s_hi, s_lo = s_hi.reshape(-1), s_lo.reshape(-1)
+                    lb, ub = srt.lookup_bounds(s_hi, s_lo, nv[0], qh, ql)
+                    cnt = (ub - lb).astype(I32)
+                    cum, rs, _w, cols, total = exp._build_plan(cnt, (lb,),
+                                                               C, 1)
+                    return cum[None], rs[None], cols[0][None], total[None]
 
-            plan_sf = jax.jit(jax.shard_map(
-                plan_fn, mesh=self.mesh,
-                in_specs=(P(axis), P(axis), P(axis), P(), P()),
-                out_specs=(P(axis),) * 4,
-            ))
+                return jax.jit(jax.shard_map(
+                    plan_fn, mesh=self.mesh,
+                    in_specs=(P(axis), P(axis), P(axis), P(), P()),
+                    out_specs=(P(axis),) * 4,
+                ))
+
+            plan_sf = _shared_program(
+                ("kidx_pos_plan", self.mesh, int(self.s_hi.shape[1]),
+                 int(q_hi.shape[0]), C), build_plan)
             p_cum, p_rs, p_lb, p_tot = plan_sf(self.s_hi, self.s_lo,
                                                n_valid, q_hi, q_lo)
 
-            def fn(s_pos, cum, rs, lbp, tot, start):
-                s_pos = s_pos.reshape(-1)
-                cum, rs = cum.reshape(-1), rs.reshape(-1)
-                lbp = lbp.reshape(-1)
-                src, t, g = exp.chunk_src(cum, rs, start[0], C)
-                p = s_pos[jnp.clip(lbp[src] + t, 0, s_pos.shape[0] - 1)]
-                ok = g < tot[0]
-                return (jnp.where(ok, p, -1)[:, None][None],
-                        ok.sum(dtype=I32)[None], tot[0][None])
+            def build_chunk():
+                def fn(s_pos, cum, rs, lbp, tot, start):
+                    s_pos = s_pos.reshape(-1)
+                    cum, rs = cum.reshape(-1), rs.reshape(-1)
+                    lbp = lbp.reshape(-1)
+                    src, t, g = exp.chunk_src(cum, rs, start[0], C)
+                    p = s_pos[jnp.clip(lbp[src] + t, 0, s_pos.shape[0] - 1)]
+                    ok = g < tot[0]
+                    return (jnp.where(ok, p, -1)[:, None][None],
+                            ok.sum(dtype=I32)[None], tot[0][None])
 
-            shard_fn = jax.jit(jax.shard_map(
-                fn, mesh=self.mesh, in_specs=(P(axis),) * 6,
-                out_specs=(P(axis),) * 3,
-            ))
+                return jax.jit(jax.shard_map(
+                    fn, mesh=self.mesh, in_specs=(P(axis),) * 6,
+                    out_specs=(P(axis),) * 3,
+                ))
+
+            shard_fn = _shared_program(
+                ("kidx_pos_chunkp", self.mesh, int(self.s_pos.shape[1]),
+                 int(q_hi.shape[0]), C), build_chunk)
 
             def call(start):
                 starts = _global_put(
@@ -833,28 +892,33 @@ class ShardedKmerIndex:
                                 starts)
         else:
 
-            def fn(s_hi, s_lo, s_pos, nv, qh, ql, start):
-                s_hi, s_lo = s_hi.reshape(-1), s_lo.reshape(-1)
-                s_pos = s_pos.reshape(-1)
-                lb, ub = srt.lookup_bounds(s_hi, s_lo, nv[0], qh, ql)
-                cnt = ub - lb
-                cum = jnp.cumsum(cnt.astype(I64))
-                g = start[0] + jnp.arange(C, dtype=I64)
-                w = srt.expand_rank_i64(cum, g, qh.shape[0])
-                t = (g - (cum - cnt.astype(I64))[w]).astype(I32)
-                p = s_pos[jnp.clip(lb[w] + t, 0, s_pos.shape[0] - 1)]
-                ok = g < cum[-1]
-                return (jnp.where(ok, p, -1)[:, None][None],
-                        ok.sum(dtype=I32)[None], cum[-1][None])
+            def build_fb():
+                def fn(s_hi, s_lo, s_pos, nv, qh, ql, start):
+                    s_hi, s_lo = s_hi.reshape(-1), s_lo.reshape(-1)
+                    s_pos = s_pos.reshape(-1)
+                    lb, ub = srt.lookup_bounds(s_hi, s_lo, nv[0], qh, ql)
+                    cnt = ub - lb
+                    cum = jnp.cumsum(cnt.astype(I64))
+                    g = start[0] + jnp.arange(C, dtype=I64)
+                    w = srt.expand_rank_i64(cum, g, qh.shape[0])
+                    t = (g - (cum - cnt.astype(I64))[w]).astype(I32)
+                    p = s_pos[jnp.clip(lb[w] + t, 0, s_pos.shape[0] - 1)]
+                    ok = g < cum[-1]
+                    return (jnp.where(ok, p, -1)[:, None][None],
+                            ok.sum(dtype=I32)[None], cum[-1][None])
 
-            shard_fn = jax.jit(
-                jax.shard_map(
-                    fn, mesh=self.mesh,
-                    in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P(),
-                              P()),
-                    out_specs=(P(axis), P(axis), P(axis)),
+                return jax.jit(
+                    jax.shard_map(
+                        fn, mesh=self.mesh,
+                        in_specs=(P(axis), P(axis), P(axis), P(axis), P(),
+                                  P(), P()),
+                        out_specs=(P(axis), P(axis), P(axis)),
+                    )
                 )
-            )
+
+            shard_fn = _shared_program(
+                ("kidx_pos_chunk", self.mesh, int(self.s_hi.shape[1]),
+                 int(q_hi.shape[0]), C), build_fb)
 
             def call(start):
                 starts = _global_put(
@@ -890,82 +954,104 @@ def kmer_pairs_sharded(a: "ShardedKmerIndex", b: "ShardedKmerIndex",
     a_nv_d = _global_put(a.mesh, a_nv.astype(np.int32))
     b_nv_d = _global_put(a.mesh, b_nv.astype(np.int32))
 
-    def fn_total(ah, al, an, bh, bl, bn):
-        ah, al = ah.reshape(-1), al.reshape(-1)
-        bh, bl = bh.reshape(-1), bl.reshape(-1)
-        lb, ub = srt.lookup_bounds(bh, bl, bn[0], ah, al)
-        live_a = jnp.arange(ah.shape[0], dtype=I32) < an[0]
-        return jnp.where(live_a, ub - lb, 0).astype(I64).sum()[None]
+    def build_total():
+        def fn_total(ah, al, an, bh, bl, bn):
+            ah, al = ah.reshape(-1), al.reshape(-1)
+            bh, bl = bh.reshape(-1), bl.reshape(-1)
+            lb, ub = srt.lookup_bounds(bh, bl, bn[0], ah, al)
+            live_a = jnp.arange(ah.shape[0], dtype=I32) < an[0]
+            return jnp.where(live_a, ub - lb, 0).astype(I64).sum()[None]
 
-    totals = _host_read(jax.jit(jax.shard_map(
-        fn_total, mesh=a.mesh, in_specs=(P(axis),) * 6,
-        out_specs=P(axis),
-    ))(a_hi, a_lo, a_nv_d, b_hi, b_lo, b_nv_d)).astype(np.int64)
+        return jax.jit(jax.shard_map(
+            fn_total, mesh=a.mesh, in_specs=(P(axis),) * 6,
+            out_specs=P(axis),
+        ))
+
+    total_sf = _shared_program(
+        ("xpairs_total", a.mesh, int(a_hi.shape[-1]), int(b_hi.shape[-1])),
+        build_total)
+    totals = _host_read(
+        total_sf(a_hi, a_lo, a_nv_d, b_hi, b_lo, b_nv_d)).astype(np.int64)
     C = srt.clamp_chunk_capacity(capacity, int(totals.max(initial=0)))
 
     if exp.use_plan(int(totals.max(initial=0)), int(a_hi.shape[-1]), C):
 
-        def plan_fn(ah, al, ap, an, bh, bl, bn):
-            ah, al, ap = ah.reshape(-1), al.reshape(-1), ap.reshape(-1)
-            bh, bl = bh.reshape(-1), bl.reshape(-1)
-            lb, ub = srt.lookup_bounds(bh, bl, bn[0], ah, al)
-            live_a = jnp.arange(ah.shape[0], dtype=I32) < an[0]
-            c = jnp.where(live_a, ub - lb, 0).astype(I32)
-            cum, rs, _w, cols, total = exp._build_plan(c, (lb, ap), C, 2)
-            return (cum[None], rs[None], cols[0][None], cols[1][None],
-                    total[None])
+        def build_plan():
+            def plan_fn(ah, al, ap, an, bh, bl, bn):
+                ah, al, ap = ah.reshape(-1), al.reshape(-1), ap.reshape(-1)
+                bh, bl = bh.reshape(-1), bl.reshape(-1)
+                lb, ub = srt.lookup_bounds(bh, bl, bn[0], ah, al)
+                live_a = jnp.arange(ah.shape[0], dtype=I32) < an[0]
+                c = jnp.where(live_a, ub - lb, 0).astype(I32)
+                cum, rs, _w, cols, total = exp._build_plan(c, (lb, ap), C, 2)
+                return (cum[None], rs[None], cols[0][None], cols[1][None],
+                        total[None])
 
-        plan_sf = jax.jit(jax.shard_map(
-            plan_fn, mesh=a.mesh, in_specs=(P(axis),) * 7,
-            out_specs=(P(axis),) * 5,
-        ))
+            return jax.jit(jax.shard_map(
+                plan_fn, mesh=a.mesh, in_specs=(P(axis),) * 7,
+                out_specs=(P(axis),) * 5,
+            ))
+
+        plan_sf = _shared_program(
+            ("xpairs_plan", a.mesh, int(a_hi.shape[-1]),
+             int(b_hi.shape[-1]), C), build_plan)
         p_cum, p_rs, p_lb, p_x, p_tot = plan_sf(
             a_hi, a_lo, a_pos, a_nv_d, b_hi, b_lo, b_nv_d)
 
-        def fn(bp, cum, rs, lbp, xp, tot, start):
-            bp = bp.reshape(-1)
-            cum, rs = cum.reshape(-1), rs.reshape(-1)
-            lbp, xp = lbp.reshape(-1), xp.reshape(-1)
-            src, t, g = exp.chunk_src(cum, rs, start[0], C)
-            j = bp[jnp.clip(lbp[src] + t, 0, bp.shape[0] - 1)]
-            ok = g < tot[0]
-            rows = jnp.stack([jnp.where(ok, xp[src], 0),
-                              jnp.where(ok, j, 0)], axis=1)
-            return rows[None], ok.sum(dtype=I32)[None], tot[0][None]
+        def build_chunk():
+            def fn(bp, cum, rs, lbp, xp, tot, start):
+                bp = bp.reshape(-1)
+                cum, rs = cum.reshape(-1), rs.reshape(-1)
+                lbp, xp = lbp.reshape(-1), xp.reshape(-1)
+                src, t, g = exp.chunk_src(cum, rs, start[0], C)
+                j = bp[jnp.clip(lbp[src] + t, 0, bp.shape[0] - 1)]
+                ok = g < tot[0]
+                rows = jnp.stack([jnp.where(ok, xp[src], 0),
+                                  jnp.where(ok, j, 0)], axis=1)
+                return rows[None], ok.sum(dtype=I32)[None], tot[0][None]
 
-        shard_fn_p = jax.jit(jax.shard_map(
-            fn, mesh=a.mesh, in_specs=(P(axis),) * 7,
-            out_specs=(P(axis),) * 3,
-        ))
+            return jax.jit(jax.shard_map(
+                fn, mesh=a.mesh, in_specs=(P(axis),) * 7,
+                out_specs=(P(axis),) * 3,
+            ))
+
+        shard_fn_p = _shared_program(
+            ("xpairs_chunkp", a.mesh, int(b_pos.shape[-1]),
+             int(a_hi.shape[-1]), C), build_chunk)
 
         def call(start):
             starts = _global_put(a.mesh, np.full((D, 1), start, np.int64))
             return shard_fn_p(b_pos, p_cum, p_rs, p_lb, p_x, p_tot, starts)
     else:
 
-        def fn(ah, al, ap, an, bh, bl, bp, bn, start):
-            ah, al, ap = ah.reshape(-1), al.reshape(-1), ap.reshape(-1)
-            bh, bl, bp = bh.reshape(-1), bl.reshape(-1), bp.reshape(-1)
-            lb, ub = srt.lookup_bounds(bh, bl, bn[0], ah, al)
-            live_a = jnp.arange(ah.shape[0], dtype=I32) < an[0]
-            c = jnp.where(live_a, ub - lb, 0).astype(I32)
-            cum = jnp.cumsum(c.astype(I64))
-            g = start[0] + jnp.arange(C, dtype=I64)
-            w = srt.expand_rank_i64(cum, g, ah.shape[0])
-            t = (g - (cum - c.astype(I64))[w]).astype(I32)
-            j = bp[jnp.clip(lb[w] + t, 0, bp.shape[0] - 1)]
-            ok = g < cum[-1]
-            rows = jnp.stack([jnp.where(ok, ap[w], 0),
-                              jnp.where(ok, j, 0)], axis=1)
-            return rows[None], ok.sum(dtype=I32)[None], cum[-1][None]
+        def build_fb():
+            def fn(ah, al, ap, an, bh, bl, bp, bn, start):
+                ah, al, ap = ah.reshape(-1), al.reshape(-1), ap.reshape(-1)
+                bh, bl, bp = bh.reshape(-1), bl.reshape(-1), bp.reshape(-1)
+                lb, ub = srt.lookup_bounds(bh, bl, bn[0], ah, al)
+                live_a = jnp.arange(ah.shape[0], dtype=I32) < an[0]
+                c = jnp.where(live_a, ub - lb, 0).astype(I32)
+                cum = jnp.cumsum(c.astype(I64))
+                g = start[0] + jnp.arange(C, dtype=I64)
+                w = srt.expand_rank_i64(cum, g, ah.shape[0])
+                t = (g - (cum - c.astype(I64))[w]).astype(I32)
+                j = bp[jnp.clip(lb[w] + t, 0, bp.shape[0] - 1)]
+                ok = g < cum[-1]
+                rows = jnp.stack([jnp.where(ok, ap[w], 0),
+                                  jnp.where(ok, j, 0)], axis=1)
+                return rows[None], ok.sum(dtype=I32)[None], cum[-1][None]
 
-        shard_fn = jax.jit(
-            jax.shard_map(
-                fn, mesh=a.mesh,
-                in_specs=(P(axis),) * 4 + (P(axis),) * 4 + (P(axis),),
-                out_specs=(P(axis), P(axis), P(axis)),
+            return jax.jit(
+                jax.shard_map(
+                    fn, mesh=a.mesh,
+                    in_specs=(P(axis),) * 4 + (P(axis),) * 4 + (P(axis),),
+                    out_specs=(P(axis), P(axis), P(axis)),
+                )
             )
-        )
+
+        shard_fn = _shared_program(
+            ("xpairs_chunk", a.mesh, int(a_hi.shape[-1]),
+             int(b_hi.shape[-1]), C), build_fb)
 
         def call(start):
             starts = _global_put(a.mesh, np.full((D, 1), start, np.int64))
@@ -1652,34 +1738,44 @@ class ShardedCountStore:
             tag = acc[3] if len(acc) > 3 else 0
             counts_n = self.counts_n
 
-            def fin_keys(hi, lo):
-                u_hi, u_lo, u_cnt, n_u = cs._finalize_run_keys(
-                    hi.reshape(-1), lo.reshape(-1), k=self.k,
-                    counts_n=counts_n, source=tag,
-                )
-                return u_hi[None], u_lo[None], u_cnt[None], n_u[None]
+            def build_fin_keys():
+                def fin_keys(hi, lo):
+                    u_hi, u_lo, u_cnt, n_u = cs._finalize_run_keys(
+                        hi.reshape(-1), lo.reshape(-1), k=self.k,
+                        counts_n=counts_n, source=tag,
+                    )
+                    return u_hi[None], u_lo[None], u_cnt[None], n_u[None]
 
-            fin_fn = jax.jit(
-                jax.shard_map(
-                    fin_keys, mesh=self.mesh, in_specs=(P(self.axes),) * 2,
-                    out_specs=(P(self.axes),) * 4,
+                return jax.jit(
+                    jax.shard_map(
+                        fin_keys, mesh=self.mesh,
+                        in_specs=(P(self.axes),) * 2,
+                        out_specs=(P(self.axes),) * 4,
+                    )
                 )
-            )
+
+            fin_fn = self._program(
+                ("fold_fin_keys", int(acc[0].shape[1]), tag),
+                build_fin_keys)
             u_hi, u_lo, cnt, n_u = fin_fn(acc[0], acc[1])
         else:
-            def fin(hi, lo, cnt):
-                u_hi, u_lo, u_cnt, n_u = cs._finalize_run(
-                    hi.reshape(-1), lo.reshape(-1),
-                    cnt.reshape(cnt.shape[1], -1), k=self.k,
-                )
-                return u_hi[None], u_lo[None], u_cnt[None], n_u[None]
+            def build_fin():
+                def fin(hi, lo, cnt):
+                    u_hi, u_lo, u_cnt, n_u = cs._finalize_run(
+                        hi.reshape(-1), lo.reshape(-1),
+                        cnt.reshape(cnt.shape[1], -1), k=self.k,
+                    )
+                    return u_hi[None], u_lo[None], u_cnt[None], n_u[None]
 
-            fin_fn = jax.jit(
-                jax.shard_map(
-                    fin, mesh=self.mesh, in_specs=(P(self.axes),) * 3,
-                    out_specs=(P(self.axes),) * 4,
+                return jax.jit(
+                    jax.shard_map(
+                        fin, mesh=self.mesh, in_specs=(P(self.axes),) * 3,
+                        out_specs=(P(self.axes),) * 4,
+                    )
                 )
-            )
+
+            fin_fn = self._program(
+                ("fold_fin", int(acc[0].shape[1])), build_fin)
             u_hi, u_lo, cnt, n_u = fin_fn(acc[0], acc[1], acc[2])
         self._n_unique = _host_read(n_u).astype(np.int64)
         need = 1 << max(6, int(max(self._n_unique.max(), 1) - 1)
@@ -1698,29 +1794,36 @@ class ShardedCountStore:
 
         sort_based = cs._use_sort_spectrum()  # read OUTSIDE the trace
 
-        def fn(cnt, ns):
-            cnt0 = cnt.reshape(cnt.shape[1], -1)[:, 0]
-            live = jnp.arange(cnt0.shape[0], dtype=I32) < ns[0]
-            if sort_based:
-                # sort-based histogram (the single-chip _spectrum twin):
-                # scatter-add runs ~8.7 ns/elem on this chip, the u32
-                # sort + bin boundary searches ~3.5
-                c = jnp.minimum(cnt0.astype(U32), np.uint32(max_count))
-                c = jnp.where(live, c, np.uint32(max_count + 1))
-                c_sorted = jax.lax.sort(c, dimension=-1, is_stable=False)
-                bins = jnp.arange(max_count + 3, dtype=U32)
-                idx = jnp.searchsorted(c_sorted, bins, side="left")
-                spec = (idx[1:] - idx[:-1]).astype(jnp.float64)
-            else:
-                c = jnp.minimum(cnt0.astype(I64), max_count)
-                c = jnp.where(live, c, max_count + 1)
-                spec = jnp.zeros(max_count + 2, jnp.float64).at[c].add(1.0)
-            return jax.lax.psum(spec[: max_count + 1], axes)
+        def build():
+            def fn(cnt, ns):
+                cnt0 = cnt.reshape(cnt.shape[1], -1)[:, 0]
+                live = jnp.arange(cnt0.shape[0], dtype=I32) < ns[0]
+                if sort_based:
+                    # sort-based histogram (the single-chip _spectrum
+                    # twin): scatter-add runs ~8.7 ns/elem on this chip,
+                    # the u32 sort + bin boundary searches ~3.5
+                    c = jnp.minimum(cnt0.astype(U32), np.uint32(max_count))
+                    c = jnp.where(live, c, np.uint32(max_count + 1))
+                    c_sorted = jax.lax.sort(c, dimension=-1,
+                                            is_stable=False)
+                    bins = jnp.arange(max_count + 3, dtype=U32)
+                    idx = jnp.searchsorted(c_sorted, bins, side="left")
+                    spec = (idx[1:] - idx[:-1]).astype(jnp.float64)
+                else:
+                    c = jnp.minimum(cnt0.astype(I64), max_count)
+                    c = jnp.where(live, c, max_count + 1)
+                    spec = jnp.zeros(max_count + 2,
+                                     jnp.float64).at[c].add(1.0)
+                return jax.lax.psum(spec[: max_count + 1], axes)
 
-        shard_fn = jax.jit(
-            jax.shard_map(fn, mesh=self.mesh, in_specs=(P(axes), P(axes)),
-                          out_specs=P())
-        )
+            return jax.jit(
+                jax.shard_map(fn, mesh=self.mesh,
+                              in_specs=(P(axes), P(axes)), out_specs=P())
+            )
+
+        shard_fn = self._program(
+            ("spectrum", int(self.cnt.shape[1]), max_count, sort_based),
+            build)
         return np.asarray(shard_fn(self.cnt, nv))
 
     def spectrum_n(self, max_count: int, comb, comb_inner,
@@ -1736,18 +1839,27 @@ class ShardedCountStore:
         comb_n = int(len(comb))
         nv = self._global_put(self.n_unique.astype(np.int32))
 
-        def fn(cnt, ns):
-            cnt2 = cnt.reshape(cnt.shape[1], -1)
-            live = jnp.arange(cnt2.shape[0], dtype=I32) < ns[0]
-            out = _spectrum_nc(cnt2, live, max_count, jnp.asarray(comb),
-                               jnp.asarray(comb_inner),
-                               jnp.asarray(source_min), comb_n)
-            return jax.lax.psum(out, axes)
+        def build():
+            def fn(cnt, ns):
+                cnt2 = cnt.reshape(cnt.shape[1], -1)
+                live = jnp.arange(cnt2.shape[0], dtype=I32) < ns[0]
+                out = _spectrum_nc(cnt2, live, max_count,
+                                   jnp.asarray(comb),
+                                   jnp.asarray(comb_inner),
+                                   jnp.asarray(source_min), comb_n)
+                return jax.lax.psum(out, axes)
 
-        shard_fn = jax.jit(
-            jax.shard_map(fn, mesh=self.mesh, in_specs=(P(axes), P(axes)),
-                          out_specs=P())
-        )
+            return jax.jit(
+                jax.shard_map(fn, mesh=self.mesh,
+                              in_specs=(P(axes), P(axes)), out_specs=P())
+            )
+
+        # comb/comb_inner/source_min are baked into the trace as
+        # constants, so they must key the cache
+        shard_fn = self._program(
+            ("spectrum_n", int(self.cnt.shape[1]), max_count,
+             comb.tobytes(), comb_inner.tobytes(), source_min.tobytes()),
+            build)
         return np.asarray(shard_fn(self.cnt, nv))
 
     def lookup(self, q_hi, q_lo) -> np.ndarray:
@@ -1756,23 +1868,28 @@ class ShardedCountStore:
         axes = self.axes
         nv = self._global_put(self.n_unique.astype(np.int32))
 
-        def fn(u_hi, u_lo, cnt, ns, qh, ql):
-            u_hi, u_lo = u_hi.reshape(-1), u_lo.reshape(-1)
-            cnt2 = cnt.reshape(u_hi.shape[0], -1)
-            lb, ub = srt.lookup_bounds(u_hi, u_lo, ns[0], qh, ql)
-            lbc = jnp.clip(lb, 0, u_hi.shape[0] - 1)
-            found = ub > lb
-            rows = jnp.where(found[:, None], cnt2[lbc], 0).astype(I32)
-            return jax.lax.psum(rows, axes)
+        def build():
+            def fn(u_hi, u_lo, cnt, ns, qh, ql):
+                u_hi, u_lo = u_hi.reshape(-1), u_lo.reshape(-1)
+                cnt2 = cnt.reshape(u_hi.shape[0], -1)
+                lb, ub = srt.lookup_bounds(u_hi, u_lo, ns[0], qh, ql)
+                lbc = jnp.clip(lb, 0, u_hi.shape[0] - 1)
+                found = ub > lb
+                rows = jnp.where(found[:, None], cnt2[lbc], 0).astype(I32)
+                return jax.lax.psum(rows, axes)
 
-        shard_fn = jax.jit(
-            jax.shard_map(
-                fn, mesh=self.mesh,
-                in_specs=(P(axes), P(axes), P(axes), P(axes), P(), P()),
-                out_specs=P(),
+            return jax.jit(
+                jax.shard_map(
+                    fn, mesh=self.mesh,
+                    in_specs=(P(axes), P(axes), P(axes), P(axes), P(),
+                              P()),
+                    out_specs=P(),
+                )
             )
-        )
+
+        q_hi, q_lo = jnp.ravel(q_hi), jnp.ravel(q_lo)
+        shard_fn = self._program(
+            ("lookup", int(self.u_hi.shape[1]), int(q_hi.shape[0])), build)
         return np.asarray(
-            shard_fn(self.u_hi, self.u_lo, self.cnt, nv,
-                     jnp.ravel(q_hi), jnp.ravel(q_lo))
+            shard_fn(self.u_hi, self.u_lo, self.cnt, nv, q_hi, q_lo)
         )
