@@ -91,7 +91,8 @@ def _use_packed_upload() -> bool:
 def _iter_padded_batches(path: str, max_reads: Optional[int],
                          batch_rows: Optional[int] = None,
                          prefetch: int = 2, skip: int = 0,
-                         to_device: bool = False, packed: bool = False):
+                         to_device: bool = False, packed: bool = False,
+                         byte_range=None):
     """Yield device-ready (seq, qual, lengths, has_qual) batches, padded to
     power-of-two shapes. ``skip`` discards the first N records (mid-file
     resume); ``max_reads`` then limits the records yielded after the skip.
@@ -121,6 +122,35 @@ def _iter_padded_batches(path: str, max_reads: Optional[int],
     from .io import native
 
     ship = _ship_to_device if to_device else (lambda b: b)
+    if byte_range is not None:
+        # multi-host input slice: records starting in [start, end) only.
+        # Padded (non-packed) form — the packed quality modes are chosen
+        # per local batch and would diverge across processes.
+        if native.available():
+            def produce_range():
+                for b in native.iter_fastx_padded(
+                        path, batch_rows, max_reads,
+                        byte_range=byte_range):
+                    yield ship(b)
+
+            yield from _prefetch_iter(produce_range(), prefetch)
+            return
+        from .io.fastx import iter_fastx_range
+
+        def produce_range_py():
+            left = max_reads
+            for recs in iter_fastx_range(path, byte_range[0],
+                                         byte_range[1], batch_rows):
+                if left is not None:
+                    recs = recs[:left]
+                    left -= len(recs)
+                if recs:
+                    yield ship(_pad_pow2(recs))
+                if left is not None and left <= 0:
+                    return
+
+        yield from _prefetch_iter(produce_range_py(), prefetch)
+        return
     if native.available():
         import os as _os
 
@@ -1059,18 +1089,31 @@ def _count_rp_sharded(path, k, min_q, max_reads, source_n, source, store,
     if source >= store.counts_n:
         raise ValueError("Value of source is too large")
     D = store.n_shards
-    meter = _progress(report_every, f"count_rp_sharded[{path}]")
     precision = ("hybrid" if exact_ll == "hybrid"
                  else "exact" if exact_ll else "fast")
-    reads_done = int(skip_reads)
-    since_ckpt = 0
-    # multi-process (jax.distributed): every process streams the same file
-    # (lockstep — each add_batch is a collective) but encodes/feeds only
-    # its own row slice of every batch, so each read is counted exactly
-    # once and device work is split across hosts (ROADMAP §4 input
-    # sharding; one shared file set, no per-host file splits needed)
     n_proc = jax.process_count()
     p_idx = jax.process_index()
+    import os as _os
+
+    from .io.fastx import is_gzip
+
+    if (n_proc > 1 and skip_reads == 0 and max_reads is None
+            and checkpoint_every is None and not is_gzip(path)
+            and _os.environ.get("KMH_HOST_SLICE", "1") != "0"):
+        # true input data parallelism: each host parses ONLY its own byte
+        # range. Mid-file resume / max_reads need global record cursors,
+        # so those fall through to the lockstep path below; gzip streams
+        # cannot be byte-addressed without decompressing the prefix.
+        return _count_rp_sliced(path, k, min_q, source, store, precision,
+                                report_every)
+    meter = _progress(report_every, f"count_rp_sharded[{path}]")
+    reads_done = int(skip_reads)
+    since_ckpt = 0
+    # multi-process (jax.distributed) lockstep fallback: every process
+    # streams the same file (each add_batch is a collective) but encodes/
+    # feeds only its own row slice of every batch, so each read is counted
+    # exactly once and device work is split across hosts; the sliced path
+    # above avoids the redundant parse entirely when the input allows it
     min_ll_f = float(Q_TO_LL[33 + int(min_q)])
     for seq, qual, lengths, has_qual in _iter_padded_batches(
             path, max_reads, skip=skip_reads,
@@ -1131,4 +1174,91 @@ def _count_rp_sharded(path, k, min_q, max_reads, source_n, source, store,
             store, checkpoint_path, path, reads_done,
             done=max_reads is None or consumed < max_reads,
         )
+    return store
+
+
+def _count_rp_sliced(path, k, min_q, source, store, precision,
+                     report_every):
+    """Multi-host counting with TRUE per-host input slicing: process p
+    parses only the records whose first byte falls in byte range
+    [size*p/n, size*(p+1)/n) (boundary re-sync in the range reader), so
+    host parse work scales 1/N with hosts — unlike the reference's reader
+    pool, where every worker re-reads the whole file and keeps a prefix
+    slice (src/kmer_reader.h:32-34), and unlike the round-3 lockstep path,
+    which re-parsed the full file on every host.
+
+    ``store.add_reads`` is a collective, so its static program structure
+    (row/column shapes, window-axis trim, with_q/with_noq branches) must
+    be identical on every process even though each parsed a different
+    slice: a tiny per-batch ``process_allgather`` of six host scalars
+    aligns them, and processes whose range is exhausted keep feeding
+    empty batches until every range is drained."""
+    import os
+
+    from jax.experimental import multihost_utils
+
+    from .io.fastx import col_bucket
+
+    n_proc = jax.process_count()
+    p_idx = jax.process_index()
+    d_loc = store.n_shards // n_proc
+    size = os.path.getsize(path)
+    lo_b = size * p_idx // n_proc
+    hi_b = size * (p_idx + 1) // n_proc
+    batch_rows = _tuned_batch_rows(path, k) or int(
+        os.environ.get("KMH_BATCH_ROWS", "16384"))
+    rows_pp = max(-(-batch_rows // n_proc), d_loc)
+    meter = _progress(report_every, f"count_rp_sliced[{path}]")
+    min_ll_f = float(Q_TO_LL[33 + int(min_q)])
+    it = iter(_iter_padded_batches(path, None, batch_rows=rows_pp,
+                                   packed=False, byte_range=(lo_b, hi_b)))
+    reads_done = 0
+    while True:
+        b = next(it, None)
+        if b is None:
+            stats = np.zeros(6, np.int64)
+            seq = qual = lengths = has_qual = None
+        else:
+            seq, qual, lengths, has_qual = b
+            stats = np.array([
+                1, lengths.shape[0], int(lengths.max(initial=0)),
+                int(bool(has_qual.any())),
+                int(bool(((~has_qual) & (lengths > 0)).any())),
+                int((lengths > 0).sum()),
+            ], np.int64)
+        g = np.asarray(multihost_utils.process_allgather(stats))
+        g = g.reshape(n_proc, 6)
+        if not g[:, 0].any():
+            break
+        # collective-aligned statics from the GLOBAL batch
+        Bp = -(-max(int(g[:, 1].max()), 1) // d_loc) * d_loc
+        lmax_g = max(int(g[:, 2].max()), 1)
+        Lp = col_bucket(lmax_g)
+        with_q = bool(g[:, 3].any())
+        with_noq = bool(g[:, 4].any())
+        n_win = win_bucket(lmax_g, k)
+        if b is None:
+            seq = np.full((Bp, Lp), ord("N"), np.uint8)
+            qual = np.zeros((Bp, Lp), np.uint8)
+            lengths = np.zeros(Bp, np.int32)
+            has_qual = np.zeros(Bp, bool)
+        else:
+            B0, L0 = seq.shape
+            if B0 != Bp or L0 != Lp:
+                seq = np.pad(seq[:Bp, :Lp], ((0, Bp - min(B0, Bp)),
+                                             (0, Lp - min(L0, Lp))),
+                             constant_values=ord("N"))
+                qual = np.pad(qual[:Bp, :Lp], ((0, Bp - min(B0, Bp)),
+                                               (0, Lp - min(L0, Lp))))
+                lengths = np.pad(lengths[:Bp], (0, Bp - min(B0, Bp)))
+                has_qual = np.pad(has_qual[:Bp], (0, Bp - min(B0, Bp)))
+        if with_q or with_noq:
+            store.add_reads(seq, qual, lengths, has_qual, min_ll_f,
+                            precision=precision, source=source,
+                            with_q=with_q, with_noq=with_noq,
+                            min_q_char=33 + int(min_q), n_win=n_win)
+        reads_done += int(g[:, 5].sum())
+        if meter:
+            meter.update(int(g[:, 5].sum()),
+                         distinct_kmers=lambda: int(store.peek_n_unique()))
     return store

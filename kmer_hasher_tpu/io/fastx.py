@@ -122,6 +122,133 @@ def _iter_records_py(path: str):
             raise ValueError(f"unrecognised fastx leader byte {first!r} in {path}")
 
 
+def is_gzip(path: str) -> bool:
+    with open(path, "rb") as f:
+        return f.read(2) == b"\x1f\x8b"
+
+
+def find_record_boundary(path: str, start: int, end: int) -> int:
+    """First record start at-or-after byte ``start`` and before ``end``
+    (-1 if none) — the pure-Python twin of the native range opener. Plain
+    files only. FASTA boundaries ('>' line starts) are unambiguous; FASTQ
+    '@'/'+' are legal quality bytes, so candidates are verified against
+    two consecutive 4-line records (the standard parallel-splitter
+    re-sync; multi-line FASTQ is not supported in range mode)."""
+    with open(path, "rb") as f:
+        fmt = f.read(1)
+        if start <= 0:
+            return 0
+        # seek to start-1 and drop a line: lands exactly on `start` when
+        # the previous byte is '\n', so a record starting AT start is ours
+        f.seek(start - 1)
+        f.readline()
+        if fmt == b">":
+            while True:
+                pos = f.tell()
+                if pos >= end:
+                    return -1
+                line = f.readline()
+                if not line:
+                    return -1
+                if line.startswith(b">"):
+                    return pos
+        lines: List[Tuple[int, bytes]] = []
+
+        def have(i: int) -> bool:
+            while len(lines) <= i:
+                pos = f.tell()
+                ln = f.readline()
+                if not ln:
+                    return False
+                lines.append((pos, ln.rstrip(b"\r\n")))
+            return True
+
+        i = 0
+        while True:
+            if not have(i):
+                return -1
+            pos, ln = lines[i]
+            if pos >= end:
+                return -1
+            if ln.startswith(b"@"):
+                if have(i + 3):
+                    ok = (lines[i + 2][1].startswith(b"+")
+                          and len(lines[i + 3][1]) == len(lines[i + 1][1]))
+                    if ok and have(i + 7):
+                        ok = (lines[i + 4][1].startswith(b"@")
+                              and lines[i + 6][1].startswith(b"+")
+                              and len(lines[i + 7][1])
+                              == len(lines[i + 5][1]))
+                    elif ok and have(i + 4):
+                        ok = lines[i + 4][1].startswith(b"@")
+                else:
+                    ok = have(i + 2) and lines[i + 2][1].startswith(b"+")
+                if ok:
+                    return pos
+            i += 1
+
+
+def _iter_records_py_range(path: str, start: int, end: int):
+    """Records whose first byte falls in [start, end) — see
+    :func:`find_record_boundary`. The union over hosts of contiguous byte
+    ranges partitions the file's records exactly."""
+    boundary = find_record_boundary(path, start, end)
+    if boundary < 0:
+        return
+    with open(path, "rb") as f:
+        fmt = f.read(1)
+        f.seek(boundary)
+        if fmt == b">":
+            name = None
+            chunks: List[bytes] = []
+            while True:
+                pos = f.tell()
+                line = f.readline()
+                if not line:
+                    break
+                s = line.rstrip(b"\r\n")
+                if s.startswith(b">"):
+                    if name is not None:
+                        yield (name, b"".join(chunks), None)
+                        name = None
+                    if pos >= end:
+                        return
+                    name = s[1:].split()[0].decode() if len(s) > 1 else ""
+                    chunks = []
+                else:
+                    chunks.append(s)
+            if name is not None:
+                yield (name, b"".join(chunks), None)
+            return
+        while True:
+            pos = f.tell()
+            hdr = f.readline()
+            if not hdr or pos >= end:
+                return
+            name = (hdr[1:].rstrip(b"\r\n").split()[0].decode()
+                    if len(hdr) > 1 else "")
+            seq = f.readline().rstrip(b"\r\n")
+            sep = f.readline()
+            if not sep.startswith(b"+"):  # truncated tail
+                yield (name, seq, None)
+                return
+            qual = f.readline().rstrip(b"\r\n")
+            yield (name, seq, qual if len(qual) == len(seq) else None)
+
+
+def iter_fastx_range(path: str, start: int, end: int,
+                     batch_size: int = 4096):
+    """Batched wrapper over :func:`_iter_records_py_range`."""
+    batch: List[Record] = []
+    for rec in _iter_records_py_range(path, start, end):
+        batch.append(rec)
+        if len(batch) >= batch_size:
+            yield batch
+            batch = []
+    if batch:
+        yield batch
+
+
 def read_fastx_py(path: str, max_records: Optional[int] = None) -> List[Record]:
     it = _iter_records_py(path)
     if max_records is None:

@@ -59,6 +59,11 @@ def _build() -> Optional[ctypes.CDLL]:
     lib.fastx_free.argtypes = [ctypes.POINTER(_FastxResult)]
     lib.fastx_open.restype = ctypes.c_void_p
     lib.fastx_open.argtypes = [ctypes.c_char_p]
+    lib.fastx_open_range.restype = ctypes.c_void_p
+    lib.fastx_open_range.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64]
+    lib.fastx_handle_tell.restype = ctypes.c_int64
+    lib.fastx_handle_tell.argtypes = [ctypes.c_void_p]
     lib.fastx_read_batch.restype = ctypes.POINTER(_FastxResult)
     lib.fastx_read_batch.argtypes = [ctypes.c_void_p, ctypes.c_int64]
     lib.fastx_close.argtypes = [ctypes.c_void_p]
@@ -193,15 +198,32 @@ def iter_fastx_raw(path: str, batch_records: int = 4096,
         _lib.fastx_close(h)
 
 
+#: Per-process parse accounting: record bytes materialised into batch
+#: buffers by the filled iterators below (multi-host input slicing tests
+#: assert each process parses ~1/N of the corpus).
+STATS = {"bytes_parsed": 0}
+
+
 def _iter_fastx_filled(path: str, batch_records: int,
-                       max_records: Optional[int], skip: int, packed: bool):
+                       max_records: Optional[int], skip: int, packed: bool,
+                       byte_range: "Optional[Tuple[int, int]]" = None):
     """Shared streaming skeleton for the C++-filled padded/packed batch
-    iterators (see :func:`iter_fastx_padded` / :func:`iter_fastx_packed`)."""
+    iterators (see :func:`iter_fastx_padded` / :func:`iter_fastx_packed`).
+
+    ``byte_range=(start, end)`` restricts the stream to records whose first
+    byte falls in [start, end) — the multi-host input slice (plain files
+    only; the opener re-synchronises to a record boundary)."""
     import numpy as np
 
     if not available():
         raise RuntimeError("native fastx parser unavailable")
-    h = _lib.fastx_open(os.fsencode(path))
+    if byte_range is not None:
+        if skip:
+            raise ValueError("skip and byte_range are mutually exclusive")
+        h = _lib.fastx_open_range(os.fsencode(path),
+                                  int(byte_range[0]), int(byte_range[1]))
+    else:
+        h = _lib.fastx_open(os.fsencode(path))
     if not h:
         raise FileNotFoundError(path)
     from .fastx import row_cap_bucket
@@ -234,6 +256,7 @@ def _iter_fastx_filled(path: str, batch_records: int,
                     continue
                 start, to_skip = to_skip, 0
                 offs = np.ctypeslib.as_array(r.offsets, shape=(n + 1,))
+                STATS["bytes_parsed"] += int(offs[n])
                 lmax = int((offs[start + 1:n + 1] - offs[start:n]).max())
                 B = n - start
                 Bp = min(1 << max(3, (B - 1).bit_length()), row_cap)
@@ -311,16 +334,18 @@ def _iter_fastx_filled(path: str, batch_records: int,
 
 
 def iter_fastx_padded(path: str, batch_records: int = 4096,
-                      max_records: Optional[int] = None, skip: int = 0):
+                      max_records: Optional[int] = None, skip: int = 0,
+                      byte_range: "Optional[Tuple[int, int]]" = None):
     """Stream device-ready padded batches (seq, qual, lengths, has_qual)
     with the padding done by per-row memcpy in C++ (``fastx_fill_padded``)
     instead of a NumPy fancy-index scatter — the fast input path for
     throttled hosts. Shapes follow the same power-of-two bucketing as the
     Python padder: rows to pow2(B) capped at pow2(batch_records), columns
     to pow2(max record length, min 32). ``skip`` discards the first N
-    records (mid-file resume)."""
+    records (mid-file resume); ``byte_range`` restricts to the records
+    starting in [start, end) (multi-host input slicing)."""
     yield from _iter_fastx_filled(path, batch_records, max_records, skip,
-                                  packed=False)
+                                  packed=False, byte_range=byte_range)
 
 
 def iter_fastx_packed(path: str, batch_records: int = 4096,

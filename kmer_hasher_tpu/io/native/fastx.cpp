@@ -56,6 +56,24 @@ class Reader {
   // EOF — callers must not treat the truncated result as a complete parse.
   bool io_error() const { return io_error_; }
 
+  // Offset (in the uncompressed stream) of the next byte get()/peek()
+  // would return. base_ tracks gztell() after the last fill, i.e. the
+  // offset just past the buffered chunk.
+  int64_t stream_pos() const { return base_ - (avail_ - pos_); }
+  // Reposition to an absolute uncompressed offset. Plain files seek raw
+  // (fast); gzip members decompress forward (callers gate range reads to
+  // plain files). Discards the buffer.
+  bool seek(int64_t off) {
+    if (!gz_ || gzseek(gz_, off, SEEK_SET) < 0) return false;
+    base_ = off;
+    pos_ = avail_ = 0;
+    return true;
+  }
+  // Records starting at-or-after this offset belong to the next range
+  // reader; parse loops stop there (-1 = no limit).
+  void set_end(int64_t end) { end_ = end; }
+  bool past_end() const { return end_ >= 0 && stream_pos() >= end_; }
+
   int peek() {
     if (pos_ >= avail_ && !fill()) return -1;
     return buf_[pos_];
@@ -107,6 +125,7 @@ class Reader {
       return false;
     }
     if (n == 0) return false;
+    base_ = gztell(gz_);
     avail_ = n;
     pos_ = 0;
     return true;
@@ -115,6 +134,8 @@ class Reader {
   uint8_t buf_[1 << 16];
   int64_t pos_ = 0;
   int64_t avail_ = 0;
+  int64_t base_ = 0;
+  int64_t end_ = -1;
   bool io_error_ = false;
 };
 
@@ -155,6 +176,9 @@ static void parse_records(Reader& rd, FastxResult* res,
       res->error = 2;
       break;
     }
+    // range readers stop at the first record that STARTS at-or-after the
+    // range end — that record belongs to the next host's byte range
+    if (rd.past_end()) break;
     rd.get();
     // name = first word of header
     Buf header;
@@ -236,6 +260,135 @@ FastxReaderHandle* fastx_open(const char* path) {
     return nullptr;
   }
   return reinterpret_cast<FastxReaderHandle*>(rd);
+}
+
+// -- byte-range reading (multi-host input slicing) --------------------------
+//
+// Each host owns the records whose FIRST byte falls in [start, end): the
+// opener seeks near start, re-synchronises to the next record boundary, and
+// the parse loop stops at the first record starting at-or-after end. The
+// union over hosts of [size*p/n, size*(p+1)/n) ranges is an exact partition
+// of the records. Plain (non-gzip) files only — a gzip stream cannot be
+// byte-addressed without decompressing the prefix, so callers gate on the
+// magic bytes. This replaces the reference's redundant full-file read per
+// worker (src/kmer_reader.h:32-34) with true input data parallelism.
+
+namespace {
+
+// Read one full line (no terminator) starting at the reader's position.
+static bool scan_line(Reader& rd, std::string& out) {
+  out.clear();
+  int c = rd.get();
+  if (c < 0) return false;
+  while (c >= 0 && c != '\n') {
+    out.push_back(static_cast<char>(c));
+    c = rd.get();
+  }
+  if (!out.empty() && out.back() == '\r') out.pop_back();
+  return true;
+}
+
+// First record boundary at-or-after the current position (which sits at a
+// line start), before offset `end`. fmt is the file's leading byte ('>'
+// FASTA / '@' FASTQ). FASTA: a '>' line start is unambiguous (no quality
+// lines exist). FASTQ: '@' (and '+') are legal QUALITY bytes, so a '@' line
+// start is verified against two consecutive 4-line records (header /
+// sequence / '+' separator / equal-length quality) — the standard
+// re-synchronisation used by parallel FASTQ splitters. Multi-line FASTQ is
+// not supported in range mode (callers fall back to lockstep streaming).
+static int64_t find_boundary(Reader& rd, int fmt, int64_t end) {
+  if (fmt == '>') {
+    while (true) {
+      int64_t pos = rd.stream_pos();
+      if (end >= 0 && pos >= end) return -1;
+      int c = rd.peek();
+      if (c < 0) return -1;
+      if (c == '>') return pos;
+      rd.skip_line();
+    }
+  }
+  // FASTQ: sliding window of (offset, line) with 8-line lookahead
+  std::vector<std::pair<int64_t, std::string>> win;
+  auto have = [&](size_t idx) -> bool {
+    while (win.size() <= idx) {
+      int64_t pos = rd.stream_pos();
+      std::string s;
+      if (!scan_line(rd, s)) return false;
+      win.emplace_back(pos, std::move(s));
+    }
+    return true;
+  };
+  auto starts = [&](size_t idx, char c) -> bool {
+    return !win[idx].second.empty() && win[idx].second[0] == c;
+  };
+  for (size_t i = 0;; ++i) {
+    if (!have(i)) return -1;
+    if (end >= 0 && win[i].first >= end) return -1;
+    if (!starts(i, '@')) continue;
+    bool ok;
+    if (have(i + 3)) {
+      ok = starts(i + 2, '+') &&
+           win[i + 3].second.size() == win[i + 1].second.size();
+      if (ok && have(i + 7)) {  // second record confirms
+        ok = starts(i + 4, '@') && starts(i + 6, '+') &&
+             win[i + 7].second.size() == win[i + 5].second.size();
+      } else if (ok && have(i + 4)) {  // exactly one record + header left
+        ok = starts(i + 4, '@');
+      }
+    } else {
+      // EOF within 4 lines: accept a truncated final record shape
+      ok = have(i + 2) && starts(i + 2, '+');
+    }
+    if (ok) return win[i].first;
+  }
+}
+
+}  // namespace
+
+// Open a streaming handle over records starting in [start, end).
+FastxReaderHandle* fastx_open_range(const char* path, int64_t start,
+                                    int64_t end) {
+  int fmt = 0;
+  {
+    Reader probe(path);
+    if (!probe.ok()) return nullptr;
+    fmt = probe.peek();
+    if (fmt != '>' && fmt != '@') return nullptr;
+  }
+  auto* rd = new Reader(path);
+  if (!rd->ok()) {
+    delete rd;
+    return nullptr;
+  }
+  int64_t boundary = 0;
+  if (start > 0) {
+    // seek to start-1 and drop one line: if start-1 is a '\n' this lands
+    // exactly on start, else it lands at the first line start after
+    // start — so a record beginning exactly at `start` is still OURS
+    if (!rd->seek(start - 1)) {
+      delete rd;
+      return nullptr;
+    }
+    std::string partial;
+    scan_line(*rd, partial);
+    boundary = find_boundary(*rd, fmt, end);
+    if (boundary < 0) {  // no record starts in this range: empty stream
+      rd->set_end(0);
+      rd->seek(0);
+      return reinterpret_cast<FastxReaderHandle*>(rd);
+    }
+    if (!rd->seek(boundary)) {
+      delete rd;
+      return nullptr;
+    }
+  }
+  rd->set_end(end);
+  return reinterpret_cast<FastxReaderHandle*>(rd);
+}
+
+// Uncompressed-stream offset of the next unread byte (parse progress).
+int64_t fastx_handle_tell(FastxReaderHandle* h) {
+  return reinterpret_cast<Reader*>(h)->stream_pos();
 }
 
 FastxResult* fastx_read_batch(FastxReaderHandle* h, int64_t max_records) {

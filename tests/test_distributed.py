@@ -303,6 +303,12 @@ mesh = Mesh(np.asarray(jax.devices()), ("shards",))
 store = count_kmers_fq_sh_rp({fq!r}, 11, min_q=20, mesh=mesh)
 spec = store.spectrum(50)
 digest = store_digest(store)  # collective (allgather): EVERY process calls
+# TRUE input slicing: this process must have parsed only ~1/2 of the
+# corpus bytes (the lockstep fallback parses all of them on every host)
+from kmer_hasher_tpu.io import native
+total_seq = {total_seq}
+parsed = native.STATS["bytes_parsed"]
+assert 0.2 * total_seq <= parsed <= 0.8 * total_seq, (parsed, total_seq)
 if pid == 0:
     print("SPECTRUM " + json.dumps(spec.tolist()))
     print("TOTAL " + json.dumps(store.total_added.tolist()))
@@ -314,15 +320,21 @@ print("WORKER_OK", pid)
 def test_two_process_varlen_counting(tmp_path):
     """Variable-length reads split unevenly across the two process slices
     (short reads land on process 0, long on process 1): statics (n_win,
-    with_q/with_noq) must come from the FULL batch, and the folded store
-    must equal the single-process run bitwise (VERDICT r3 weak-1)."""
+    with_q/with_noq) must come from the FULL batch, each process must
+    parse only its OWN byte range (~1/2 of the corpus — VERDICT r3
+    §2.2-partial), and the folded store must equal the single-process run
+    bitwise (VERDICT r3 weak-1)."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     testdir = os.path.dirname(os.path.abspath(__file__))
     fq = str(tmp_path / "varlen.fastq")
     write_varlen_fastq(fq)
+    from kmer_hasher_tpu.io import read_fastx
+
+    total_seq = sum(len(s) for (_n, s, _q) in read_fastx(fq))
     lines = _run_two_workers(
         tmp_path,
-        VARLEN_WORKER.format(repo=repo, testdir=testdir, fq=fq),
+        VARLEN_WORKER.format(repo=repo, testdir=testdir, fq=fq,
+                             total_seq=total_seq),
         name="worker_varlen.py")
     dist_spec = np.asarray(_line_json(lines, "SPECTRUM"))
     dist_total = _line_json(lines, "TOTAL")

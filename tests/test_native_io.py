@@ -247,3 +247,82 @@ def test_nmask_omitted_for_n_free_batches(tmp_path):
     assert isinstance(s2, tuple) and len(s2) == 2
     plane2 = np.asarray(enc.unpack_seq(*s2))
     assert plane2[0, :8].tobytes() == b"ACGNACGT"
+
+
+# -- byte-range readers (multi-host input slicing) ---------------------------
+
+def _range_records_native(path, start, end, batch=7):
+    """Drain the native range reader via the padded batch iterator and
+    return (seq_bytes, qual_or_None) per record."""
+    out = []
+    for seq, qual, lengths, has_qual in native.iter_fastx_padded(
+            str(path), batch, byte_range=(start, end)):
+        for r in range(len(lengths)):
+            if lengths[r] > 0:
+                s = bytes(seq[r, : lengths[r]])
+                q = bytes(qual[r, : lengths[r]]) if has_qual[r] else None
+                out.append((s, q))
+    return out
+
+
+@pytest.mark.parametrize("name", ["test_10.fastq", "repeat_40.fq",
+                                  "test.fa"])
+@pytest.mark.parametrize("n_ranges", [2, 3, 5])
+def test_range_partition_exact(name, n_ranges, tmp_path):
+    """The union over contiguous byte ranges reproduces the whole file's
+    records exactly, in order, with no duplicates — for both the native
+    and the pure-Python range readers, at several split counts."""
+    import os
+
+    path = str(REF / name)
+    want = [(s, q) for (_n, s, q) in fastx.read_fastx_py(path)]
+    size = os.path.getsize(path)
+    bounds = [size * i // n_ranges for i in range(n_ranges + 1)]
+    got_native, got_py = [], []
+    for i in range(n_ranges):
+        got_native += _range_records_native(path, bounds[i], bounds[i + 1])
+        for recs in fastx.iter_fastx_range(path, bounds[i], bounds[i + 1]):
+            got_py += [(s, q) for (_n, s, q) in recs]
+    assert got_native == want
+    assert got_py == want
+
+
+def test_range_split_at_quality_at_sign(tmp_path):
+    """FASTQ boundary re-sync must not mistake a quality line starting
+    with '@' (Q31) for a record header: force splits at every byte of a
+    file whose quality strings all begin with '@'."""
+    import os
+
+    p = tmp_path / "tricky.fastq"
+    with open(p, "w") as f:
+        for i in range(8):
+            ln = 20 + i
+            seq = ("ACGT" * 5 + "A" * 8)[:ln]
+            f.write(f"@read{i}\n{seq}\n+\n{'@' * ln}\n")
+    want = [(s, q) for (_n, s, q) in fastx.read_fastx_py(str(p))]
+    size = os.path.getsize(p)
+    for cut in range(0, size + 1, 3):  # every 3rd split point
+        a = _range_records_native(p, 0, cut)
+        b = _range_records_native(p, cut, size)
+        assert a + b == want, f"split at {cut}"
+        ap = [(s, q) for recs in fastx.iter_fastx_range(str(p), 0, cut)
+              for (_n, s, q) in recs]
+        bp = [(s, q) for recs in fastx.iter_fastx_range(str(p), cut, size)
+              for (_n, s, q) in recs]
+        assert ap + bp == want, f"py split at {cut}"
+
+
+def test_range_empty_slice(tmp_path):
+    """A byte range containing no record start yields nothing."""
+    p = tmp_path / "two.fastq"
+    p.write_text("@a\nACGTACGTACGT\n+\nIIIIIIIIIIII\n"
+                 "@b\nTTTTACGTACGT\n+\nIIIIIIIIIIII\n")
+    import os
+
+    size = os.path.getsize(p)
+    # a tiny window in the middle of record a's quality line
+    assert _range_records_native(p, 20, 24) == []
+    assert list(fastx.iter_fastx_range(str(p), 20, 24)) == []
+    # full file via one range == plain parse
+    whole = _range_records_native(p, 0, size)
+    assert len(whole) == 2
