@@ -1445,22 +1445,43 @@ class ShardedCountStore:
                 if with_q:
                     q_lens = jnp.where(hq, lens, 0)
                     if precision == "hybrid":
-                        # fast f32 FSM with borderline flags; shards that
-                        # flagged any read re-run their whole row block in
-                        # exact f64 and splice the flagged rows — bitwise
+                        # fast f32 FSM with borderline flags — bitwise
                         # -equal to precision="exact" (unflagged reads are
                         # proven identical by the ll_scan(return_flags)
-                        # bound; flagged ones are recomputed exactly). The
-                        # lax.cond predicate is per-shard and the branches
-                        # hold no collectives, so unflagged shards skip
-                        # the emulated-f64 work entirely.
+                        # bound; flagged ones are recomputed exactly).
+                        # The exact f64 re-scan follows the single-chip
+                        # compaction discipline (counting._compact_flagged
+                        # / _sweep_backlog): flagged rows gather into a
+                        # fixed 256-row sub-batch per shard, so a shard
+                        # with a handful of borderline reads pays f64 for
+                        # 256 rows, not its whole block; only shards where
+                        # MORE than 256 rows flag re-run the whole block.
+                        # The lax.cond predicates are per-shard and the
+                        # branches hold no collectives, so unflagged
+                        # shards skip the emulated-f64 work entirely.
                         fast = si.ll_scan(seq, qual, q_lens, k, min_ll,
                                           precision="fast",
                                           return_flags=True,
                                           min_q_char=min_q_char)
                         flags = fast[5]
+                        R = min(256, int(flags.shape[0]))
 
-                        def _exact(_):
+                        def _compact(_):
+                            order = jnp.argsort(~flags)  # flagged first
+                            rows = order[:R]
+                            sub_flag = flags[rows]
+                            sub_lens = jnp.where(sub_flag, q_lens[rows], 0)
+                            ex = si.ll_scan(seq[rows], qual[rows],
+                                            sub_lens, k, min_ll,
+                                            precision="exact")
+                            f = sub_flag[:, None]
+                            return tuple(
+                                fast[i].at[rows].set(
+                                    jnp.where(f, ex[i], fast[i][rows]))
+                                for i in range(5)
+                            )
+
+                        def _whole(_):
                             ex = si.ll_scan(seq, qual, q_lens, k, min_ll,
                                             precision="exact")
                             f = flags[:, None]
@@ -1469,8 +1490,12 @@ class ShardedCountStore:
                                 for i in range(5)
                             )
 
+                        n_flag = flags.sum()
                         out = jax.lax.cond(
-                            flags.any(), _exact, lambda _: fast[:5], None)
+                            n_flag == 0, lambda _: fast[:5],
+                            lambda _: jax.lax.cond(n_flag <= R, _compact,
+                                                   _whole, None),
+                            None)
                     else:
                         out = si.ll_scan(seq, qual, q_lens, k, min_ll,
                                          precision=precision)

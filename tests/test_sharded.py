@@ -123,6 +123,50 @@ def test_sharded_hybrid_bitwise_equals_exact(mesh):
         np.testing.assert_array_equal(hyb.total_added, exact.total_added)
 
 
+def test_sharded_hybrid_compacted_sweep_bitwise(mesh, tmp_path):
+    """VERDICT r4: the sharded hybrid's exact re-scan is COMPACTED (a
+    256-row gathered sub-batch per shard, not the whole block) — on
+    borderline-rich input with genuine flags, hybrid must still equal
+    exact bitwise."""
+    from kmer_hasher_tpu import counting
+    from kmer_hasher_tpu.api import count_kmers_fq_sh_rp
+    from kmer_hasher_tpu.ops import scan_iter as si
+
+    rng = np.random.default_rng(11)
+    n, L, k, min_q = 512, 128, 11, 0
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    seqs = bases[rng.integers(0, 4, size=(n, L))]
+    # borderline-rich quals (the test_hybrid fuzz recipe at min_q=0,
+    # the regime that measurably produces genuine flags: ~1.4%): mostly
+    # q2..q40 with 10% of bases at q0..q6
+    quals = rng.integers(35, 74, size=(n, L)).astype(np.uint8)
+    low = rng.random((n, L)) < 0.1
+    quals[low] = rng.integers(33, 40, size=int(low.sum())).astype(np.uint8)
+    path = str(tmp_path / "adv.fastq")
+    with open(path, "wb") as f:
+        for i in range(n):
+            f.write(b"@r%d\n%s\n+\n%s\n"
+                    % (i, seqs[i].tobytes(), quals[i].tobytes()))
+    # the input must actually flag reads, else this test is vacuous
+    min_ll = float(np.float64(counting.Q_TO_LL[33 + min_q]))
+    import jax.numpy as jnp
+
+    fast = si.ll_scan(jnp.asarray(seqs), jnp.asarray(quals),
+                      jnp.full(n, L, np.int32), k, jnp.asarray(min_ll),
+                      precision="fast", return_flags=True,
+                      min_q_char=33 + min_q)
+    n_flagged = int(np.asarray(fast[5]).sum())
+    assert n_flagged > 0, "recipe produced no borderline reads"
+    assert n_flagged < 256, "too many flags: compact branch not exercised"
+    exact = count_kmers_fq_sh_rp(path, k=k, min_q=min_q, exact_ll=True,
+                                 mesh=mesh)
+    hyb = count_kmers_fq_sh_rp(path, k=k, min_q=min_q, exact_ll="hybrid",
+                               mesh=mesh)
+    np.testing.assert_array_equal(hyb.n_unique, exact.n_unique)
+    np.testing.assert_array_equal(hyb.spectrum(600), exact.spectrum(600))
+    np.testing.assert_array_equal(hyb.total_added, exact.total_added)
+
+
 def test_sharded_rp_counting_matches_single(mesh):
     from kmer_hasher_tpu.api import count_kmers_fq_sh_rp
 
