@@ -29,7 +29,8 @@ from .counting import (
 )
 from .index import KmerIndex
 from .index.count_store import CountStore
-from .index.query import iter_seq_kmer_pos_chunks, kmer_pairs, seq_kmer_pos
+from .index.query import (iter_kmer_pairs_chunks, iter_seq_kmer_pos_chunks,
+                          kmer_pairs, seq_kmer_pos)
 
 __all__ = [
     "KmerIndex",
@@ -40,6 +41,7 @@ __all__ = [
     "seq_kmer_pos",
     "iter_seq_kmer_pos_chunks",
     "kmer_pairs",
+    "iter_kmer_pairs_chunks",
     "count_kmers",
     "count_kmers_fq",
     "count_kmers_fq_sh",

@@ -138,17 +138,20 @@ def _pair_hit_chunk(a_pos, b_pos, lb, c, cum_c, start, capacity: int):
     return rows, ok
 
 
-def kmer_pairs(a: KmerIndex, b: KmerIndex,
-               capacity: int = 1 << 20) -> np.ndarray:
-    """R entry ``kmer.pairs``: (a, b) position cross-product over shared
-    k-mers, sorted-key order, ascending positions."""
+def iter_kmer_pairs_chunks(a: KmerIndex, b: KmerIndex,
+                           capacity: int = 1 << 20
+                           ) -> Iterator[np.ndarray]:
+    """Stream the ``kmer.pairs`` cross-product in bounded chunks: the
+    (a, b) position table of two repeat-rich indexes reproduces the
+    reference's n*(n-1)/2 blow-up (README.md:80-89 on
+    src/kmer_hash.c:1174-1203) if materialised — this iterator never
+    holds more than one ``capacity``-row chunk."""
     lb, c, cum_c = _pair_ranges(
         a.s_hi, a.s_lo, jnp.asarray(a.n_valid, I32),
         b.s_hi, b.s_lo, jnp.asarray(b.n_valid, I32),
     )
     total = int(cum_c[-1])
     capacity = srt.clamp_chunk_capacity(capacity, total)
-    out = []
     start = 0
     if total and exp.use_plan(total, lb.shape[0], capacity):
         plan = exp.ExpansionPlan(c, (lb, a.s_pos), capacity)
@@ -159,14 +162,38 @@ def kmer_pairs(a: KmerIndex, b: KmerIndex,
                 plan.cols[0], total_d, jnp.asarray(start, I64), capacity,
             )
             n_ok = int(np.asarray(ok).sum())
-            out.append(np.asarray(rows)[:n_ok])
+            yield np.asarray(rows)[:n_ok]
             start += capacity
     while start < total:
         rows, ok = _pair_hit_chunk(a.s_pos, b.s_pos, lb, c, cum_c,
                                    jnp.asarray(start, I64), capacity)
         n_ok = int(np.asarray(ok).sum())
-        out.append(np.asarray(rows)[:n_ok])
+        yield np.asarray(rows)[:n_ok]
         start += capacity
-    if not out:
-        return np.zeros((0, 2), np.int32)
-    return np.concatenate(out, axis=0)
+    if total == 0:
+        yield np.zeros((0, 2), np.int32)
+
+
+def kmer_pairs(a: KmerIndex, b: KmerIndex, capacity: int = 1 << 20,
+               max_pairs: "int | None" = None) -> np.ndarray:
+    """R entry ``kmer.pairs``: (a, b) position cross-product over shared
+    k-mers, sorted-key order, ascending positions. Thin collector over
+    :func:`iter_kmer_pairs_chunks`; ``max_pairs`` guards against the
+    blow-up (use the iterator to stream past it)."""
+    if max_pairs is not None:
+        total = kmer_pairs_total(a, b)
+        if total > max_pairs:
+            raise MemoryError(
+                f"kmer.pairs has {total} rows > max_pairs={max_pairs}; "
+                "stream them with iter_kmer_pairs_chunks instead")
+    return np.concatenate(list(iter_kmer_pairs_chunks(a, b, capacity)),
+                          axis=0)
+
+
+def kmer_pairs_total(a: KmerIndex, b: KmerIndex) -> int:
+    """Row count of the ``kmer.pairs`` table without materialising it."""
+    _lb, _c, cum_c = _pair_ranges(
+        a.s_hi, a.s_lo, jnp.asarray(a.n_valid, I32),
+        b.s_hi, b.s_lo, jnp.asarray(b.n_valid, I32),
+    )
+    return int(cum_c[-1])

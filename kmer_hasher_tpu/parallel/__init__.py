@@ -6,7 +6,8 @@ the XLA backend (a hard requirement of multi-host bring-up).
 """
 
 __all__ = ["make_mesh", "make_hierarchical_mesh", "ShardedKmerIndex",
-           "ShardedCountStore", "kmer_pairs_sharded"]
+           "ShardedCountStore", "kmer_pairs_sharded",
+           "iter_kmer_pairs_sharded_chunks"]
 
 
 def __getattr__(name):
@@ -15,7 +16,7 @@ def __getattr__(name):
 
         return getattr(mesh, name)
     if name in ("ShardedKmerIndex", "ShardedCountStore",
-                "kmer_pairs_sharded"):
+                "kmer_pairs_sharded", "iter_kmer_pairs_sharded_chunks"):
         from . import sharded
 
         return getattr(sharded, name)
