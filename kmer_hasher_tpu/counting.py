@@ -821,11 +821,12 @@ def _tuned_batch_rows(path: str, k: int) -> Optional[int]:
     (~99% capacity utilisation; a pow-2 row bucket at 151 bp reads wastes
     ~1.9x of every tier merge on dead padding, and bigger runs mean one
     fewer merge level per read — 2^23 measured 6-11% over 2^22 on the
-    device e2e/STORE legs). Uses the FIRST record's length
-    (uniform-length read files — the norm; variable-length files stay
-    correct, just less tuned, since n_win is derived per batch).
-    KMH_BATCH_ROWS overrides; returns None (the reader's default) when
-    the file can't be peeked."""
+    device e2e/STORE legs). Sizes from the MAX length of the first 64
+    records (a single short leading read in a variable-length file would
+    otherwise inflate rows toward 65536 and overshoot the run-capacity
+    target ~2x, ADVICE r3; variable-length files stay correct either
+    way, since n_win is derived per batch). KMH_BATCH_ROWS overrides;
+    returns None (the reader's default) when the file can't be peeked."""
     import os
 
     if os.environ.get("KMH_BATCH_ROWS"):
@@ -833,9 +834,10 @@ def _tuned_batch_rows(path: str, k: int) -> Optional[int]:
     try:
         from .io.fastx import iter_fastx
 
-        for recs in iter_fastx(path, batch_size=1, max_records=1):
+        for recs in iter_fastx(path, batch_size=64, max_records=64):
             if recs:
-                n_win = win_bucket(len(recs[0][1]), k)
+                lmax = max(len(r[1]) for r in recs)
+                n_win = win_bucket(lmax, k)
                 rows = (1 << 23) // n_win // 1024 * 1024
                 return int(min(max(rows, 8192), 65536))
             break
