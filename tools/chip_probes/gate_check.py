@@ -25,11 +25,16 @@ import sys
 import time
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 
-REPO = os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))))
+jax.config.update("jax_enable_x64", True)  # the u64-key probe needs real
+# uint64 (without x64 the astype silently truncates to u32 and the
+# headline floor measures the wrong sort)
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+REPO = (os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))) if "__file__" in globals()
+    else "/root/repo")  # chip_worker execs jobs without __file__
 
 # round-3 reference floors (ns/elem) from PERF.md, axon-v5e,
 # jax/jaxlib 0.9.0 — the numbers the gate conclusion was priced against
