@@ -57,6 +57,17 @@ I64 = jnp.int64
 U32 = jnp.uint32
 
 
+def _fold_budget_bytes() -> int:
+    """Device working budget for the spill rejoin: past this, the fold
+    goes key-range-partitioned (out-of-core) instead of one-shot. Default
+    3 GB keeps a one-shot rejoin's ~3x merge workspace inside a v5e's
+    16 GB alongside the growing final table; KMH_FOLD_BUDGET_BYTES
+    tunes it (tests force it tiny to exercise the ranged path)."""
+    import os
+
+    return int(os.environ.get("KMH_FOLD_BUDGET_BYTES", str(3 << 30)))
+
+
 def _next_pow2(n: int) -> int:
     return 1 << max(6, int(n - 1).bit_length()) if n > 1 else 64
 
@@ -945,6 +956,113 @@ class CountStore:
                and self._device_run_bytes() > self.spill_bytes):
             self._spill_one()
 
+    def _ranged_fold_needed(self, acc_rows: int) -> bool:
+        """True when the plain spill rejoin's merge workspace would blow
+        the device budget: a single bitonic merge of the accumulator with
+        a spilled run peaks at ~3x their combined bytes, which at the
+        reference's full-corpus scale (7.7e8 distinct, test.R:491-505)
+        exceeds a v5e's 16 GB HBM outright."""
+        rows = acc_rows + sum(
+            (len(payload[0]) if tag == "mem"
+             else self._spill_file_rows(payload))
+            for tag, payload in self._spilled
+        )
+        return rows * (8 + 4 * self.counts_n) > _fold_budget_bytes()
+
+    @staticmethod
+    def _spill_file_rows(path) -> int:
+        with np.load(path) as z:
+            return int(z["hi"].shape[0])
+
+    def _fold_spilled_ranged(self, hi, lo, cnt):
+        """Out-of-core fold: key-RANGE-partitioned spill rejoin for
+        beyond-HBM tables (the reference's full-corpus regime — 7.7e8
+        distinct keys is a ~9-12 GB table whose one-shot merge workspace
+        cannot fit a 16 GB chip).
+
+        The accumulator is compacted and joins the spilled runs on the
+        host; the key space splits into ranges sized so each range's
+        merge + consolidate runs in a small device footprint; pieces
+        concatenate into the final compact table (ranges are disjoint and
+        ascending, so the concatenation is globally sorted + unique).
+        Peak device bytes ~ final table + 3x one range, instead of ~3x
+        the total. Returns (u_hi, u_lo, u_cnt, n_unique)."""
+        ALL1 = np.uint64(0xFFFFFFFFFFFFFFFF)
+        # 1. everything to host, compact, as (packed u64 keys, cnt) pairs
+        u_hi, u_lo, u_cnt, n_u = _finalize_run(hi, lo, cnt, k=self.k)
+        n_u = int(n_u)
+        host_runs = []
+        if n_u:
+            keys = (np.asarray(u_hi[:n_u]).astype(np.uint64) << np.uint64(32)
+                    ) | np.asarray(u_lo[:n_u]).astype(np.uint64)
+            host_runs.append((keys, np.asarray(u_cnt[:n_u])))
+        del u_hi, u_lo, u_cnt
+        spilled, self._spilled = self._spilled, []
+        for tag, payload in spilled:
+            if tag == "file":
+                with np.load(payload) as z:
+                    a_hi, a_lo, a_cnt = z["hi"], z["lo"], z["cnt"]
+                os.remove(payload)
+            else:
+                a_hi, a_lo, a_cnt = payload
+            keys = (a_hi.astype(np.uint64) << np.uint64(32)) \
+                | a_lo.astype(np.uint64)
+            # dead tail: all-ones key with zero counts (a live all-G
+            # k=32 key shares the sentinel but keeps its counts)
+            dead = (keys == ALL1) & (a_cnt.sum(axis=1) == 0)
+            n_live = int(len(keys) - dead.sum())
+            if n_live:
+                host_runs.append((keys[:n_live], a_cnt[:n_live]))
+        if not host_runs:
+            z = jnp.zeros(0, U32)
+            return z, z, jnp.zeros((0, self.counts_n), U32), 0
+        # 2. range splitters from the largest run (evenly spaced ranks)
+        total_rows = sum(len(r[0]) for r in host_runs)
+        per_range = max(1, _fold_budget_bytes() // 4
+                        // (8 + 4 * self.counts_n))
+        n_ranges = max(1, -(-total_rows // per_range))
+        big = max(host_runs, key=lambda r: len(r[0]))[0]
+        spl = [big[min(len(big) - 1, (i * len(big)) // n_ranges)]
+               for i in range(1, n_ranges)]
+        bounds = [np.uint64(0)] + list(spl) + [ALL1]
+        # 3. merge + consolidate one range at a time on device
+        pieces = []
+        n_total = 0
+        for r in range(n_ranges):
+            s_lo, s_hi = bounds[r], bounds[r + 1]
+            merged = None
+            for keys, cnts in host_runs:
+                i0 = int(np.searchsorted(keys, s_lo, side="left"))
+                i1 = (int(np.searchsorted(keys, s_hi, side="left"))
+                      if r + 1 < n_ranges else len(keys))
+                if i1 <= i0:
+                    continue
+                cap = _next_pow2(i1 - i0)
+                kh = np.full(cap, 0xFFFFFFFF, np.uint32)
+                kl = np.full(cap, 0xFFFFFFFF, np.uint32)
+                kc = np.zeros((cap, self.counts_n), np.uint32)
+                kh[: i1 - i0] = (keys[i0:i1] >> np.uint64(32)).astype(
+                    np.uint32)
+                kl[: i1 - i0] = keys[i0:i1].astype(np.uint32)
+                kc[: i1 - i0] = cnts[i0:i1]
+                dev = (jnp.asarray(kh), jnp.asarray(kl), jnp.asarray(kc))
+                merged = dev if merged is None else _merge_runs(
+                    merged[0], merged[1], merged[2], *dev, k=self.k)
+            if merged is None:
+                continue
+            p_hi, p_lo, p_cnt, p_n = _finalize_run(*merged, k=self.k)
+            p_n = int(p_n)
+            del merged
+            if p_n:
+                pieces.append((p_hi[:p_n], p_lo[:p_n], p_cnt[:p_n]))
+                n_total += p_n
+        if not pieces:
+            z = jnp.zeros(0, U32)
+            return z, z, jnp.zeros((0, self.counts_n), U32), 0
+        return (jnp.concatenate([p[0] for p in pieces]),
+                jnp.concatenate([p[1] for p in pieces]),
+                jnp.concatenate([p[2] for p in pieces]), n_total)
+
     def _fold_spilled(self, hi, lo, cnt):
         """Merge spilled runs back into the accumulator one at a time
         (largest resident footprint at any moment: accumulator + one run)."""
@@ -1006,9 +1124,15 @@ class CountStore:
         else:
             if cnt is None:
                 _h, _l, cnt, _t = self._materialize(run)
-            if self._spilled:
-                hi, lo, cnt = self._fold_spilled(hi, lo, cnt)
-            u_hi, u_lo, u_cnt, n_u = _finalize_run(hi, lo, cnt, k=self.k)
+            if self._spilled and self._ranged_fold_needed(
+                    int(hi.shape[0])):
+                u_hi, u_lo, u_cnt, n_u = self._fold_spilled_ranged(
+                    hi, lo, cnt)
+            else:
+                if self._spilled:
+                    hi, lo, cnt = self._fold_spilled(hi, lo, cnt)
+                u_hi, u_lo, u_cnt, n_u = _finalize_run(hi, lo, cnt,
+                                                       k=self.k)
         self._n_unique = int(n_u)
         new_cap = _next_pow2(self._n_unique)
         if new_cap < u_hi.shape[0]:

@@ -498,3 +498,51 @@ def test_spectrum_sort_equals_scatter(monkeypatch):
         s_scat = st.spectrum(60)
         monkeypatch.delenv("KMH_SORT_SPECTRUM")
         np.testing.assert_array_equal(s_sort, s_scat)
+
+
+def test_ranged_fold_matches_eager(monkeypatch):
+    """VERDICT r4 (full-corpus regime): with the fold budget forced tiny,
+    the spill rejoin goes key-range-partitioned (out-of-core) — multiple
+    runs spilled, multiple ranges merged on device — and the folded table
+    stays bitwise-equal to the eager store."""
+    monkeypatch.setenv("KMH_FOLD_BUDGET_BYTES", "4096")
+    k = 9
+    st = CountStore(k, spill_bytes=4096)
+    st.run_build_size = 1 << 9
+    eager = _spill_drive(st, seeds=tuple(range(31, 41)), k=k)
+    assert len(st._spilled) > 1  # MORE than one run actually spilled
+    # the trigger must actually fire with this budget
+    assert st._ranged_fold_needed(0)
+    assert st.counts_dict() == eager.counts_dict()
+    assert not st._spilled
+    # table remains sorted unique (ranges concatenated in key order)
+    uh = np.asarray(st.u_hi)[: st.n_unique].astype(np.uint64)
+    ul = np.asarray(st.u_lo)[: st.n_unique].astype(np.uint64)
+    keys = (uh << np.uint64(32)) | ul
+    assert (np.diff(keys.astype(np.int64)) > 0).all()
+    # store stays usable afterwards (another add + refold)
+    rng = np.random.default_rng(7)
+    seq = rng.choice([65, 67, 71, 84], size=500).astype(np.uint8)
+    hi, lo, v = enc.encode_stream(seq, k, 500, canonical=True)
+    st.add_kmers(hi, lo, v)
+    eager.add_kmers(hi, lo, v)
+    assert st.counts_dict() == eager.counts_dict()
+
+
+def test_ranged_fold_multi_source(monkeypatch):
+    """The ranged fold must carry multi-source count rows through the
+    range merges unchanged."""
+    monkeypatch.setenv("KMH_FOLD_BUDGET_BYTES", "2048")
+    k = 9
+    st = CountStore(k, counts_n=3, spill_bytes=4096)
+    st.run_build_size = 1 << 9
+    eager = CountStore(k, counts_n=3)
+    for s, src in ((51, 0), (52, 1), (53, 2), (54, 0), (55, 1), (56, 2)):
+        rng = np.random.default_rng(s)
+        seq = rng.choice([65, 67, 71, 84], size=1200).astype(np.uint8)
+        hi, lo, v = enc.encode_stream(seq, k, 1200, canonical=True)
+        st.add_kmers(hi, lo, v, source=src, defer=True)
+        eager.add_kmers(hi, lo, v, source=src)
+    assert st._spilled
+    assert st.counts_dict() == eager.counts_dict()
+    np.testing.assert_array_equal(st.total_added, eager.total_added)
