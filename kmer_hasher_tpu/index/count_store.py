@@ -1046,8 +1046,15 @@ class CountStore:
                 kl[: i1 - i0] = keys[i0:i1].astype(np.uint32)
                 kc[: i1 - i0] = cnts[i0:i1]
                 dev = (jnp.asarray(kh), jnp.asarray(kl), jnp.asarray(kc))
-                merged = dev if merged is None else _merge_runs(
-                    merged[0], merged[1], merged[2], *dev, k=self.k)
+                if merged is None:
+                    merged = dev
+                else:
+                    # pad the chain to pow2 between merges so merge
+                    # shapes stay in a small (2^a, 2^b) set — fresh
+                    # shapes compile over the tunnel at minutes each
+                    merged = self._pad_run_pow2(_merge_runs(
+                        merged[0], merged[1], merged[2], *dev,
+                        k=self.k))[:3]
             if merged is None:
                 continue
             p_hi, p_lo, p_cnt, p_n = _finalize_run(*merged, k=self.k)
