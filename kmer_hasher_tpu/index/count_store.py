@@ -974,29 +974,24 @@ class CountStore:
         with np.load(path) as z:
             return int(z["hi"].shape[0])
 
-    def _fold_spilled_ranged(self, hi, lo, cnt):
+    def _fold_spilled_ranged(self, acc):
         """Out-of-core fold: key-RANGE-partitioned spill rejoin for
         beyond-HBM tables (the reference's full-corpus regime — 7.7e8
         distinct keys is a ~9-12 GB table whose one-shot merge workspace
         cannot fit a 16 GB chip).
 
-        The accumulator is compacted and joins the spilled runs on the
-        host; the key space splits into ranges sized so each range's
-        merge + consolidate runs in a small device footprint; pieces
-        concatenate into the final compact table (ranges are disjoint and
-        ascending, so the concatenation is globally sorted + unique).
-        Peak device bytes ~ final table + 3x one range, instead of ~3x
-        the total. Returns (u_hi, u_lo, u_cnt, n_unique)."""
+        ``acc`` is the already-compacted accumulator as HOST arrays
+        (packed u64 keys, cnt) or None — the caller must have dropped
+        every device reference to it (the whole point is that the device
+        never holds the accumulator and the output pieces together). The
+        key space splits into ranges sized so each range's merge +
+        consolidate runs in a small device footprint; pieces concatenate
+        into the final compact table (ranges are disjoint and ascending,
+        so the concatenation is globally sorted + unique). Peak device
+        bytes ~ final table + 3x one range, instead of ~3x the total.
+        Returns (u_hi, u_lo, u_cnt, n_unique)."""
         ALL1 = np.uint64(0xFFFFFFFFFFFFFFFF)
-        # 1. everything to host, compact, as (packed u64 keys, cnt) pairs
-        u_hi, u_lo, u_cnt, n_u = _finalize_run(hi, lo, cnt, k=self.k)
-        n_u = int(n_u)
-        host_runs = []
-        if n_u:
-            keys = (np.asarray(u_hi[:n_u]).astype(np.uint64) << np.uint64(32)
-                    ) | np.asarray(u_lo[:n_u]).astype(np.uint64)
-            host_runs.append((keys, np.asarray(u_cnt[:n_u])))
-        del u_hi, u_lo, u_cnt
+        host_runs = [acc] if acc is not None else []
         spilled, self._spilled = self._spilled, []
         for tag, payload in spilled:
             if tag == "file":
@@ -1131,10 +1126,25 @@ class CountStore:
         else:
             if cnt is None:
                 _h, _l, cnt, _t = self._materialize(run)
+                _h = _l = None
             if self._spilled and self._ranged_fold_needed(
                     int(hi.shape[0])):
-                u_hi, u_lo, u_cnt, n_u = self._fold_spilled_ranged(
-                    hi, lo, cnt)
+                # compact the accumulator, move it to HOST, and drop
+                # every device reference BEFORE the ranged fold — the
+                # fold's memory bound assumes the device never holds the
+                # accumulator and the output pieces together
+                u_hi, u_lo, u_cnt, n_u = _finalize_run(hi, lo, cnt,
+                                                       k=self.k)
+                n_u = int(n_u)
+                run = hi = lo = cnt = None
+                acc = None
+                if n_u:
+                    keys = ((np.asarray(u_hi[:n_u]).astype(np.uint64)
+                             << np.uint64(32))
+                            | np.asarray(u_lo[:n_u]).astype(np.uint64))
+                    acc = (keys, np.asarray(u_cnt[:n_u]))
+                u_hi = u_lo = u_cnt = None
+                u_hi, u_lo, u_cnt, n_u = self._fold_spilled_ranged(acc)
             else:
                 if self._spilled:
                     hi, lo, cnt = self._fold_spilled(hi, lo, cnt)
