@@ -1387,21 +1387,43 @@ class ShardedCountStore:
             return rh[None], rl[None], stats
         return rh[None], rl[None], rc[None], stats
 
+    def _autosize_capacity(self, flat_per_device: int) -> None:
+        """Size the per-destination routing capacity for the observation
+        volume actually flowing: expected keys per destination are
+        flat/D (uniform salted hash), kept with 2x headroom. Derived from
+        GLOBAL batch shape, so every process lands on the same static.
+        Only ever grows (overflow retries below may have grown it)."""
+        need = 2 * flat_per_device // max(1, self.n_shards)
+        cap = 1 << max(10, int(max(1, need) - 1).bit_length())
+        if cap > self.capacity:
+            self.capacity = cap
+
     def _append_run(self, r_hi, r_lo, r_cnt, stats,
-                    source: int = 0) -> None:
+                    source: int = 0) -> bool:
         """Common tail of the batch entries: overflow check, stats fold,
         LSM tiering. Key-only runs (r_cnt None) carry their source as a
-        host-side tag."""
+        host-side tag. Returns False on routing overflow (callers retry
+        the batch at doubled capacity; stats/runs untouched — the psum-
+        replicated flag means every process sees the same outcome and
+        retries in lockstep, so nothing is ever silently dropped)."""
         # stats is psum-replicated: every process reads its local copy
         stats = np.asarray(stats.addressable_data(0))
         if int(stats[-1]) > 0:
-            raise RuntimeError(
-                "routing capacity overflow; raise ShardedCountStore capacity"
-            )
+            return False
         self.total_added += stats[:-1].astype(np.int64)
         self._runs.append((r_hi, r_lo, r_cnt,
                            source if r_cnt is None else None))
         self._compact_tiers()
+        return True
+
+    _MAX_CAPACITY = 1 << 27
+
+    def _grow_capacity(self) -> None:
+        if self.capacity >= self._MAX_CAPACITY:
+            raise RuntimeError(
+                "routing capacity overflow after retries; keys are "
+                "pathologically skewed across owner shards")
+        self.capacity *= 2
 
     def _program(self, key, build):
         """Per-store cache of jitted shard_map programs: the batch entries
@@ -1449,12 +1471,19 @@ class ShardedCountStore:
                 )
             )
 
-        shard_fn = self._program(("add_batch", source, keyonly), build)
-        out = shard_fn(hi, lo, valid)
-        if keyonly:
-            self._append_run(out[0], out[1], None, out[2], source=source)
-        else:
-            self._append_run(out[0], out[1], out[2], out[3])
+        # hi is the GLOBAL [D, n] batch after _globalize: n per device
+        self._autosize_capacity(int(hi.shape[-1]))
+        while True:
+            shard_fn = self._program(
+                ("add_batch", source, keyonly, self.capacity), build)
+            out = shard_fn(hi, lo, valid)
+            if keyonly:
+                if self._append_run(out[0], out[1], None, out[2],
+                                    source=source):
+                    return
+            elif self._append_run(out[0], out[1], out[2], out[3]):
+                return
+            self._grow_capacity()  # skewed shards: retry with headroom
 
     def add_reads(self, seq, qual, lengths, has_qual, min_ll_f: float,
                   precision: str = "fast", source: int = 0,
@@ -1612,16 +1641,31 @@ class ShardedCountStore:
             )
 
         keyonly = self.keyonly_runs
-        shard_fn = self._program(
-            ("add_reads", source, float(min_ll_f), precision, with_q,
-             with_noq, packed, packed_q, keyonly, min_q_char, n_win),
-            build,
-        )
-        out = shard_fn(seq, qual, lengths, has_qual)
-        if keyonly:
-            self._append_run(out[0], out[1], None, out[2], source=source)
+        # observation volume per device: rows/D x window-axis width
+        # (lengths is the GLOBAL [B] vector after _globalize)
+        if n_win is not None:
+            nw_eff = n_win
+        elif packed:
+            nw_eff = int(seq[0].shape[-1]) * 4
         else:
-            self._append_run(out[0], out[1], out[2], out[3])
+            nw_eff = int(seq.shape[-1])
+        self._autosize_capacity(
+            int(lengths.shape[0]) // self.n_shards * nw_eff)
+        while True:
+            shard_fn = self._program(
+                ("add_reads", source, float(min_ll_f), precision, with_q,
+                 with_noq, packed, packed_q, keyonly, min_q_char, n_win,
+                 self.capacity),
+                build,
+            )
+            out = shard_fn(seq, qual, lengths, has_qual)
+            if keyonly:
+                if self._append_run(out[0], out[1], None, out[2],
+                                    source=source):
+                    return
+            elif self._append_run(out[0], out[1], out[2], out[3]):
+                return
+            self._grow_capacity()  # skewed shards: retry with headroom
 
     def _vmaterialize(self, run):
         """Materialise the count column of a key-only per-shard run set:

@@ -323,6 +323,26 @@ def test_sharded_kmer_pairs_matches_single_chip(mesh, test_fa):
                            ShardedKmerIndex(sb, k, mesh))
 
 
+def test_routing_capacity_autosize_and_skew_retry(mesh):
+    """Production-size batches must not crash on the default routing
+    capacity: add_batch autosizes it from the batch volume, and
+    pathological skew (every key identical -> one owner shard takes the
+    whole batch) retries at doubled capacity instead of raising."""
+    D = mesh.size
+    n = 4096
+    store = ShardedCountStore(11, mesh, counts_n=1)
+    hi = np.zeros((D, n), np.uint32)  # ONE key, maximally skewed
+    lo = np.full((D, n), 9, np.uint32)
+    valid = np.ones((D, n), bool)
+    store.add_batch(hi, lo, valid, source=0)
+    assert store.capacity >= n  # grew past the 2x/D autosize via retries
+    assert int(store.n_unique.sum()) == 1
+    np.testing.assert_array_equal(
+        store.lookup(np.array([0], np.uint32), np.array([9], np.uint32)),
+        [[D * n]])
+    assert int(store.total_added[0]) == D * n
+
+
 def test_iter_kmer_pairs_sharded_streams_bounded(mesh):
     """VERDICT r4: streaming sharded kmer.pairs on repeat-rich skewed
     input (one hyper-repeated k-mer -> one shard owns ~all rows) drains
