@@ -92,7 +92,7 @@ def _iter_padded_batches(path: str, max_reads: Optional[int],
                          batch_rows: Optional[int] = None,
                          prefetch: int = 2, skip: int = 0,
                          to_device: bool = False, packed: bool = False,
-                         byte_range=None):
+                         byte_range=None, range_info=None):
     """Yield device-ready (seq, qual, lengths, has_qual) batches, padded to
     power-of-two shapes. ``skip`` discards the first N records (mid-file
     resume); ``max_reads`` then limits the records yielded after the skip.
@@ -130,7 +130,7 @@ def _iter_padded_batches(path: str, max_reads: Optional[int],
             def produce_range():
                 for b in native.iter_fastx_padded(
                         path, batch_rows, max_reads,
-                        byte_range=byte_range):
+                        byte_range=byte_range, range_info=range_info):
                     yield ship(b)
 
             yield from _prefetch_iter(produce_range(), prefetch)
@@ -140,7 +140,8 @@ def _iter_padded_batches(path: str, max_reads: Optional[int],
         def produce_range_py():
             left = max_reads
             for recs in iter_fastx_range(path, byte_range[0],
-                                         byte_range[1], batch_rows):
+                                         byte_range[1], batch_rows,
+                                         range_info=range_info):
                 if left is not None:
                     recs = recs[:left]
                     left -= len(recs)
@@ -1097,15 +1098,19 @@ def _count_rp_sharded(path, k, min_q, max_reads, source_n, source, store,
     p_idx = jax.process_index()
     import os as _os
 
-    from .io.fastx import is_gzip
+    from .io.fastx import is_fourline_fastq, is_gzip
 
     if (n_proc > 1 and skip_reads == 0 and max_reads is None
             and checkpoint_every is None and not is_gzip(path)
+            and is_fourline_fastq(path)
             and _os.environ.get("KMH_HOST_SLICE", "1") != "0"):
         # true input data parallelism: each host parses ONLY its own byte
         # range. Mid-file resume / max_reads need global record cursors,
         # so those fall through to the lockstep path below; gzip streams
-        # cannot be byte-addressed without decompressing the prefix.
+        # cannot be byte-addressed without decompressing the prefix, and
+        # multi-line FASTQ defeats the boundary re-sync (the peek above
+        # catches it up front; a post-run continuity check over the
+        # resolved boundaries catches any multi-line tail).
         return _count_rp_sliced(path, k, min_q, source, store, precision,
                                 report_every)
     meter = _progress(report_every, f"count_rp_sharded[{path}]")
@@ -1212,9 +1217,12 @@ def _count_rp_sliced(path, k, min_q, source, store, precision,
     rows_pp = max(-(-batch_rows // n_proc), d_loc)
     meter = _progress(report_every, f"count_rp_sliced[{path}]")
     min_ll_f = float(Q_TO_LL[33 + int(min_q)])
+    range_info: dict = {}
     it = iter(_iter_padded_batches(path, None, batch_rows=rows_pp,
-                                   packed=False, byte_range=(lo_b, hi_b)))
+                                   packed=False, byte_range=(lo_b, hi_b),
+                                   range_info=range_info))
     reads_done = 0
+    my_reads = 0
     while True:
         b = next(it, None)
         if b is None:
@@ -1260,7 +1268,43 @@ def _count_rp_sliced(path, k, min_q, source, store, precision,
                             with_q=with_q, with_noq=with_noq,
                             min_q_char=33 + int(min_q), n_win=n_win)
         reads_done += int(g[:, 5].sum())
+        my_reads += int(g[p_idx, 5])
         if meter:
             meter.update(int(g[:, 5].sum()),
                          distinct_kmers=lambda: int(store.peek_n_unique()))
+    _check_slice_continuity(path, range_info, my_reads)
     return store
+
+
+def _check_slice_continuity(path, range_info, my_reads: int) -> None:
+    """Verify the hosts' resolved record boundaries TILE the file exactly:
+    host p's stream must end precisely where host p+1's first record
+    starts, and the last host must end at EOF. This turns any boundary
+    mis-sync (a multi-line FASTQ tail past the is_fourline_fastq peek, a
+    pathological quality line fooling the 4-line verifier) into a loud
+    error instead of silently dropped reads."""
+    import os
+
+    from jax.experimental import multihost_utils
+
+    trip = np.array([
+        1 if my_reads > 0 else 0,
+        range_info.get("start", -1),
+        range_info.get("end", -1),
+    ], np.int64)
+    g = np.asarray(multihost_utils.process_allgather(trip)).reshape(-1, 3)
+    live = [i for i in range(g.shape[0]) if g[i, 0]]
+    if not live:
+        return  # no records anywhere: nothing to drop
+    size = os.path.getsize(path)
+    chain = [(int(g[i, 1]), int(g[i, 2])) for i in live]
+    ok = all(chain[j][1] == chain[j + 1][0]
+             for j in range(len(chain) - 1))
+    ok = ok and chain[-1][1] == size
+    if not ok:
+        raise RuntimeError(
+            "multi-host input slices do not tile the file (resolved "
+            f"boundaries {chain}, size {size}): records would be dropped "
+            "or double-counted — is this a multi-line FASTQ past the "
+            "4-line peek? Re-run with KMH_HOST_SLICE=0 (lockstep "
+            "streaming) for this input.")

@@ -690,6 +690,7 @@ class CountStore:
         self.spill_bytes = spill_bytes
         self.spill_dir = spill_dir
         self._spilled = []  # list of ('mem', (hi, lo, cnt) np) | ('file', path)
+        self._spilled_rows = 0  # total off-device rows (budget accounting)
         self._spill_seq = 0
 
     @property
@@ -946,6 +947,7 @@ class CountStore:
             self._spilled.append(("file", path))
         else:
             self._spilled.append(("mem", (a_hi, a_lo, a_cnt)))
+        self._spilled_rows += cap  # row accounting for _ranged_fold_needed
         self._spill_seq += 1
 
     def _spill_if_needed(self) -> None:
@@ -962,17 +964,8 @@ class CountStore:
         a spilled run peaks at ~3x their combined bytes, which at the
         reference's full-corpus scale (7.7e8 distinct, test.R:491-505)
         exceeds a v5e's 16 GB HBM outright."""
-        rows = acc_rows + sum(
-            (len(payload[0]) if tag == "mem"
-             else self._spill_file_rows(payload))
-            for tag, payload in self._spilled
-        )
+        rows = acc_rows + self._spilled_rows
         return rows * (8 + 4 * self.counts_n) > _fold_budget_bytes()
-
-    @staticmethod
-    def _spill_file_rows(path) -> int:
-        with np.load(path) as z:
-            return int(z["hi"].shape[0])
 
     def _fold_spilled_ranged(self, acc):
         """Out-of-core fold: key-RANGE-partitioned spill rejoin for
@@ -993,6 +986,7 @@ class CountStore:
         ALL1 = np.uint64(0xFFFFFFFFFFFFFFFF)
         host_runs = [acc] if acc is not None else []
         spilled, self._spilled = self._spilled, []
+        self._spilled_rows = 0
         for tag, payload in spilled:
             if tag == "file":
                 with np.load(payload) as z:
@@ -1069,6 +1063,7 @@ class CountStore:
         """Merge spilled runs back into the accumulator one at a time
         (largest resident footprint at any moment: accumulator + one run)."""
         spilled, self._spilled = self._spilled, []
+        self._spilled_rows = 0
         for tag, payload in spilled:
             if tag == "file":
                 with np.load(payload) as z:
@@ -1113,6 +1108,7 @@ class CountStore:
                 os.remove(spilled0[1])
             else:
                 a = spilled0[1]
+            self._spilled_rows -= len(a[0])
             self._runs.append(tuple(jnp.asarray(x) for x in a) + (None,))
         run = self._runs.pop()
         while self._runs:

@@ -139,14 +139,14 @@ def _pair_hit_chunk(a_pos, b_pos, lb, c, cum_c, start, capacity: int):
 
 
 def iter_kmer_pairs_chunks(a: KmerIndex, b: KmerIndex,
-                           capacity: int = 1 << 20
-                           ) -> Iterator[np.ndarray]:
+                           capacity: int = 1 << 20,
+                           _ranges=None) -> Iterator[np.ndarray]:
     """Stream the ``kmer.pairs`` cross-product in bounded chunks: the
     (a, b) position table of two repeat-rich indexes reproduces the
     reference's n*(n-1)/2 blow-up (README.md:80-89 on
     src/kmer_hash.c:1174-1203) if materialised — this iterator never
     holds more than one ``capacity``-row chunk."""
-    lb, c, cum_c = _pair_ranges(
+    lb, c, cum_c = _ranges if _ranges is not None else _pair_ranges(
         a.s_hi, a.s_lo, jnp.asarray(a.n_valid, I32),
         b.s_hi, b.s_lo, jnp.asarray(b.n_valid, I32),
     )
@@ -180,14 +180,19 @@ def kmer_pairs(a: KmerIndex, b: KmerIndex, capacity: int = 1 << 20,
     k-mers, sorted-key order, ascending positions. Thin collector over
     :func:`iter_kmer_pairs_chunks`; ``max_pairs`` guards against the
     blow-up (use the iterator to stream past it)."""
+    ranges = _pair_ranges(
+        a.s_hi, a.s_lo, jnp.asarray(a.n_valid, I32),
+        b.s_hi, b.s_lo, jnp.asarray(b.n_valid, I32),
+    )
     if max_pairs is not None:
-        total = kmer_pairs_total(a, b)
+        total = int(ranges[2][-1])
         if total > max_pairs:
             raise MemoryError(
                 f"kmer.pairs has {total} rows > max_pairs={max_pairs}; "
                 "stream them with iter_kmer_pairs_chunks instead")
-    return np.concatenate(list(iter_kmer_pairs_chunks(a, b, capacity)),
-                          axis=0)
+    return np.concatenate(
+        list(iter_kmer_pairs_chunks(a, b, capacity, _ranges=ranges)),
+        axis=0)
 
 
 def kmer_pairs_total(a: KmerIndex, b: KmerIndex) -> int:

@@ -188,16 +188,30 @@ def find_record_boundary(path: str, start: int, end: int) -> int:
             i += 1
 
 
-def _iter_records_py_range(path: str, start: int, end: int):
+def _iter_records_py_range(path: str, start: int, end: int,
+                           range_info: Optional[dict] = None):
     """Records whose first byte falls in [start, end) — see
     :func:`find_record_boundary`. The union over hosts of contiguous byte
-    ranges partitions the file's records exactly."""
+    ranges partitions the file's records exactly. The record GRAMMAR
+    matches the full parser (multi-line FASTA/FASTQ), but FASTQ boundary
+    re-sync is 4-line-only — callers gate on :func:`is_fourline_fastq`
+    and verify continuity via ``range_info`` (filled with the resolved
+    ``start``/``end`` record-boundary offsets)."""
     boundary = find_record_boundary(path, start, end)
     if boundary < 0:
+        if range_info is not None:
+            range_info["start"] = range_info["end"] = int(start)
         return
+    if range_info is not None:
+        range_info["start"] = int(boundary)
     with open(path, "rb") as f:
         fmt = f.read(1)
         f.seek(boundary)
+
+        def done(pos):
+            if range_info is not None:
+                range_info["end"] = int(pos)
+
         if fmt == b">":
             name = None
             chunks: List[bytes] = []
@@ -212,6 +226,7 @@ def _iter_records_py_range(path: str, start: int, end: int):
                         yield (name, b"".join(chunks), None)
                         name = None
                     if pos >= end:
+                        done(pos)
                         return
                     name = s[1:].split()[0].decode() if len(s) > 1 else ""
                     chunks = []
@@ -219,34 +234,79 @@ def _iter_records_py_range(path: str, start: int, end: int):
                     chunks.append(s)
             if name is not None:
                 yield (name, b"".join(chunks), None)
+            done(f.tell())
             return
         while True:
             pos = f.tell()
             hdr = f.readline()
             if not hdr or pos >= end:
+                done(pos)
                 return
             name = (hdr[1:].rstrip(b"\r\n").split()[0].decode()
                     if len(hdr) > 1 else "")
-            seq = f.readline().rstrip(b"\r\n")
-            sep = f.readline()
-            if not sep.startswith(b"+"):  # truncated tail
+            # sequence spans lines until the '+' separator (kseq grammar)
+            chunks = []
+            line = b""
+            while True:
+                line = f.readline()
+                if not line or line.startswith(b"+"):
+                    break
+                chunks.append(line.rstrip(b"\r\n"))
+            seq = b"".join(chunks)
+            if not line.startswith(b"+"):  # truncated: FASTA-ish tail
                 yield (name, seq, None)
+                done(f.tell())
                 return
-            qual = f.readline().rstrip(b"\r\n")
+            qchunks: List[bytes] = []
+            qlen = 0
+            while qlen < len(seq):
+                ql = f.readline()
+                if not ql:
+                    break
+                qchunks.append(ql.rstrip(b"\r\n"))
+                qlen += len(qchunks[-1])
+            qual = b"".join(qchunks)
             yield (name, seq, qual if len(qual) == len(seq) else None)
 
 
 def iter_fastx_range(path: str, start: int, end: int,
-                     batch_size: int = 4096):
+                     batch_size: int = 4096,
+                     range_info: Optional[dict] = None):
     """Batched wrapper over :func:`_iter_records_py_range`."""
     batch: List[Record] = []
-    for rec in _iter_records_py_range(path, start, end):
+    for rec in _iter_records_py_range(path, start, end, range_info):
         batch.append(rec)
         if len(batch) >= batch_size:
             yield batch
             batch = []
     if batch:
         yield batch
+
+
+def is_fourline_fastq(path: str, n_records: int = 64) -> bool:
+    """True when the file is range-sliceable: FASTA (multi-line fine —
+    '>' boundaries are unambiguous), or FASTQ whose first ``n_records``
+    are strict 4-line records. Multi-line FASTQ defeats the byte-range
+    boundary re-sync, so the multi-host sliced path gates on this (plus
+    a continuity check over the resolved boundaries for any multi-line
+    tail the peek cannot see)."""
+    with open(path, "rb") as f:
+        first = f.read(1)
+        if first != b"@":
+            return True  # FASTA / empty; non-fastx errors surface later
+        f.seek(0)
+        for _ in range(n_records):
+            hdr = f.readline()
+            if not hdr:
+                return True
+            if not hdr.startswith(b"@"):
+                return False
+            seq = f.readline().rstrip(b"\r\n")
+            sep = f.readline()
+            qual = f.readline().rstrip(b"\r\n")
+            if not sep.startswith(b"+") or len(qual) != len(seq):
+                return False
+    return True
 
 
 def read_fastx_py(path: str, max_records: Optional[int] = None) -> List[Record]:

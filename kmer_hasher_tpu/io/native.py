@@ -206,13 +206,21 @@ STATS = {"bytes_parsed": 0}
 
 def _iter_fastx_filled(path: str, batch_records: int,
                        max_records: Optional[int], skip: int, packed: bool,
-                       byte_range: "Optional[Tuple[int, int]]" = None):
+                       byte_range: "Optional[Tuple[int, int]]" = None,
+                       range_info: Optional[dict] = None):
     """Shared streaming skeleton for the C++-filled padded/packed batch
     iterators (see :func:`iter_fastx_padded` / :func:`iter_fastx_packed`).
 
     ``byte_range=(start, end)`` restricts the stream to records whose first
     byte falls in [start, end) — the multi-host input slice (plain files
-    only; the opener re-synchronises to a record boundary)."""
+    only; the opener re-synchronises to a record boundary; multi-line
+    FASTQ is NOT range-safe — callers must gate, see
+    fastx.is_fourline_fastq). ``range_info`` (a dict) receives the
+    resolved record-boundary offsets once the iterator is exhausted:
+    ``start`` = offset of the first owned record, ``end`` = stream offset
+    after the last owned record — consecutive hosts' [start, end) must
+    tile the file exactly (the counting path allgathers + checks this, so
+    a boundary mis-sync fails loudly instead of dropping reads)."""
     import numpy as np
 
     if not available():
@@ -226,6 +234,8 @@ def _iter_fastx_filled(path: str, batch_records: int,
         h = _lib.fastx_open(os.fsencode(path))
     if not h:
         raise FileNotFoundError(path)
+    if range_info is not None:
+        range_info["start"] = int(_lib.fastx_handle_tell(h))
     from .fastx import row_cap_bucket
 
     row_cap = row_cap_bucket(batch_records)
@@ -330,12 +340,15 @@ def _iter_fastx_filled(path: str, batch_records: int,
             if n < take:
                 return
     finally:
+        if range_info is not None:
+            range_info["end"] = int(_lib.fastx_handle_tell(h))
         _lib.fastx_close(h)
 
 
 def iter_fastx_padded(path: str, batch_records: int = 4096,
                       max_records: Optional[int] = None, skip: int = 0,
-                      byte_range: "Optional[Tuple[int, int]]" = None):
+                      byte_range: "Optional[Tuple[int, int]]" = None,
+                      range_info: Optional[dict] = None):
     """Stream device-ready padded batches (seq, qual, lengths, has_qual)
     with the padding done by per-row memcpy in C++ (``fastx_fill_padded``)
     instead of a NumPy fancy-index scatter — the fast input path for
@@ -343,9 +356,11 @@ def iter_fastx_padded(path: str, batch_records: int = 4096,
     Python padder: rows to pow2(B) capped at pow2(batch_records), columns
     to pow2(max record length, min 32). ``skip`` discards the first N
     records (mid-file resume); ``byte_range`` restricts to the records
-    starting in [start, end) (multi-host input slicing)."""
+    starting in [start, end) (multi-host input slicing; ``range_info``
+    receives the resolved boundary offsets, see _iter_fastx_filled)."""
     yield from _iter_fastx_filled(path, batch_records, max_records, skip,
-                                  packed=False, byte_range=byte_range)
+                                  packed=False, byte_range=byte_range,
+                                  range_info=range_info)
 
 
 def iter_fastx_packed(path: str, batch_records: int = 4096,

@@ -167,6 +167,11 @@ static void parse_records(Reader& rd, FastxResult* res,
          static_cast<int64_t>(qpres.size()) < max_records) {
     int c = rd.peek();
     if (c < 0) break;
+    // range readers stop at the first record that STARTS at-or-after the
+    // range end — that record belongs to the next host's byte range
+    // (checked before leader validation: a range pinned empty must not
+    // report a parse error for content it does not own)
+    if (rd.past_end()) break;
     if (c != '>' && c != '@') {
       // tolerate blank separator lines; anything else is a parse error
       if (c == '\n' || c == '\r') {
@@ -176,9 +181,6 @@ static void parse_records(Reader& rd, FastxResult* res,
       res->error = 2;
       break;
     }
-    // range readers stop at the first record that STARTS at-or-after the
-    // range end — that record belongs to the next host's byte range
-    if (rd.past_end()) break;
     rd.get();
     // name = first word of header
     Buf header;
@@ -351,14 +353,20 @@ FastxReaderHandle* fastx_open_range(const char* path, int64_t start,
   int fmt = 0;
   {
     Reader probe(path);
-    if (!probe.ok()) return nullptr;
+    if (!probe.ok()) return nullptr;  // open failure -> caller raises
     fmt = probe.peek();
-    if (fmt != '>' && fmt != '@') return nullptr;
   }
   auto* rd = new Reader(path);
   if (!rd->ok()) {
     delete rd;
     return nullptr;
+  }
+  if (fmt != '>' && fmt != '@') {
+    // empty file -> empty stream (the non-range path yields no records);
+    // junk leader -> host 0 parses from byte 0 and reports the parse
+    // error exactly like the non-range path, other hosts go empty
+    rd->set_end(start > 0 ? 0 : end);
+    return reinterpret_cast<FastxReaderHandle*>(rd);
   }
   int64_t boundary = 0;
   if (start > 0) {

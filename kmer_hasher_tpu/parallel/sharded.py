@@ -1096,6 +1096,9 @@ def iter_kmer_pairs_sharded_chunks(a: "ShardedKmerIndex",
     cursors = np.zeros(D, np.int64)
     emit_d = 0  # shard-major emission head
     _PAIRS_STREAM_STATS["peak_rows"] = 0
+    if not totals.any():  # same contract as the single-chip iterator
+        yield np.zeros((0, 2), np.int32)
+        return
     while emit_d < D:
         unfinished = cursors < totals
         # the emission-head shard always drains (its buffer empties each

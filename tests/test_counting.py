@@ -371,3 +371,42 @@ def test_fused_batch_n_win_trim_equivalence():
         assert live(got) == live(ref)
         np.testing.assert_array_equal(np.asarray(got[3]),
                                       np.asarray(ref[3]))
+
+
+def test_rp_spill_ranged_fold_matches_oracle(test_fastq_gz, monkeypatch):
+    """CLAUDE.md parity rule for the ranged fold: the spill + out-of-core
+    rejoin path must stay bit-identical to refsem on the bundled data."""
+    monkeypatch.setenv("KMH_FOLD_BUDGET_BYTES", "16384")
+    monkeypatch.setenv("KMH_BATCH_ROWS", "64")
+    from kmer_hasher_tpu.index.count_store import CountStore
+
+    k, min_q = 21, 20
+    st = CountStore(k, counts_n=1, spill_bytes=32768)
+    st = count_kmers_fq_sh_rp(f"{REF}/test.fastq.gz", k=k, min_q=min_q,
+                              max_reads=400, store=st)
+    assert st._spill_seq >= 2  # the regime: multiple runs spilled
+    assert st._ranged_fold_needed(0) or not st._spilled
+    reads = [(s, q) for (_n, s, q) in test_fastq_gz[:400]]
+    want = rs.count_kmers_reads_ll(reads, k=k, min_q_phred=min_q)
+    assert store_dict(st) == oracle_dict(want)
+
+
+def test_slice_continuity_check():
+    """The multi-host boundary continuity check: tiling boundaries pass,
+    a gap (dropped records) raises."""
+    import pytest
+
+    from kmer_hasher_tpu.counting import _check_slice_continuity
+
+    path = f"{REF}/repeat_40.fq"
+    import os
+
+    size = os.path.getsize(path)
+    # single process owning the whole file: [0, size) passes
+    _check_slice_continuity(path, {"start": 0, "end": size}, my_reads=10)
+    # empty host: no records anywhere -> no check
+    _check_slice_continuity(path, {}, my_reads=0)
+    # a host that stopped short of EOF (boundary mis-sync) must raise
+    with pytest.raises(RuntimeError, match="do not tile"):
+        _check_slice_continuity(path, {"start": 0, "end": size - 37},
+                                my_reads=10)

@@ -317,6 +317,68 @@ print("WORKER_OK", pid)
 """
 
 
+MULTILINE_WORKER = r"""
+import json, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+coord, pid = sys.argv[1], int(sys.argv[2])
+sys.path.insert(0, {repo!r})
+from kmer_hasher_tpu.parallel.distributed import init_distributed
+init_distributed(coord, num_processes=2, process_id=pid)
+
+import numpy as np
+from jax.sharding import Mesh
+from kmer_hasher_tpu.counting import count_kmers_fq_sh_rp
+sys.path.insert(0, {testdir!r})
+from test_distributed import store_digest
+
+mesh = Mesh(np.asarray(jax.devices()), ("shards",))
+store = count_kmers_fq_sh_rp({fq!r}, 11, min_q=20, mesh=mesh)
+digest = store_digest(store)
+total = store.total_added.tolist()
+if pid == 0:
+    print("DIGEST " + json.dumps(digest))
+    print("TOTAL " + json.dumps(total))
+print("WORKER_OK", pid)
+"""
+
+
+def test_two_process_multiline_fastq_falls_back(tmp_path):
+    """Multi-line FASTQ defeats byte-range boundary re-sync: the sliced
+    path must NOT activate (is_fourline_fastq gate) and the lockstep
+    fallback must count every read — bitwise equal to single-process."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    testdir = os.path.dirname(os.path.abspath(__file__))
+    fq = str(tmp_path / "multiline.fastq")
+    rng = np.random.default_rng(3)
+    with open(fq, "w") as f:
+        for i in range(48):
+            ln = int(rng.integers(30, 60))
+            seq = "".join("ACGT"[c] for c in rng.integers(0, 4, ln))
+            half = ln // 2  # seq and qual both span two lines
+            f.write(f"@m{i}\n{seq[:half]}\n{seq[half:]}\n+\n"
+                    f"{'I' * half}\n{'I' * (ln - half)}\n")
+    from kmer_hasher_tpu.io.fastx import is_fourline_fastq
+
+    assert not is_fourline_fastq(fq)
+    lines = _run_two_workers(
+        tmp_path,
+        MULTILINE_WORKER.format(repo=repo, testdir=testdir, fq=fq),
+        name="worker_multiline.py")
+    dist_digest = _line_json(lines, "DIGEST")
+    dist_total = _line_json(lines, "TOTAL")
+
+    import jax
+    from jax.sharding import Mesh
+
+    from kmer_hasher_tpu.counting import count_kmers_fq_sh_rp
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("shards",))
+    single = count_kmers_fq_sh_rp(fq, 11, min_q=20, mesh=mesh)
+    assert dist_total == single.total_added.tolist()
+    assert dist_digest == store_digest(single)
+
+
 def test_two_process_varlen_counting(tmp_path):
     """Variable-length reads split unevenly across the two process slices
     (short reads land on process 0, long on process 1): statics (n_win,

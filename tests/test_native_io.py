@@ -326,3 +326,81 @@ def test_range_empty_slice(tmp_path):
     # full file via one range == plain parse
     whole = _range_records_native(p, 0, size)
     assert len(whole) == 2
+
+
+def test_range_empty_file_and_junk_leader(tmp_path):
+    """Range mode must mirror the non-range parser's edge behavior: an
+    empty file yields an empty stream (NOT FileNotFoundError), a junk
+    leader raises the parse error on the host that owns byte 0, and a
+    missing file still raises FileNotFoundError."""
+    empty = tmp_path / "empty.fastq"
+    empty.write_bytes(b"")
+    assert _range_records_native(empty, 0, 0) == []
+    junk = tmp_path / "junk.txt"
+    junk.write_text("definitely not fastx\nmore\n")
+    import os
+
+    size = os.path.getsize(junk)
+    with pytest.raises(ValueError, match="unrecognised"):
+        _range_records_native(junk, 0, size)
+    # a host whose range starts past 0 goes empty instead of erroring
+    assert _range_records_native(junk, size // 2, size) == []
+    with pytest.raises(FileNotFoundError):
+        list(native.iter_fastx_padded(str(tmp_path / "nope.fq"), 4,
+                                      byte_range=(0, 10)))
+
+
+def test_is_fourline_fastq(tmp_path):
+    four = tmp_path / "four.fastq"
+    four.write_text("@a\nACGT\n+\nIIII\n@b\nTTTT\n+\nJJJJ\n")
+    multi = tmp_path / "multi.fastq"
+    multi.write_text("@a\nACGT\nACGT\n+\nIIII\nIIII\n@b\nTT\n+\nJJ\n")
+    fasta = tmp_path / "x.fa"
+    fasta.write_text(">a\nACGT\nACGT\n")
+    assert fastx.is_fourline_fastq(str(four))
+    assert not fastx.is_fourline_fastq(str(multi))
+    assert fastx.is_fourline_fastq(str(fasta))  # FASTA is range-safe
+
+
+def test_py_range_parser_multiline_grammar(tmp_path):
+    """The Python range parser uses the FULL kseq grammar (multi-line
+    seq/qual) — over the whole-file range it must match read_fastx_py."""
+    p = tmp_path / "multi.fastq"
+    p.write_text("@a x\nACGT\nACGTA\n+\nIIII\nIIIII\n"
+                 "@b\nTTTTT\n+anything\nJJJJJ\n")
+    import os
+
+    size = os.path.getsize(p)
+    info = {}
+    got = [r for recs in fastx.iter_fastx_range(str(p), 0, size,
+                                                range_info=info)
+           for r in recs]
+    assert got == fastx.read_fastx_py(str(p))
+    assert info["start"] == 0 and info["end"] == size
+
+
+def test_range_info_tiling(tmp_path):
+    """Resolved per-range boundaries tile the file exactly on 4-line
+    input (native + python), giving the counting continuity check its
+    invariant."""
+    import os
+
+    path = str(REF / "repeat_40.fq")
+    size = os.path.getsize(path)
+    bounds = [size * i // 3 for i in range(4)]
+    last_end = 0
+    for i in range(3):
+        info_n: dict = {}
+        for _ in native.iter_fastx_padded(path, 4,
+                                          byte_range=(bounds[i],
+                                                      bounds[i + 1]),
+                                          range_info=info_n):
+            pass
+        info_p: dict = {}
+        for _ in fastx.iter_fastx_range(path, bounds[i], bounds[i + 1],
+                                        range_info=info_p):
+            pass
+        assert info_n["start"] == info_p["start"] == last_end
+        assert info_n["end"] == info_p["end"]
+        last_end = info_n["end"]
+    assert last_end == size
