@@ -953,9 +953,10 @@ class CountStore:
     def _spill_if_needed(self) -> None:
         if self.spill_bytes is None:
             return
-        # keep at least one device run so merges have a seed
-        while (len(self._runs) > 1
-               and self._device_run_bytes() > self.spill_bytes):
+        # spilling the LAST run is allowed: flush seeds from spilled runs,
+        # and a single over-budget top tier (the common shape late in a
+        # full-corpus ingest) must be able to leave the device
+        while self._runs and self._device_run_bytes() > self.spill_bytes:
             self._spill_one()
 
     def _ranged_fold_needed(self, acc_rows: int) -> bool:

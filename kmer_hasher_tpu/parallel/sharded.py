@@ -1815,8 +1815,8 @@ class ShardedCountStore:
     def _spill_if_needed(self) -> None:
         if self.spill_bytes is None:
             return
-        while (len(self._runs) > 1
-               and self._device_run_bytes() > self.spill_bytes):
+        # spilling the last run is allowed (same as the single-chip store)
+        while self._runs and self._device_run_bytes() > self.spill_bytes:
             self._spill_one()
 
     def _load_spilled(self, entry):

@@ -84,9 +84,12 @@ def control_slice(r_hi, r_lo):
 
 
 def main():
-    n_batches = int(os.environ.get("SPILL_BATCHES", "128"))
+    # 244 batches x 29696 rows x 140 windows at the measured ~50.5%
+    # stress-qual pass rate -> ~5.12e8 distinct keys, safely under the
+    # 2^29 table cap (5.37e8) whose pow-2 doubling would not fit HBM
+    n_batches = int(os.environ.get("SPILL_BATCHES", "244"))
     k = int(os.environ.get("SPILL_K", "21"))
-    spill_bytes = int(os.environ.get("SPILL_BYTES", str(2 << 30)))
+    spill_bytes = int(os.environ.get("SPILL_BYTES", str(3 << 30)))
     read_len = 151
     nw = win_bucket(read_len, k)
     rows = int(os.environ.get("SPILL_ROWS",
