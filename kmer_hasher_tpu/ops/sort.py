@@ -22,6 +22,12 @@ import jax.numpy as jnp
 
 I32 = jnp.int32
 
+# fused stage-QUAD bitonic passes (read once at import — it selects
+# traced program structure, so runtime flips would desync cached jits)
+import os as _os  # noqa: E402
+
+_MERGE_QUAD = _os.environ.get("KMH_MERGE_QUAD", "0") == "1"
+
 
 def _use_merge_sort() -> bool:
     """Route full sorts through the hierarchical merge path
@@ -156,6 +162,23 @@ def bitonic_merge_lanes(lanes, n_keys: int, log_tail: int = 11):
     M = lanes[0].shape[0]
     Lt = min(M, 1 << log_tail)
     stride = M // 2
+    while _MERGE_QUAD and stride // 8 >= Lt:
+        # fused stage QUAD (strides 8s, 4s, 2s, s in one [.., 16, s]
+        # view): four network stages per HBM pass — the stage-pair trick
+        # one level deeper (ROADMAP r3 item 1). Gated by KMH_MERGE_QUAD
+        # until the chip A/B prices the extra live selects.
+        s = stride // 8
+        v = [a.reshape(-1, 16, s) for a in lanes]
+        r = [[a[:, i] for a in v] for i in range(16)]
+        for half in (8, 4, 2, 1):
+            for i in range(16):
+                if i % (2 * half) < half:
+                    r[i], r[i + half] = cxl(r[i], r[i + half])
+        lanes = [
+            jnp.stack([r[i][j] for i in range(16)], axis=1).reshape(M)
+            for j in range(len(lanes))
+        ]
+        stride //= 16
     while stride // 2 >= Lt:
         # fused stage PAIR (strides 2s then s): both exchanges live
         # within a 4s block, so the [.., 4, s] view does two network
