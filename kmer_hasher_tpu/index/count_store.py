@@ -1008,7 +1008,9 @@ class CountStore:
             return z, z, jnp.zeros((0, self.counts_n), U32), 0
         # 2. range splitters from the largest run (evenly spaced ranks)
         total_rows = sum(len(r[0]) for r in host_runs)
-        per_range = max(1, _fold_budget_bytes() // 4
+        # /8: a range's merge chain + finalize transient runs ~3-4x its
+        # bytes, and the accumulated output pieces share the device
+        per_range = max(1, _fold_budget_bytes() // 8
                         // (8 + 4 * self.counts_n))
         n_ranges = max(1, -(-total_rows // per_range))
         big = max(host_runs, key=lambda r: len(r[0]))[0]
@@ -1097,6 +1099,19 @@ class CountStore:
                                 jnp.asarray(self._n_unique, I32))
                 + (None,)
             )
+        # beyond-HBM fold: when the rejoin will go out-of-core anyway,
+        # do NOT merge the residual device runs into one accumulator
+        # first — that pre-merge (concat + finalize at the combined size)
+        # is itself a multiple of the total bytes and OOMs a 16 GB chip
+        # at the full-corpus scale. Spill every run to host individually
+        # (each bounded by spill_bytes) and range-fold from host only.
+        if (self._spilled and self.spill_bytes is not None
+                and self._ranged_fold_needed(
+                    sum(int(r[0].shape[0]) for r in self._runs))):
+            while self._runs:
+                self._spill_one()
+            u_hi, u_lo, u_cnt, n_u = self._fold_spilled_ranged(None)
+            return self._install_base(u_hi, u_lo, u_cnt, int(n_u))
         # fold smallest-first so intermediate merges stay small; keep the
         # accumulator padded to a power of two so merge shapes stay in a
         # small (2^a, 2^b) set and XLA programs are reused across folds
@@ -1124,30 +1139,16 @@ class CountStore:
             if cnt is None:
                 _h, _l, cnt, _t = self._materialize(run)
                 _h = _l = None
-            if self._spilled and self._ranged_fold_needed(
-                    int(hi.shape[0])):
-                # compact the accumulator, move it to HOST, and drop
-                # every device reference BEFORE the ranged fold — the
-                # fold's memory bound assumes the device never holds the
-                # accumulator and the output pieces together
-                u_hi, u_lo, u_cnt, n_u = _finalize_run(hi, lo, cnt,
-                                                       k=self.k)
-                n_u = int(n_u)
-                run = hi = lo = cnt = None
-                acc = None
-                if n_u:
-                    keys = ((np.asarray(u_hi[:n_u]).astype(np.uint64)
-                             << np.uint64(32))
-                            | np.asarray(u_lo[:n_u]).astype(np.uint64))
-                    acc = (keys, np.asarray(u_cnt[:n_u]))
-                u_hi = u_lo = u_cnt = None
-                u_hi, u_lo, u_cnt, n_u = self._fold_spilled_ranged(acc)
-            else:
-                if self._spilled:
-                    hi, lo, cnt = self._fold_spilled(hi, lo, cnt)
-                u_hi, u_lo, u_cnt, n_u = _finalize_run(hi, lo, cnt,
-                                                       k=self.k)
-        self._n_unique = int(n_u)
+            if self._spilled:
+                hi, lo, cnt = self._fold_spilled(hi, lo, cnt)
+            u_hi, u_lo, u_cnt, n_u = _finalize_run(hi, lo, cnt,
+                                                   k=self.k)
+        return self._install_base(u_hi, u_lo, u_cnt, int(n_u))
+
+    def _install_base(self, u_hi, u_lo, u_cnt, n_u: int) -> "CountStore":
+        """Common flush tail: trim/pad the compact table to its pow-2
+        capacity and make it the base."""
+        self._n_unique = n_u
         new_cap = _next_pow2(self._n_unique)
         if new_cap < u_hi.shape[0]:
             u_hi, u_lo, u_cnt = (u_hi[:new_cap], u_lo[:new_cap],

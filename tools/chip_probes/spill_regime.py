@@ -89,7 +89,10 @@ def main():
     # 2^29 table cap (5.37e8) whose pow-2 doubling would not fit HBM
     n_batches = int(os.environ.get("SPILL_BATCHES", "244"))
     k = int(os.environ.get("SPILL_K", "21"))
-    spill_bytes = int(os.environ.get("SPILL_BYTES", str(3 << 30)))
+    # 1.5 GB: spills happen at LOW HBM pressure (readback is several x
+    # faster there) and every per-spill finalize stays small; the fold
+    # never pre-merges device runs at this scale (flush spills them all)
+    spill_bytes = int(os.environ.get("SPILL_BYTES", str(3 << 29)))
     read_len = 151
     nw = win_bucket(read_len, k)
     rows = int(os.environ.get("SPILL_ROWS",
