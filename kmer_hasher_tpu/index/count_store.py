@@ -1023,6 +1023,7 @@ class CountStore:
         for r in range(n_ranges):
             s_lo, s_hi = bounds[r], bounds[r + 1]
             merged = None
+            live_rows = 0  # true rows in the chain (dead pad excluded)
             for keys, cnts in host_runs:
                 i0 = int(np.searchsorted(keys, s_lo, side="left"))
                 i1 = (int(np.searchsorted(keys, s_hi, side="left"))
@@ -1038,15 +1039,25 @@ class CountStore:
                 kl[: i1 - i0] = keys[i0:i1].astype(np.uint32)
                 kc[: i1 - i0] = cnts[i0:i1]
                 dev = (jnp.asarray(kh), jnp.asarray(kl), jnp.asarray(kc))
+                live_rows += i1 - i0
                 if merged is None:
                     merged = dev
                 else:
-                    # pad the chain to pow2 between merges so merge
-                    # shapes stay in a small (2^a, 2^b) set — fresh
-                    # shapes compile over the tunnel at minutes each
-                    merged = self._pad_run_pow2(_merge_runs(
-                        merged[0], merged[1], merged[2], *dev,
-                        k=self.k))[:3]
+                    # merge, then TRIM the chain to pow2(live): merge
+                    # output is sorted with the dead pad at the tail,
+                    # and without the trim the pow2 paddings CASCADE
+                    # (cap(cap(a)+cap(b)) ~ 4x live), blowing the
+                    # bitonic network (and its HLO temps) up to 2^29+
+                    # at full-corpus scale — the j_spill OOM. pow2
+                    # shapes keep the (2^a, 2^b) merge-program set
+                    # small (fresh shapes compile over the tunnel at
+                    # minutes each).
+                    m = _merge_runs(merged[0], merged[1], merged[2],
+                                    *dev, k=self.k)
+                    cap_l = _next_pow2(live_rows)
+                    if cap_l < m[0].shape[0]:
+                        m = (m[0][:cap_l], m[1][:cap_l], m[2][:cap_l])
+                    merged = self._pad_run_pow2(m)[:3]
             if merged is None:
                 continue
             p_hi, p_lo, p_cnt, p_n = _finalize_run(*merged, k=self.k)
