@@ -23,10 +23,13 @@ import jax.numpy as jnp
 I32 = jnp.int32
 
 # fused stage-QUAD bitonic passes (read once at import — it selects
-# traced program structure, so runtime flips would desync cached jits)
+# traced program structure, so runtime flips would desync cached jits).
+# Default ON: chip A/B measured 2.61 -> 2.33 ns/elem (10.5%) on a full
+# 2^24 (u64, u32) merge (tools/chip_probes/quad_merge_probe.py);
+# KMH_MERGE_QUAD=0 reverts to stage pairs.
 import os as _os  # noqa: E402
 
-_MERGE_QUAD = _os.environ.get("KMH_MERGE_QUAD", "0") == "1"
+_MERGE_QUAD = _os.environ.get("KMH_MERGE_QUAD", "1") == "1"
 
 
 def _use_merge_sort() -> bool:
