@@ -88,6 +88,19 @@ def _use_packed_upload() -> bool:
     return os.environ.get("KMH_PACK_UPLOAD", "1") != "0"
 
 
+def _normalize_paths(path):
+    """None for a single path-like input; a non-empty list of str paths
+    when the caller passed a sequence of files."""
+    import os
+
+    if isinstance(path, (str, bytes, os.PathLike)):
+        return None
+    paths = [os.fspath(p) for p in path]
+    if not paths:
+        raise ValueError("empty file list")
+    return paths
+
+
 def _iter_padded_batches(path: str, max_reads: Optional[int],
                          batch_rows: Optional[int] = None,
                          prefetch: int = 2, skip: int = 0,
@@ -642,6 +655,15 @@ def count_kmers_fq_sh_rp(path: str, k: int, prefix_bits: int = 20,
     parallel.ShardedCountStore. The reference's "thread pool over one
     shared store" becomes chips over a sharded store.
 
+    ``path`` may be a single file or a LIST of files. A list accumulates
+    every file into one store (the reference's incremental multi-file
+    pattern, src/kmer_hash.c:833-841, test.R:110-127); on a multi-process
+    mesh the files are additionally PARTITIONED across hosts (each host
+    parses only its own files) whenever any input is gzip — which cannot
+    be byte-range-sliced — or there are at least as many files as hosts
+    (KMH_FILE_PARTITION=1/0 forces/disables). Cursor-level options
+    (skip_reads/max_reads/checkpoint_every) require single-file calls.
+
     ``skip_reads`` discards the first N records before counting, and with
     ``checkpoint_every=N`` the store plus a progress record (file path,
     reads consumed) is written atomically to ``checkpoint_path`` every N
@@ -652,11 +674,29 @@ def count_kmers_fq_sh_rp(path: str, k: int, prefix_bits: int = 20,
         # statically invalid — fail now, not after checkpoint_every reads
         # of counting when the first checkpoint fires
         raise ValueError("checkpoint_every requires checkpoint_path")
+    paths = _normalize_paths(path)
+    if paths is not None and len(paths) == 1:
+        path, paths = paths[0], None
+    if paths is not None and (skip_reads or max_reads is not None
+                              or checkpoint_every is not None):
+        raise ValueError(
+            "a file list supports neither skip_reads, max_reads nor "
+            "checkpointing — make incremental per-file calls with store= "
+            "for cursor-level control (the reference's multi-file "
+            "pattern, test.R:110-127)")
     if mesh is not None:
-        return _count_rp_sharded(path, k, min_q, max_reads, source_n,
-                                 source, store, mesh, exact_ll,
+        return _count_rp_sharded(paths or path, k, min_q, max_reads,
+                                 source_n, source, store, mesh, exact_ll,
                                  report_every, skip_reads,
                                  checkpoint_every, checkpoint_path)
+    if paths is not None:
+        # sequential accumulation into one store, same semantics as
+        # incremental per-file calls (src/kmer_hash.c:833-841)
+        for p in paths:
+            store = count_kmers_fq_sh_rp(
+                p, k, prefix_bits, min_q, n_shards, None, max_mem_gb,
+                source_n, source, store, report_every, exact_ll)
+        return store
     if not 1 <= k <= MAX_K:
         raise ValueError("k must be a positive integer less than 1+MAX_K")
     if not 1 <= source_n <= 4:
@@ -1100,6 +1140,22 @@ def _count_rp_sharded(path, k, min_q, max_reads, source_n, source, store,
 
     from .io.fastx import is_fourline_fastq, is_gzip
 
+    if isinstance(path, (list, tuple)):
+        paths = list(path)
+        fp = _os.environ.get("KMH_FILE_PARTITION", "")
+        if (n_proc > 1 and fp != "0"
+                and (fp == "1" or any(is_gzip(p) for p in paths)
+                     or len(paths) >= n_proc)):
+            # partition whole files across hosts: the only parse-scaling
+            # route for gzip inputs, and the natural one when there are
+            # at least as many files as hosts
+            return _count_rp_files(paths, k, min_q, source, store,
+                                   precision, report_every)
+        for p in paths:  # few plain files on many hosts: byte-slice each
+            store = _count_rp_sharded(p, k, min_q, None, source_n, source,
+                                      store, mesh, exact_ll, report_every)
+        return store
+
     if (n_proc > 1 and skip_reads == 0 and max_reads is None
             and checkpoint_every is None and not is_gzip(path)
             and is_fourline_fastq(path)
@@ -1202,6 +1258,77 @@ def _count_rp_sliced(path, k, min_q, source, store, precision,
     empty batches until every range is drained."""
     import os
 
+    n_proc = jax.process_count()
+    p_idx = jax.process_index()
+    size = os.path.getsize(path)
+    lo_b = size * p_idx // n_proc
+    hi_b = size * (p_idx + 1) // n_proc
+    batch_rows = _tuned_batch_rows(path, k) or int(
+        os.environ.get("KMH_BATCH_ROWS", "16384"))
+    rows_pp = max(-(-batch_rows // n_proc), store.n_shards // n_proc)
+    range_info: dict = {}
+    it = _iter_padded_batches(path, None, batch_rows=rows_pp,
+                              packed=False, byte_range=(lo_b, hi_b),
+                              range_info=range_info)
+    _reads, my_reads = _aligned_collective_loop(
+        it, store, k, min_q, source, precision, report_every,
+        f"count_rp_sliced[{path}]")
+    _check_slice_continuity(path, range_info, my_reads)
+    return store
+
+
+def _count_rp_files(paths, k, min_q, source, store, precision,
+                    report_every):
+    """Multi-host counting over a FILE LIST: files are partitioned across
+    processes (greedy by size) and each host parses ONLY its own files —
+    the gzip-friendly complement of ``_count_rp_sliced`` (gzip streams
+    cannot be byte-addressed mid-file, but whole files need no boundary
+    re-sync). The reference's R1+R2 corpus pattern — one store, many
+    files (test.R:110-127) — becomes a single call whose host parse work
+    scales ~1/N. ``store.add_reads`` statics are aligned by the same
+    per-batch allgather as the byte-sliced path."""
+    import os
+
+    n_proc = jax.process_count()
+    p_idx = jax.process_index()
+    try:
+        sizes = [os.path.getsize(p) for p in paths]
+    except OSError:
+        # a host cannot stat another host's files: fall back to a
+        # stat-free deterministic round-robin assignment
+        mine = list(paths[p_idx::n_proc])
+    else:
+        order = sorted(range(len(paths)), key=lambda i: (-sizes[i], i))
+        loads = [0] * n_proc
+        assign: list = [[] for _ in range(n_proc)]
+        for i in order:
+            j = min(range(n_proc), key=lambda t: (loads[t], t))
+            assign[j].append(i)
+            loads[j] += sizes[i]
+        mine = [paths[i] for i in sorted(assign[p_idx])]
+    batch_rows = (_tuned_batch_rows(mine[0], k) if mine else None) or int(
+        os.environ.get("KMH_BATCH_ROWS", "16384"))
+    rows_pp = max(-(-batch_rows // n_proc), store.n_shards // n_proc)
+
+    def produce():
+        for p in mine:
+            yield from _iter_padded_batches(p, None, batch_rows=rows_pp,
+                                            packed=False)
+
+    _aligned_collective_loop(
+        produce(), store, k, min_q, source, precision, report_every,
+        f"count_rp_files[{len(paths)} files, {len(mine)} mine]")
+    return store
+
+
+def _aligned_collective_loop(it, store, k, min_q, source, precision,
+                             report_every, label):
+    """Drain ``it`` (host-side padded batches, possibly a different number
+    per process) through ``store.add_reads``, aligning the collective's
+    static program structure across processes with a per-batch allgather
+    of six host scalars; processes whose iterator is exhausted feed all-N
+    empty batches until every process drains. Returns
+    (global_reads, this_process_reads)."""
     from jax.experimental import multihost_utils
 
     from .io.fastx import col_bucket
@@ -1209,18 +1336,9 @@ def _count_rp_sliced(path, k, min_q, source, store, precision,
     n_proc = jax.process_count()
     p_idx = jax.process_index()
     d_loc = store.n_shards // n_proc
-    size = os.path.getsize(path)
-    lo_b = size * p_idx // n_proc
-    hi_b = size * (p_idx + 1) // n_proc
-    batch_rows = _tuned_batch_rows(path, k) or int(
-        os.environ.get("KMH_BATCH_ROWS", "16384"))
-    rows_pp = max(-(-batch_rows // n_proc), d_loc)
-    meter = _progress(report_every, f"count_rp_sliced[{path}]")
+    meter = _progress(report_every, label)
     min_ll_f = float(Q_TO_LL[33 + int(min_q)])
-    range_info: dict = {}
-    it = iter(_iter_padded_batches(path, None, batch_rows=rows_pp,
-                                   packed=False, byte_range=(lo_b, hi_b),
-                                   range_info=range_info))
+    it = iter(it)
     reads_done = 0
     my_reads = 0
     while True:
@@ -1272,8 +1390,7 @@ def _count_rp_sliced(path, k, min_q, source, store, precision,
         if meter:
             meter.update(int(g[:, 5].sum()),
                          distinct_kmers=lambda: int(store.peek_n_unique()))
-    _check_slice_continuity(path, range_info, my_reads)
-    return store
+    return reads_done, my_reads
 
 
 def _check_slice_continuity(path, range_info, my_reads: int) -> None:

@@ -379,6 +379,93 @@ def test_two_process_multiline_fastq_falls_back(tmp_path):
     assert dist_digest == store_digest(single)
 
 
+FILELIST_WORKER = r"""
+import json, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+coord, pid = sys.argv[1], int(sys.argv[2])
+sys.path.insert(0, {repo!r})
+from kmer_hasher_tpu.parallel.distributed import init_distributed
+init_distributed(coord, num_processes=2, process_id=pid)
+
+import numpy as np
+from jax.sharding import Mesh
+from kmer_hasher_tpu.counting import count_kmers_fq_sh_rp
+sys.path.insert(0, {testdir!r})
+from test_distributed import store_digest
+
+mesh = Mesh(np.asarray(jax.devices()), ("shards",))
+store = count_kmers_fq_sh_rp([{fq1!r}, {fq2!r}], 11, min_q=20, mesh=mesh)
+digest = store_digest(store)  # collective: every process calls
+# FILE PARTITIONING: this process must have parsed only its OWN file
+# (~1/2 of the corpus bytes), not both
+from kmer_hasher_tpu.io import native
+total_seq = {total_seq}
+parsed = native.STATS["bytes_parsed"]
+assert 0.2 * total_seq <= parsed <= 0.8 * total_seq, (parsed, total_seq)
+if pid == 0:
+    print("DIGEST " + json.dumps(digest))
+    print("TOTAL " + json.dumps(store.total_added.tolist()))
+print("WORKER_OK", pid)
+"""
+
+
+def test_two_process_file_list_partitioning(tmp_path):
+    """count_kmers_fq_sh_rp with a FILE LIST on a 2-process mesh: the two
+    files are partitioned across the hosts (each parses only its own —
+    the gzip-capable complement of byte-range slicing, ROADMAP §4c.5),
+    and the folded store equals the single-process run over the same list
+    bitwise."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    testdir = os.path.dirname(os.path.abspath(__file__))
+    fq1 = str(tmp_path / "part_a.fastq")
+    fq2 = str(tmp_path / "part_b.fastq")
+    write_varlen_fastq(fq1, seed=11)
+    write_varlen_fastq(fq2, seed=23)
+    from kmer_hasher_tpu.io import read_fastx
+
+    total_seq = sum(len(s) for p in (fq1, fq2)
+                    for (_n, s, _q) in read_fastx(p))
+    lines = _run_two_workers(
+        tmp_path,
+        FILELIST_WORKER.format(repo=repo, testdir=testdir, fq1=fq1,
+                               fq2=fq2, total_seq=total_seq),
+        name="worker_filelist.py")
+    dist_digest = _line_json(lines, "DIGEST")
+    dist_total = _line_json(lines, "TOTAL")
+
+    import jax
+    from jax.sharding import Mesh
+
+    from kmer_hasher_tpu.counting import count_kmers_fq_sh_rp
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("shards",))
+    single = count_kmers_fq_sh_rp([fq1, fq2], 11, min_q=20, mesh=mesh)
+    assert dist_total == single.total_added.tolist()
+    assert dist_digest == store_digest(single)
+
+
+def test_file_list_sequential_equivalence(tmp_path):
+    """A file list without a mesh accumulates every file into one store,
+    equal to incremental per-file calls (src/kmer_hash.c:833-841); cursor
+    options are rejected for lists."""
+    from kmer_hasher_tpu.counting import count_kmers_fq_sh_rp
+
+    fq1 = str(tmp_path / "seq_a.fastq")
+    fq2 = str(tmp_path / "seq_b.fastq")
+    write_varlen_fastq(fq1, seed=5, n_reads=32)
+    write_varlen_fastq(fq2, seed=9, n_reads=32)
+    inc = count_kmers_fq_sh_rp(fq1, 11, min_q=20)
+    inc = count_kmers_fq_sh_rp(fq2, 11, min_q=20, store=inc)
+    lst = count_kmers_fq_sh_rp([fq1, fq2], 11, min_q=20)
+    np.testing.assert_array_equal(inc.spectrum(50), lst.spectrum(50))
+    assert inc.total_added.tolist() == lst.total_added.tolist()
+    with pytest.raises(ValueError, match="file list"):
+        count_kmers_fq_sh_rp([fq1, fq2], 11, max_reads=10)
+    with pytest.raises(ValueError, match="empty"):
+        count_kmers_fq_sh_rp([], 11)
+
+
 def test_two_process_varlen_counting(tmp_path):
     """Variable-length reads split unevenly across the two process slices
     (short reads land on process 0, long on process 1): statics (n_win,
