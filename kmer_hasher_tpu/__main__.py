@@ -111,6 +111,30 @@ def cmd_count(a):
         if progress:
             print(f"resuming after {progress['reads_done']} reads of "
                   f"{progress['path']}", file=sys.stderr)
+    if a.partition_files:
+        if a.resume or a.checkpoint_every or a.max_reads is not None:
+            raise SystemExit("--partition-files excludes --resume/"
+                             "--checkpoint-every/--max-reads")
+        if a.source is None and a.source_n > 1:
+            raise SystemExit("--partition-files counts every file under "
+                             "ONE source: give --source explicitly with "
+                             "--source-n > 1")
+        exact_ll = {"exact": True, "fast": False,
+                    "hybrid": "hybrid"}[a.ll_mode]
+        store = count_kmers_fq_sh_rp(
+            a.files if len(a.files) > 1 else a.files[0], k=a.k,
+            min_q=a.min_q, source_n=a.source_n, source=a.source or 0,
+            report_every=a.report_every, exact_ll=exact_ll, mesh=mesh)
+        ckpt.save_count_store(store, a.out)
+        info = {"distinct": int(np.asarray(store.n_unique).sum()),
+                "total_added": np.asarray(store.total_added).tolist(),
+                "out": a.out}
+        if mesh is None:
+            info["most_common"] = most_common_kmer(store)
+        else:
+            info["shards"] = np.asarray(store.n_unique).tolist()
+        print(json.dumps(info))
+        return
     counted_any = False
     for i, path in enumerate(a.files):
         skip = 0
@@ -236,6 +260,13 @@ def main(argv=None):
                    help="disable the 2-bit packed seq upload "
                         "(KMH_PACK_UPLOAD=0); results are identical "
                         "either way")
+    s.add_argument("--partition-files", action="store_true",
+                   help="count all FILES in one call under a single "
+                        "source; on a multi-process mesh the files are "
+                        "partitioned across hosts so each parses only "
+                        "its own (gzip-capable input scaling). Excludes "
+                        "--resume/--checkpoint-every/--max-reads and "
+                        "per-file source assignment")
     s.add_argument("-o", "--out", required=True)
     s.set_defaults(fn=cmd_count)
 

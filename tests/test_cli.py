@@ -35,6 +35,31 @@ def test_cli_index_tables_query(tmp_path, capsys, test_fa):
     assert q["hits"] >= 1991  # self-slice: at least the diagonal
 
 
+def test_cli_partition_files(tmp_path, capsys):
+    out = str(tmp_path / "plist.npz")
+    main(["count", f"{REF}/repeat_40.fq", f"{REF}/test_10.fastq", "-k", "5",
+          "--min-q", "0", "--partition-files", "-o", out])
+    info = json.loads(capsys.readouterr().out)
+
+    # equals the incremental two-call run under one source
+    inc = str(tmp_path / "inc.npz")
+    main(["count", f"{REF}/repeat_40.fq", "-k", "5", "--min-q", "0",
+          "--source", "0", "-o", inc])
+    capsys.readouterr()
+    main(["count", f"{REF}/test_10.fastq", "-k", "5", "--min-q", "0",
+          "--source", "0", "--resume", inc, "-o", inc])
+    info2 = json.loads(capsys.readouterr().out)
+    assert info["distinct"] == info2["distinct"]
+    assert info["total_added"] == info2["total_added"]
+
+    with pytest.raises(SystemExit, match="partition-files excludes"):
+        main(["count", f"{REF}/repeat_40.fq", "-k", "5",
+              "--partition-files", "--max-reads", "5", "-o", out])
+    with pytest.raises(SystemExit, match="ONE source"):
+        main(["count", f"{REF}/repeat_40.fq", "-k", "5", "--source-n", "2",
+              "--partition-files", "-o", out])
+
+
 def test_cli_count_spectrum_depth(tmp_path, capsys):
     store_path = str(tmp_path / "store.npz")
     main(["count", f"{REF}/repeat_40.fq", "-k", "5", "--min-q", "0",
