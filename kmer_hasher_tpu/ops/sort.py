@@ -30,6 +30,10 @@ I32 = jnp.int32
 import os as _os  # noqa: E402
 
 _MERGE_QUAD = _os.environ.get("KMH_MERGE_QUAD", "1") == "1"
+# stage-OCT passes (5 network stages per HBM pass) measured 2.038 vs
+# quad 2.320 ns/elem on the full 2^24 (u64, u32-count) merge
+# (tools/chip_probes/oct_merge_probe.py); KMH_MERGE_OCT=0 reverts
+_MERGE_OCT = _os.environ.get("KMH_MERGE_OCT", "1") == "1"
 
 
 def _use_merge_sort() -> bool:
@@ -165,6 +169,23 @@ def bitonic_merge_lanes(lanes, n_keys: int, log_tail: int = 11):
     M = lanes[0].shape[0]
     Lt = min(M, 1 << log_tail)
     stride = M // 2
+    while _MERGE_OCT and stride // 16 >= Lt:
+        # fused stage OCT (strides 16s..s in one [.., 32, s] view): five
+        # network stages per HBM pass. Gated off by default — the chip
+        # A/B (tools/chip_probes/oct_merge_probe.py) prices whether the
+        # extra live selects still pay past the quad level.
+        s = stride // 16
+        v = [a.reshape(-1, 32, s) for a in lanes]
+        r = [[a[:, i] for a in v] for i in range(32)]
+        for half in (16, 8, 4, 2, 1):
+            for i in range(32):
+                if i % (2 * half) < half:
+                    r[i], r[i + half] = cxl(r[i], r[i + half])
+        lanes = [
+            jnp.stack([r[i][j] for i in range(32)], axis=1).reshape(M)
+            for j in range(len(lanes))
+        ]
+        stride //= 32
     while _MERGE_QUAD and stride // 8 >= Lt:
         # fused stage QUAD (strides 8s, 4s, 2s, s in one [.., 16, s]
         # view): four network stages per HBM pass — the stage-pair trick
