@@ -588,10 +588,16 @@ def count_kmers_fq(path: str, k: int, min_q: int = 0, prefix_bits: int = 16,
                    max_mem_gb: Optional[int] = None,
                    max_reads: Optional[int] = None,
                    store: Optional[CountStore] = None,
-                   report_every: Optional[int] = None) -> CountStore:
+                   report_every: Optional[int] = None,
+                   budget_semantics: str = "error") -> CountStore:
     """``count.kmers.fq`` (src/kmer_hash.c:618-711): kmer_tree-backed
     canonical counting — spectra include zero cells of allocated prefix
-    blocks; optional soft memory budget (src/kmer_tree.c:57-67)."""
+    blocks; optional soft memory budget (src/kmer_tree.c:57-67).
+    ``budget_semantics='drop'`` reproduces the reference's silent-drop
+    behaviour past the budget (first-come prefix blocks keep counting,
+    later prefixes are discarded) instead of raising MemoryError; see
+    PARITY.md deviation 7 for the single remaining within-batch
+    admission-order caveat."""
     if not 1 <= k <= MAX_K:
         raise ValueError("k must be a positive integer less than 1+MAX_K")
     if store is None:
@@ -599,6 +605,7 @@ def count_kmers_fq(path: str, k: int, min_q: int = 0, prefix_bits: int = 16,
         store = CountStore(
             k, counts_n=1, prefix_bits=pb, suffix_bits=sb, mode="ktree",
             max_size_bytes=(max_mem_gb << 30) if max_mem_gb else None,
+            budget_semantics=budget_semantics,
         )
     return _count_fastq_threshold(path, k, min_q, store, max_reads,
                                   report_every)

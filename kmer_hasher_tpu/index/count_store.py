@@ -641,6 +641,7 @@ class CountStore:
     def __init__(self, k: int, counts_n: int = 1, prefix_bits: int = 0,
                  suffix_bits: Optional[int] = None, mode: str = "sh",
                  max_size_bytes: Optional[int] = None,
+                 budget_semantics: str = "error",
                  spill_bytes: Optional[int] = None,
                  spill_dir: Optional[str] = None):
         if not 1 <= k <= 32:
@@ -671,6 +672,22 @@ class CountStore:
             )
         self.mode = mode
         self.max_size_bytes = max_size_bytes
+        # budget_semantics (ktree only): 'error' raises MemoryError at the
+        # first fold whose dense footprint exceeds max_size_bytes (PARITY
+        # dev 7, strictly noisier than the C); 'drop' reproduces the
+        # reference's behaviour (src/kmer_tree.c:51-76): the first
+        # max_size // (4 * 2^suffix_bits) distinct prefixes to appear get
+        # dense blocks and k-mers of every later prefix are silently
+        # dropped (still counted nowhere, like add_kmer's -2 return).
+        if budget_semantics not in ("error", "drop"):
+            raise ValueError(f"unknown budget_semantics {budget_semantics!r}")
+        if budget_semantics == "drop" and (mode != "ktree"
+                                           or max_size_bytes is None):
+            raise ValueError("budget_semantics='drop' requires mode='ktree' "
+                             "and max_size_bytes")
+        self.budget_semantics = budget_semantics
+        self._admitted = None  # sorted uint64 prefixes with blocks (drop)
+        self._admit_frozen = False
         cap = 64
         self.u_hi = jnp.zeros(cap, U32)
         self.u_lo = jnp.zeros(cap, U32)
@@ -805,6 +822,15 @@ class CountStore:
         hi = jnp.ravel(hi)
         lo = jnp.ravel(lo)
         valid = jnp.ravel(valid)
+        if self.budget_semantics == "drop":
+            # raw streams carry true in-array stream order, so admission
+            # here is fully faithful to the C's per-kmer allocation walk
+            keys = ((np.asarray(hi).astype(np.uint64) << np.uint64(32))
+                    | np.asarray(lo).astype(np.uint64))
+            v_h = np.asarray(valid).astype(bool)
+            pref = keys >> np.uint64(self.suffix_bits)
+            self._admit_prefixes(pref[v_h])
+            valid = jnp.asarray(v_h & np.isin(pref, self._admitted))
         self._total_added_dev = self._total_added_dev.at[source].add(
             valid.sum(dtype=I64)
         )
@@ -815,6 +841,68 @@ class CountStore:
         elif self._pending_n >= self.run_build_size:
             self._build_runs()
         return self
+
+    # -- ktree 'drop' budget semantics (src/kmer_tree.c:51-76) --------------
+    @property
+    def _budget_blocks(self) -> int:
+        return int(self.max_size_bytes) // (4 << self.suffix_bits)
+
+    def _admit_prefixes(self, pref_stream: np.ndarray) -> None:
+        """Admit new prefixes, in first-occurrence order of
+        ``pref_stream``, until the block budget fills — after which the
+        admitted set is frozen forever (the reference can never allocate
+        another block once current + block > max_size)."""
+        if self._admitted is None:
+            self._admitted = np.empty(0, np.uint64)
+        if self._admit_frozen:
+            return
+        uniq, first = np.unique(pref_stream, return_index=True)
+        fresh = ~np.isin(uniq, self._admitted)
+        new, first = uniq[fresh], first[fresh]
+        if not new.size:
+            return
+        new = new[np.argsort(first, kind="stable")]
+        space = self._budget_blocks - self._admitted.size
+        if new.size > space:
+            self._admit_frozen = True
+        self._admitted = np.union1d(self._admitted,
+                                    new[:max(0, space)])
+
+    def _budget_filter_run(self, hi, lo, cnt, n_obs, source):
+        """Drop-mode filter for a sorted run: admit this run's prefixes
+        (in KEY order — the documented within-batch deviation, PARITY
+        dev 7) and strip rows of unadmitted prefixes, preserving run form
+        (sorted live keys, all-ones dead tail). Host-side: this is a
+        fidelity mode, not a throughput path."""
+        keys = ((np.asarray(hi).astype(np.uint64) << np.uint64(32))
+                | np.asarray(lo).astype(np.uint64))
+        if cnt is not None:
+            cnt_h = np.asarray(cnt)
+            live = cnt_h.sum(axis=1) > 0
+        else:
+            cnt_h = None
+            live = keys != np.uint64(0xFFFFFFFFFFFFFFFF)
+        pref = keys >> np.uint64(self.suffix_bits)
+        self._admit_prefixes(pref[live])
+        drop = live & ~np.isin(pref, self._admitted)
+        if not drop.any():
+            return hi, lo, cnt, n_obs
+        keep = live & ~drop
+        nk = int(keep.sum())
+        out_keys = np.full(keys.shape[0], 0xFFFFFFFFFFFFFFFF, np.uint64)
+        out_keys[:nk] = keys[keep]
+        o_hi = jnp.asarray((out_keys >> np.uint64(32)).astype(np.uint32))
+        o_lo = jnp.asarray(out_keys.astype(np.uint32))
+        if cnt_h is not None:
+            out_cnt = np.zeros_like(cnt_h)
+            out_cnt[:nk] = cnt_h[keep]
+            o_cnt = jnp.asarray(out_cnt)
+            dropped = cnt_h[drop].sum(axis=0).astype(np.int64)
+        else:
+            o_cnt = None
+            dropped = np.zeros(self.counts_n, np.int64)
+            dropped[source] = int(drop.sum())
+        return o_hi, o_lo, o_cnt, n_obs - jnp.asarray(dropped)
 
     def add_run(self, hi, lo, cnt, n_obs, source: int = 0) -> "CountStore":
         """Append a prebuilt sorted run (run-form arrays: unique live keys,
@@ -829,6 +917,9 @@ class CountStore:
             raise ValueError("key-only runs not supported by this store")
         if not 0 <= source < self.counts_n:
             raise ValueError("source out of range")
+        if self.budget_semantics == "drop":
+            hi, lo, cnt, n_obs = self._budget_filter_run(
+                hi, lo, cnt, n_obs, source)
         self._total_added_dev = self._total_added_dev + n_obs.astype(I64)
         self._runs.append((hi, lo, cnt, source if cnt is None else None))
         self._compact_tiers()
@@ -1178,8 +1269,9 @@ class CountStore:
         estimated dense-block footprint must stay under the cap. Deviation
         (PARITY.md): the reference stops allocating new blocks and silently
         drops their k-mers; we raise after the fold that first exceeds."""
-        if self.max_size_bytes is None or self.mode != "ktree":
-            return
+        if (self.max_size_bytes is None or self.mode != "ktree"
+                or self.budget_semantics == "drop"):
+            return  # drop mode enforces the budget by prefix admission
         est = int(self.n_alloc_blocks()) * 4 * (1 << self.suffix_bits)
         if est > self.max_size_bytes:
             raise MemoryError(

@@ -45,13 +45,19 @@ def save_count_store(store, path, progress=None) -> None:
         "prefix_bits": store.prefix_bits, "suffix_bits": store.suffix_bits,
         "mode": store.mode, "n_unique": store.n_unique,
         "max_size_bytes": store.max_size_bytes,
+        "budget_semantics": store.budget_semantics,
+        "admit_frozen": store._admit_frozen,
         "progress": progress,
     }
     n = store.n_unique
+    extra = {}
+    if store._admitted is not None:
+        extra["admitted"] = store._admitted
     np.savez_compressed(
         path, meta=json.dumps(meta),
         u_hi=np.asarray(store.u_hi)[:n], u_lo=np.asarray(store.u_lo)[:n],
         cnt=np.asarray(store.cnt)[:n], total_added=store.total_added,
+        **extra,
     )
 
 
@@ -157,7 +163,11 @@ def load_count_store(path, mesh=None):
             meta["k"], counts_n=meta["counts_n"],
             prefix_bits=meta["prefix_bits"], suffix_bits=meta["suffix_bits"],
             mode=meta["mode"], max_size_bytes=meta["max_size_bytes"],
+            budget_semantics=meta.get("budget_semantics", "error"),
         )
+        if "admitted" in z:
+            store._admitted = z["admitted"].astype(np.uint64)
+            store._admit_frozen = bool(meta.get("admit_frozen", False))
         n = int(meta["n_unique"])
         cap = max(64, 1 << max(6, (n - 1).bit_length())) if n else 64
         u_hi = np.zeros(cap, np.uint32)
