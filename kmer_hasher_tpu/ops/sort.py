@@ -34,6 +34,17 @@ _MERGE_QUAD = _os.environ.get("KMH_MERGE_QUAD", "1") == "1"
 # quad 2.320 ns/elem on the full 2^24 (u64, u32-count) merge
 # (tools/chip_probes/oct_merge_probe.py); KMH_MERGE_OCT=0 reverts
 _MERGE_OCT = _os.environ.get("KMH_MERGE_OCT", "1") == "1"
+# max fused network stages per HBM pass. Chip ladder on the full 2^24
+# (u64, u32-count) merge (tools/chip_probes/depth_merge_probe.py):
+# depth 2 -> 2.607, 4 -> 2.334, 5 -> 2.038, 6 -> 1.966, 7 -> 1.837,
+# 8 -> 1.839, 9 -> 1.829 ns/elem, all bitwise-correct — a plateau at 7
+# with compile time tripling beyond (41 s -> 134 s cold per shape).
+# KMH_MERGE_DEPTH overrides directly; the legacy QUAD/OCT toggles map
+# onto depths 4/5 when set to 0 explicitly.
+_MERGE_DEPTH = int(_os.environ.get(
+    "KMH_MERGE_DEPTH",
+    "7" if _MERGE_OCT and _MERGE_QUAD else
+    ("5" if _MERGE_OCT else ("4" if _MERGE_QUAD else "2"))))
 
 
 def _use_merge_sort() -> bool:
@@ -166,71 +177,38 @@ def bitonic_merge_lanes(lanes, n_keys: int, log_tail: int = 11):
         return ([jnp.where(le, xa, ya) for xa, ya in zip(x, y)],
                 [jnp.where(le, ya, xa) for xa, ya in zip(x, y)])
 
+    def fused_pass(lanes, stride, n_stages, M):
+        """One HBM pass doing ``n_stages`` consecutive network stages
+        (strides stride, stride/2, .., stride >> (n_stages-1)): all the
+        exchanges live within a (2^n_stages · s)-element block, so a
+        [.., 2^n_stages, s] view runs them on registers between one read
+        and one write of every lane. Measured ladder on the full 2^24
+        (u64, u32-count) merge: 1 stage/pass 2.6+, pair 2.607, quad
+        2.334, oct 2.038 ns/elem (quad_merge_probe / oct_merge_probe)."""
+        s = stride >> (n_stages - 1)
+        W = 1 << n_stages
+        v = [a.reshape(-1, W, s) for a in lanes]
+        r = [[a[:, i] for a in v] for i in range(W)]
+        half = W >> 1
+        while half:
+            for i in range(W):
+                if i % (2 * half) < half:
+                    r[i], r[i + half] = cxl(r[i], r[i + half])
+            half >>= 1
+        return [
+            jnp.stack([r[i][j] for i in range(W)], axis=1).reshape(M)
+            for j in range(len(lanes))
+        ]
+
     M = lanes[0].shape[0]
     Lt = min(M, 1 << log_tail)
     stride = M // 2
-    while _MERGE_OCT and stride // 16 >= Lt:
-        # fused stage OCT (strides 16s..s in one [.., 32, s] view): five
-        # network stages per HBM pass. Gated off by default — the chip
-        # A/B (tools/chip_probes/oct_merge_probe.py) prices whether the
-        # extra live selects still pay past the quad level.
-        s = stride // 16
-        v = [a.reshape(-1, 32, s) for a in lanes]
-        r = [[a[:, i] for a in v] for i in range(32)]
-        for half in (16, 8, 4, 2, 1):
-            for i in range(32):
-                if i % (2 * half) < half:
-                    r[i], r[i + half] = cxl(r[i], r[i + half])
-        lanes = [
-            jnp.stack([r[i][j] for i in range(32)], axis=1).reshape(M)
-            for j in range(len(lanes))
-        ]
-        stride //= 32
-    while _MERGE_QUAD and stride // 8 >= Lt:
-        # fused stage QUAD (strides 8s, 4s, 2s, s in one [.., 16, s]
-        # view): four network stages per HBM pass — the stage-pair trick
-        # one level deeper (ROADMAP r3 item 1). Gated by KMH_MERGE_QUAD
-        # until the chip A/B prices the extra live selects.
-        s = stride // 8
-        v = [a.reshape(-1, 16, s) for a in lanes]
-        r = [[a[:, i] for a in v] for i in range(16)]
-        for half in (8, 4, 2, 1):
-            for i in range(16):
-                if i % (2 * half) < half:
-                    r[i], r[i + half] = cxl(r[i], r[i + half])
-        lanes = [
-            jnp.stack([r[i][j] for i in range(16)], axis=1).reshape(M)
-            for j in range(len(lanes))
-        ]
-        stride //= 16
-    while stride // 2 >= Lt:
-        # fused stage PAIR (strides 2s then s): both exchanges live
-        # within a 4s block, so the [.., 4, s] view does two network
-        # stages in ONE HBM pass (chip probe zi: 2.21 -> 1.78 ns/elem
-        # on a full 2^24 (u32,u32) merge)
-        s = stride // 2
-        v = [a.reshape(-1, 4, s) for a in lanes]
-        r0 = [a[:, 0] for a in v]
-        r1 = [a[:, 1] for a in v]
-        r2 = [a[:, 2] for a in v]
-        r3 = [a[:, 3] for a in v]
-        r0, r2 = cxl(r0, r2)  # stride 2s: (0,2)
-        r1, r3 = cxl(r1, r3)  # stride 2s: (1,3)
-        r0, r1 = cxl(r0, r1)  # stride s: (0,1)
-        r2, r3 = cxl(r2, r3)  # stride s: (2,3)
-        lanes = [
-            jnp.stack([a, b, c, d], axis=1).reshape(M)
-            for a, b, c, d in zip(r0, r1, r2, r3)
-        ]
-        stride //= 4
     while stride >= Lt:
-        v = [a.reshape(-1, 2, stride) for a in lanes]
-        x, y = cxl([a[:, 0, :] for a in v], [a[:, 1, :] for a in v])
-        lanes = [
-            jnp.stack([xa, ya], axis=1).reshape(M)
-            for xa, ya in zip(x, y)
-        ]
-        stride //= 2
+        n = 1
+        while n < _MERGE_DEPTH and (stride >> n) >= Lt:
+            n += 1
+        lanes = fused_pass(lanes, stride, n, M)
+        stride >>= n
     if stride >= 1:
         rows = [a.reshape(M // Lt, Lt) for a in lanes]
         out = jax.lax.sort(tuple(rows), dimension=-1, num_keys=n_keys,
