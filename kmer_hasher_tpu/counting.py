@@ -458,7 +458,10 @@ def _fused_rp_batch(seq, qual, lengths, has_qual, k: int, counts_n: int,
     n_obs = onehot.astype(jnp.int64) * n_scalar
     if flags is None:
         flags = jnp.zeros(seq.shape[0], bool)
-    return r_hi, r_lo, r_cnt, n_obs, flags
+    # n_flag rides the fused program: an eager flags.sum() per batch at
+    # sweep time costs a ~30 ms tunnel dispatch each — 16 of them were
+    # the dominant term of the warm e2e wall (PERF round 4)
+    return r_hi, r_lo, r_cnt, n_obs, flags, flags.sum(dtype=jnp.int32)
 
 
 def count_kmers(seqs: Sequence[str], k: int, source: int = 0,
@@ -758,14 +761,15 @@ def count_kmers_fq_sh_rp(path: str, k: int, prefix_bits: int = 20,
         n_recs = int((b.lengths_h > 0).sum())
         with_noq = bool(((~b.has_qual_h) & (b.lengths_h > k)).any())
         n_win = win_bucket(b.lengths_h.max(initial=1), k)
-        run_hi, run_lo, run_cnt, n_obs, flags = _fused_rp_batch(
+        run_hi, run_lo, run_cnt, n_obs, flags, n_flag = _fused_rp_batch(
             b.seq, b.qual, b.lengths, b.has_qual, k, store.counts_n,
             source, min_ll_f, fsm, with_noq, keyonly=store.keyonly_runs,
             min_q_char=33 + int(min_q), n_win=n_win,
         )
         store.add_run(run_hi, run_lo, run_cnt, n_obs, source=source)
         if fsm in ("hybrid", "pallas_hybrid"):
-            backlog.append((b.seq, b.qual, b.lengths, flags, n_win))
+            backlog.append((b.seq, b.qual, b.lengths, flags, n_win,
+                            n_flag))
             if len(backlog) >= sweep_every:
                 sweep_backlog()
         reads_done += n_recs
@@ -819,9 +823,9 @@ def _compact_flagged(seq, qual, lengths, flags, rows: int):
 
 def _sweep_backlog(store, backlog, k, source, min_ll_f) -> None:
     """Re-count the borderline-flagged reads exactly (f64), emptying
-    ``backlog`` ([(seq, qual, lengths, flags[, n_win])] device-resident
-    batches; the optional trailing n_win is the batch's static
-    window-axis trim).
+    ``backlog`` ([(seq, qual, lengths, flags[, n_win[, n_flag]])]
+    device-resident batches; the optional trailing entries are the
+    batch's static window-axis trim and its in-program flag count).
 
     ONE tiny readback (the stacked per-batch flag counts) decides what
     re-runs; flag vectors stay device-side. A batch with a handful of
@@ -836,8 +840,11 @@ def _sweep_backlog(store, backlog, k, source, min_ll_f) -> None:
     exact_ll=True."""
     if not backlog:
         return
+    # each tuple may carry its flag count as a device scalar computed
+    # inside the fused batch program; summing here instead costs one
+    # eager ~30 ms tunnel dispatch per batch (the round-4 e2e wall)
     n_flags = np.asarray(
-        jnp.stack([b[3].sum() for b in backlog]))
+        jnp.stack([b[5] if len(b) > 5 else b[3].sum() for b in backlog]))
     buckets = (_SWEEP_ROWS if isinstance(_SWEEP_ROWS, (tuple, list))
                else (_SWEEP_ROWS,))
     for (seq_b, qual_b, len_b, f_b, *rest), nf in zip(backlog, n_flags):

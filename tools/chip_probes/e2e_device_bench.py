@@ -109,7 +109,7 @@ def run_e2e(batches, k, mode, min_q=20, timing=False, read_len=151):
                             min_q_char=33 + int(min_q), n_win=nw)
         store.add_run(r[0], r[1], r[2], r[3], source=0)
         if fsm in ("hybrid", "pallas_hybrid"):
-            backlog.append((seq, qual, lengths, r[4], nw))
+            backlog.append((seq, qual, lengths, r[4], nw, r[5]))
     t_loop = time.time() - t0
     t0 = time.time()
     if backlog:

@@ -66,7 +66,7 @@ def chained(fsm, chain):
         def body(i, carry):
             seq, acc, nflag = carry
             seq = seq.at[0, i % L].set(jnp.uint8(65))  # defeat CSE
-            r_hi, _r_lo, _r_cnt, n_obs, flags = counting._fused_rp_batch(
+            r_hi, _r_lo, _r_cnt, n_obs, flags, _nf = counting._fused_rp_batch(
                 seq, qual, lengths, has_qual, K, 1, 0, min_ll_f, fsm,
                 min_q_char=33 + MIN_Q,
             )
