@@ -1170,9 +1170,14 @@ class ShardedCountStore:
     """
 
     def __init__(self, k: int, mesh: Mesh, counts_n: int = 1,
-                 capacity: int = 1 << 14,
+                 capacity: int = 1 << 7,
                  spill_bytes: "Optional[int]" = None,
                  spill_dir: "Optional[str]" = None):
+        # ``capacity`` is only a floor: every batch entry autosizes the
+        # per-destination routing capacity from the GLOBAL batch volume
+        # (_autosize_capacity) and overflow retries double it, so a small
+        # default keeps tiny batches from building (and compiling merge
+        # networks over) runs far larger than the data they carry.
         self.k = int(k)
         self.mesh = mesh
         # one mesh axis = flat key sharding; two axes ("dcn", "ici") = a
@@ -1397,7 +1402,7 @@ class ShardedCountStore:
         GLOBAL batch shape, so every process lands on the same static.
         Only ever grows (overflow retries below may have grown it)."""
         need = 2 * flat_per_device // max(1, self.n_shards)
-        cap = 1 << max(10, int(max(1, need) - 1).bit_length())
+        cap = 1 << max(7, int(max(1, need) - 1).bit_length())
         if cap > self.capacity:
             self.capacity = cap
 
