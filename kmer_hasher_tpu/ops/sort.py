@@ -45,6 +45,14 @@ _MERGE_DEPTH = int(_os.environ.get(
     "KMH_MERGE_DEPTH",
     "7" if _MERGE_OCT and _MERGE_QUAD else
     ("5" if _MERGE_OCT else ("4" if _MERGE_QUAD else "2"))))
+# row-sort tail size (2^log_tail-element blocks finish the network as one
+# batched lax.sort). Chip sweep on the full 2^24 (u64, u32-count) merge
+# at depth 7 (tools/chip_probes/tail_sweep_probe.py, round-4 y jobs):
+# tail 2^7 -> 1.559, 2^8 -> 1.643, 2^9 -> 1.763, 2^10 -> 1.795,
+# 2^11 -> ~1.84, 2^12 -> 1.939 ns/elem, all bitwise-correct. 2^7 is the
+# sweep floor (smaller rows ride the G4 batched-row-sort curve's cheap
+# end while the extra strides join the fused static-stride passes).
+_MERGE_TAIL = int(_os.environ.get("KMH_MERGE_TAIL", "7"))
 
 
 def _use_merge_sort() -> bool:
@@ -144,7 +152,7 @@ def sort_windows(
     return s_hi, s_lo, s_pos
 
 
-def bitonic_merge_lanes(lanes, n_keys: int, log_tail: int = 11):
+def bitonic_merge_lanes(lanes, n_keys: int, log_tail: "int | None" = None):
     """Sort a bitonic sequence carried in parallel u32 lanes.
     ``lanes[:n_keys]`` compare lexicographically; the rest follow as
     payload (key-equal rows may land in either order — every caller is
@@ -201,6 +209,8 @@ def bitonic_merge_lanes(lanes, n_keys: int, log_tail: int = 11):
         ]
 
     M = lanes[0].shape[0]
+    if log_tail is None:
+        log_tail = _MERGE_TAIL
     Lt = min(M, 1 << log_tail)
     stride = M // 2
     while stride >= Lt:
