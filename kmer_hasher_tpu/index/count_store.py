@@ -512,6 +512,18 @@ else:
     _merge_runs = _merge_runs_resort
     _finalize_run = _finalize_run_resort
 
+# Live-prefix run trimming (KMH_TRIM_RUNS=0 disables): a sorted shadow run
+# keys every dead window (failed quality / N / padding) all-ones, so its
+# live rows are a contiguous prefix of length n_obs. Real quality tracks
+# kill far more windows than they pass — the NovaSeq-binned headline
+# config passes only ~20% (PERF.md round 5) — yet the dead tail rides
+# every tier merge at full capacity. add_run therefore defers each run by
+# one call, overlaps an async host copy of its live count with the next
+# batch's compute, and slices the run to the pow-2 bucket of its live rows
+# before it enters the tiers (_merge_runs_bitonic takes any input
+# lengths). Requires the sorted-run invariant, so bitonic mode only.
+_TRIM_RUNS = os.environ.get("KMH_TRIM_RUNS", "1") != "0"
+
 
 @jax.jit
 def _distinct_count_sorted(hi, lo, cnt):
@@ -697,6 +709,7 @@ class CountStore:
         self._pending = []
         self._pending_n = 0
         self._runs = []  # size-tiered sorted runs, smallest-capacity last
+        self._deferred = None  # one (run, live-count) awaiting its trim
         # build a run once this much is pending (elements, pre-dedup)
         self.run_build_size = 1 << 16
         # -- host/disk spill (ROADMAP §3): when device-resident run bytes
@@ -921,13 +934,55 @@ class CountStore:
             hi, lo, cnt, n_obs = self._budget_filter_run(
                 hi, lo, cnt, n_obs, source)
         self._total_added_dev = self._total_added_dev + n_obs.astype(I64)
-        self._runs.append((hi, lo, cnt, source if cnt is None else None))
-        self._compact_tiers()
+        run = (hi, lo, cnt, source if cnt is None else None)
+        if self._trim_runs():
+            # defer one batch: by the time the next add_run (or any read)
+            # consumes the live count, its async transfer has had a full
+            # batch of wall time to complete — no synchronous readback on
+            # the hot path
+            self._flush_deferred()
+            live = jnp.asarray(n_obs).sum()
+            try:
+                live.copy_to_host_async()
+            except AttributeError:  # non-committed/array-like inputs
+                pass
+            self._deferred = (run, live)
+        else:
+            self._runs.append(run)
+            self._compact_tiers()
         return self
+
+    def _trim_runs(self) -> bool:
+        """Live-prefix trimming needs the sorted-run invariant (dead rows
+        at the tail) and an untouched live prefix — the budget 'drop'
+        filter rewrites rows in place, so it opts out."""
+        return (_TRIM_RUNS and _BITONIC_MERGE
+                and self.budget_semantics != "drop")
+
+    def _flush_deferred(self) -> None:
+        """Resolve the one deferred run: read its (overlapped) live
+        count, slice the run to the pow-2 bucket that holds its live
+        prefix, and tier it in."""
+        d = self._deferred
+        if d is None:
+            return
+        self._deferred = None
+        run, live = d
+        n = int(np.asarray(live))
+        cap = int(run[0].shape[0])
+        new = _next_pow2(max(n, 1 << 6))
+        if new < cap:
+            hi, lo, cnt = run[0][:new], run[1][:new], run[2]
+            if cnt is not None:
+                cnt = cnt[:new]
+            run = (hi, lo, cnt, run[3])
+        self._runs.append(run)
+        self._compact_tiers()
 
     def _build_runs(self) -> None:
         """Turn pending batches into sorted runs (one per source present)
         and re-balance the tiers."""
+        self._flush_deferred()
         if not self._pending:
             return
         by_source: dict = {}

@@ -119,6 +119,7 @@ def run_e2e(batches, k, mode, min_q=20, timing=False, read_len=151):
     t_sweep = time.time() - t0
     t0 = time.time()
     # single final sync: one element of every live tier run
+    getattr(store, "_flush_deferred", lambda: None)()
     for run in store._runs:
         sync1(run[0])
     t_sync = time.time() - t0
@@ -166,6 +167,7 @@ def run_store_only(runs, k):
     store = CountStore(k, counts_n=1, mode="sh")
     for r in runs:
         store.add_run(r[0], r[1], r[2], r[3], source=0)
+    getattr(store, "_flush_deferred", lambda: None)()
     for run in store._runs:
         sync1(run[0])
     return store
