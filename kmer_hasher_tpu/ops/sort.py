@@ -49,10 +49,27 @@ _MERGE_DEPTH = int(_os.environ.get(
 # batched lax.sort). Chip sweep on the full 2^24 (u64, u32-count) merge
 # at depth 7 (tools/chip_probes/tail_sweep_probe.py, round-4 y jobs):
 # tail 2^7 -> 1.559, 2^8 -> 1.643, 2^9 -> 1.763, 2^10 -> 1.795,
-# 2^11 -> ~1.84, 2^12 -> 1.939 ns/elem, all bitwise-correct. 2^7 is the
-# sweep floor (smaller rows ride the G4 batched-row-sort curve's cheap
-# end while the extra strides join the fused static-stride passes).
-_MERGE_TAIL = int(_os.environ.get("KMH_MERGE_TAIL", "7"))
+# 2^11 -> ~1.84, 2^12 -> 1.939 ns/elem, all bitwise-correct; e2e A/B
+# (round-5 za/zb jobs) STORE 20.0 -> 16.0 ms/batch. 2^7 is the sweep
+# floor (smaller rows ride the G4 batched-row-sort curve's cheap end
+# while the extra strides join the fused static-stride passes). On CPU
+# (the virtual test mesh) the four extra fused passes balloon XLA
+# compile time for zero benefit, so the default stays at 2^11 there;
+# KMH_MERGE_TAIL forces one value everywhere.
+_MERGE_TAIL_ENV = _os.environ.get("KMH_MERGE_TAIL")
+_MERGE_TAIL: "int | None" = (
+    int(_MERGE_TAIL_ENV) if _MERGE_TAIL_ENV else None)
+
+
+def _default_tail() -> int:
+    """Resolve the platform-dependent tail lazily (touching the backend
+    at import time would initialise it before conftest/config runs)."""
+    global _MERGE_TAIL
+    if _MERGE_TAIL is None:
+        import jax as _jax
+
+        _MERGE_TAIL = 7 if _jax.default_backend() == "tpu" else 11
+    return _MERGE_TAIL
 
 
 def _use_merge_sort() -> bool:
@@ -210,7 +227,7 @@ def bitonic_merge_lanes(lanes, n_keys: int, log_tail: "int | None" = None):
 
     M = lanes[0].shape[0]
     if log_tail is None:
-        log_tail = _MERGE_TAIL
+        log_tail = _default_tail()
     Lt = min(M, 1 << log_tail)
     stride = M // 2
     while stride >= Lt:

@@ -1375,7 +1375,11 @@ class ShardedCountStore:
         """Traced inside shard_map: route flat observations to their owner
         shards and build this shard's sorted run; one replicated stats
         vector rides the (already required) overflow readback:
-        [per-source observations..., overflow]."""
+        [per-source observations..., max live rows of any shard,
+        overflow]. The max-live entry lets _append_run slice every
+        shard's run to the pow-2 bucket of the fullest live prefix (dead
+        routing slots + dead-quality windows dominate the run otherwise)
+        at zero extra readbacks."""
         from ..index import count_store as cs
 
         r_hi, r_lo, r_val, ovf = self._route(b_hi, b_lo, b_val)
@@ -1388,9 +1392,14 @@ class ShardedCountStore:
         stats = jax.lax.psum(
             jnp.concatenate([
                 (onehot.astype(jnp.int64) * n_obs),
-                ovf.astype(jnp.int64)[None],
             ]), self.axes,
         )
+        max_live = n_obs.astype(jnp.int64)[None]
+        ovf_tot = ovf.astype(jnp.int64)[None]
+        for ax in self.axes:
+            max_live = jax.lax.pmax(max_live, ax)
+            ovf_tot = jax.lax.psum(ovf_tot, ax)
+        stats = jnp.concatenate([stats, max_live, ovf_tot])
         if rc is None:
             return rh[None], rl[None], stats
         return rh[None], rl[None], rc[None], stats
@@ -1418,7 +1427,20 @@ class ShardedCountStore:
         stats = np.asarray(stats.addressable_data(0))
         if int(stats[-1]) > 0:
             return False
-        self.total_added += stats[:-1].astype(np.int64)
+        self.total_added += stats[:-2].astype(np.int64)
+        from ..index import count_store as cs
+
+        cap = int(r_hi.shape[1])
+        if cs._TRIM_RUNS and cs._BITONIC_MERGE:
+            # live-prefix trim (see count_store._flush_deferred): slice
+            # every shard's run to the pow-2 bucket of the fullest live
+            # prefix — the max-live count rode the stats readback that
+            # already had to happen for the overflow flag
+            new = cs._next_pow2(max(int(stats[-2]), 1 << 6))
+            if new < cap:
+                r_hi, r_lo = r_hi[:, :new], r_lo[:, :new]
+                if r_cnt is not None:
+                    r_cnt = r_cnt[:, :new]
         self._runs.append((r_hi, r_lo, r_cnt,
                            source if r_cnt is None else None))
         self._compact_tiers()

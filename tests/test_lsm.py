@@ -546,3 +546,84 @@ def test_ranged_fold_multi_source(monkeypatch):
     assert st._spilled
     assert st.counts_dict() == eager.counts_dict()
     np.testing.assert_array_equal(st.total_added, eager.total_added)
+
+
+# ---------------------------------------------------------------------------
+# Live-prefix run trimming (KMH_TRIM_RUNS): dead-window tails must leave
+# the tiers, with bitwise-identical folded stores.
+# ---------------------------------------------------------------------------
+
+def _trim_run_batch(rng, n, dead_frac, k, counts_n=1, source=0):
+    hi = jnp.asarray(rng.integers(0, 1 << 10, n).astype(np.uint32))
+    lo = jnp.asarray(rng.integers(0, 1 << 16, n).astype(np.uint32))
+    valid = jnp.asarray(rng.random(n) > dead_frac)
+    onehot = jnp.zeros(counts_n, jnp.uint32).at[source].set(1)
+    return cs._build_run_direct(hi, lo, valid, onehot, k)
+
+
+@pytest.mark.parametrize("dead", [0.85, 0.3, 1.0])
+def test_trim_runs_bitwise_equals_untrimmed(monkeypatch, dead):
+    k = 21
+    stores = []
+    for trim in (True, False):
+        monkeypatch.setattr(cs, "_TRIM_RUNS", trim)
+        st = CountStore(k, counts_n=1, mode="sh")
+        rng = np.random.default_rng(7)
+        for _ in range(9):
+            r = _trim_run_batch(rng, 4096, dead, k)
+            st.add_run(r[0], r[1], r[2], r[3], source=0)
+        if trim and dead == 0.85:
+            # runs actually shrank: flush the deferred one, then check
+            st._flush_deferred()
+            assert max(int(r[0].shape[0]) for r in st._runs) < 9 * 4096
+        st.flush()
+        stores.append(st)
+    a, b = stores
+    assert a.n_unique == b.n_unique
+    np.testing.assert_array_equal(np.asarray(a.u_hi), np.asarray(b.u_hi))
+    np.testing.assert_array_equal(np.asarray(a.u_lo), np.asarray(b.u_lo))
+    np.testing.assert_array_equal(np.asarray(a.cnt), np.asarray(b.cnt))
+    np.testing.assert_array_equal(a.total_added, b.total_added)
+
+
+def test_trim_runs_keyonly_and_reads_flush_deferred():
+    """Key-only unit runs trim too, and every read path resolves the
+    deferred run first (peek, spectrum, counts_dict)."""
+    k = 15
+    st = CountStore(k, counts_n=1, mode="sh")
+    assert st.keyonly_runs
+    ref = CountStore(k, counts_n=1, mode="sh")
+    rng = np.random.default_rng(5)
+    for _ in range(5):
+        hi = jnp.asarray(rng.integers(0, 1 << 5, 2048).astype(np.uint32))
+        lo = jnp.asarray(rng.integers(0, 1 << 16, 2048).astype(np.uint32))
+        valid = jnp.asarray(rng.random(2048) > 0.8)
+        rh, rl, n = cs._build_run_keys(hi, lo, valid, k)
+        st.add_run(rh, rl, None, n, source=0)
+        ref.add_kmers(hi, lo, valid)
+    assert st._deferred is not None
+    p = st.peek_n_unique()  # resolves the deferred run
+    assert st._deferred is None
+    assert p == ref.n_unique
+    assert st.counts_dict() == ref.counts_dict()
+    trimmed = [int(r[0].shape[0]) for r in st._runs]
+    assert trimmed == [] or max(trimmed) < 5 * 2048
+
+
+def test_trim_runs_spill_interplay(tmp_path):
+    """Trimmed runs spill and rejoin exactly like untrimmed ones."""
+    k = 21
+    st = CountStore(k, counts_n=1, mode="sh", spill_bytes=1 << 14,
+                    spill_dir=str(tmp_path))
+    ref = CountStore(k, counts_n=1, mode="sh")
+    rng = np.random.default_rng(13)
+    rng2 = np.random.default_rng(13)
+    for _ in range(8):
+        r = _trim_run_batch(rng, 8192, 0.6, k)
+        st.add_run(r[0], r[1], r[2], r[3], source=0)
+        r2 = _trim_run_batch(rng2, 8192, 0.6, k)
+        ref.add_run(r2[0], r2[1], r2[2], r2[3], source=0)
+    st._flush_deferred()
+    assert st._spilled  # the budget actually tripped
+    assert st.counts_dict() == ref.counts_dict()
+    np.testing.assert_array_equal(st.total_added, ref.total_added)

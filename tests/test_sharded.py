@@ -682,3 +682,36 @@ def test_sharded_peek_k32_with_base(mesh):
     assert shc.peek_n_unique() == ref.n_unique
     assert (shc._n_unique == nu_before).all()  # no fold happened
     np.testing.assert_array_equal(shc.spectrum(40), ref.spectrum(40))
+
+
+def test_sharded_trim_runs_bitwise_and_shrinks(mesh):
+    """Sharded live-prefix trimming: mostly-dead batches must leave runs
+    sized to their live prefix (via the stats max-live entry) while the
+    store stays bitwise-equal to the single-chip one."""
+    from kmer_hasher_tpu.index import count_store as cs
+
+    k = 21
+    D = mesh.size
+    rng = np.random.default_rng(17)
+    shc = ShardedCountStore(k, mesh, counts_n=1)
+    single = CountStore(k, counts_n=1, mode="sh")
+    for _ in range(4):
+        hi = rng.integers(0, 1 << 10, (D, 2048)).astype(np.uint32)
+        lo = rng.integers(0, 1 << 16, (D, 2048)).astype(np.uint32)
+        valid = rng.random((D, 2048)) < 0.1  # 90% dead
+        shc.add_batch(hi, lo, valid, source=0)
+        single.add_kmers(np.asarray(hi).reshape(-1),
+                         np.asarray(lo).reshape(-1),
+                         np.asarray(valid).reshape(-1))
+    if cs._TRIM_RUNS and cs._BITONIC_MERGE:
+        # untrimmed per-shard capacity would be D * routing capacity of
+        # at least 4 * 2048 rows; trimmed runs track the ~205 live rows
+        # of the fullest shard instead
+        assert shc._runs
+        assert max(int(r[0].shape[1]) for r in shc._runs) <= 4 * 2048
+    assert int(shc.n_unique.sum()) == single.n_unique
+    np.testing.assert_array_equal(shc.spectrum(40), single.spectrum(40))
+    u_hi = np.asarray(single.u_hi)[: single.n_unique]
+    u_lo = np.asarray(single.u_lo)[: single.n_unique]
+    np.testing.assert_array_equal(
+        shc.lookup(u_hi, u_lo), single.lookup(u_hi, u_lo))
