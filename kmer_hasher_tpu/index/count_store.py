@@ -522,7 +522,11 @@ else:
 # batch's compute, and slices the run to the pow-2 bucket of its live rows
 # before it enters the tiers (_merge_runs_bitonic takes any input
 # lengths). Requires the sorted-run invariant, so bitonic mode only.
+# KMH_TRIM_GROUP batches share one stacked live-count readback (a scalar
+# read is a full pipeline barrier on high-latency links); runs wait
+# untrimmed in HBM until their group flushes.
 _TRIM_RUNS = os.environ.get("KMH_TRIM_RUNS", "1") != "0"
+_TRIM_GROUP = max(1, int(os.environ.get("KMH_TRIM_GROUP", "8")))
 
 
 @jax.jit
@@ -709,7 +713,7 @@ class CountStore:
         self._pending = []
         self._pending_n = 0
         self._runs = []  # size-tiered sorted runs, smallest-capacity last
-        self._deferred = None  # one (run, live-count) awaiting its trim
+        self._deferred = []  # (run, live-count) pairs awaiting their trim
         # build a run once this much is pending (elements, pre-dedup)
         self.run_build_size = 1 << 16
         # -- host/disk spill (ROADMAP §3): when device-resident run bytes
@@ -936,17 +940,19 @@ class CountStore:
         self._total_added_dev = self._total_added_dev + n_obs.astype(I64)
         run = (hi, lo, cnt, source if cnt is None else None)
         if self._trim_runs():
-            # defer one batch: by the time the next add_run (or any read)
-            # consumes the live count, its async transfer has had a full
-            # batch of wall time to complete — no synchronous readback on
-            # the hot path
-            self._flush_deferred()
+            # defer up to KMH_TRIM_GROUP runs, then read all their live
+            # counts in ONE stacked transfer: a device->host scalar read
+            # is a full pipeline barrier on high-latency links (~60-80 ms
+            # per batch over the dev tunnel, zc job), so it must be paid
+            # once per group, not once per batch
             live = jnp.asarray(n_obs).sum()
             try:
                 live.copy_to_host_async()
             except AttributeError:  # non-committed/array-like inputs
                 pass
-            self._deferred = (run, live)
+            self._deferred.append((run, live))
+            if len(self._deferred) >= _TRIM_GROUP:
+                self._flush_deferred()
         else:
             self._runs.append(run)
             self._compact_tiers()
@@ -960,23 +966,23 @@ class CountStore:
                 and self.budget_semantics != "drop")
 
     def _flush_deferred(self) -> None:
-        """Resolve the one deferred run: read its (overlapped) live
-        count, slice the run to the pow-2 bucket that holds its live
-        prefix, and tier it in."""
+        """Resolve the deferred runs: one stacked readback of their live
+        counts, slice each to the pow-2 bucket that holds its live
+        prefix, and tier them in."""
         d = self._deferred
-        if d is None:
+        if not d:
             return
-        self._deferred = None
-        run, live = d
-        n = int(np.asarray(live))
-        cap = int(run[0].shape[0])
-        new = _next_pow2(max(n, 1 << 6))
-        if new < cap:
-            hi, lo, cnt = run[0][:new], run[1][:new], run[2]
-            if cnt is not None:
-                cnt = cnt[:new]
-            run = (hi, lo, cnt, run[3])
-        self._runs.append(run)
+        self._deferred = []
+        lives = np.asarray(jnp.stack([live for _r, live in d]))
+        for (run, _l), n in zip(d, lives):
+            cap = int(run[0].shape[0])
+            new = _next_pow2(max(int(n), 1 << 6))
+            if new < cap:
+                hi, lo, cnt = run[0][:new], run[1][:new], run[2]
+                if cnt is not None:
+                    cnt = cnt[:new]
+                run = (hi, lo, cnt, run[3])
+            self._runs.append(run)
         self._compact_tiers()
 
     def _build_runs(self) -> None:

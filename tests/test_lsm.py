@@ -601,9 +601,9 @@ def test_trim_runs_keyonly_and_reads_flush_deferred():
         rh, rl, n = cs._build_run_keys(hi, lo, valid, k)
         st.add_run(rh, rl, None, n, source=0)
         ref.add_kmers(hi, lo, valid)
-    assert st._deferred is not None
+    assert st._deferred
     p = st.peek_n_unique()  # resolves the deferred run
-    assert st._deferred is None
+    assert not st._deferred
     assert p == ref.n_unique
     assert st.counts_dict() == ref.counts_dict()
     trimmed = [int(r[0].shape[0]) for r in st._runs]
