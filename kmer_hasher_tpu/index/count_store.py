@@ -1068,10 +1068,16 @@ class CountStore:
 
     # -- host/disk spill ----------------------------------------------------
     def _device_run_bytes(self) -> int:
+        # deferred (not-yet-trimmed) runs occupy HBM too; count them so
+        # the spill budget can't be overshot by a whole trim group
         return sum(
             int(r[0].shape[0])
             * (8 + (4 * self.counts_n if r[2] is not None else 0))
             for r in self._runs
+        ) + sum(
+            int(r[0].shape[0])
+            * (8 + (4 * self.counts_n if r[2] is not None else 0))
+            for r, _l in self._deferred
         )
 
     def _spill_one(self) -> None:
