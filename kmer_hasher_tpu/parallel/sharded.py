@@ -1389,17 +1389,22 @@ class ShardedCountStore:
         else:
             rh, rl, rc, n_obs = cs._build_run_direct(r_hi, r_lo, r_val,
                                                      onehot, self.k)
+        # per-shard live counts ride a one-hot psum (the tunnel's AOT
+        # compile helper only lowers SUM all-reduces — lax.pmax fails);
+        # the consumer takes the max host-side. Flat shard id works for
+        # both the 1-axis and the hierarchical ("dcn","ici") mesh.
+        sid = jax.lax.axis_index(self.axes[0])
+        for ax in self.axes[1:]:
+            sid = sid * dict(self.mesh.shape)[ax] + jax.lax.axis_index(ax)
+        lives = (jnp.zeros(self.n_shards, jnp.int64)
+                 .at[sid].set(n_obs.astype(jnp.int64)))
         stats = jax.lax.psum(
             jnp.concatenate([
                 (onehot.astype(jnp.int64) * n_obs),
+                lives,
+                ovf.astype(jnp.int64)[None],
             ]), self.axes,
         )
-        max_live = n_obs.astype(jnp.int64)[None]
-        ovf_tot = ovf.astype(jnp.int64)[None]
-        for ax in self.axes:
-            max_live = jax.lax.pmax(max_live, ax)
-            ovf_tot = jax.lax.psum(ovf_tot, ax)
-        stats = jnp.concatenate([stats, max_live, ovf_tot])
         if rc is None:
             return rh[None], rl[None], stats
         return rh[None], rl[None], rc[None], stats
@@ -1427,16 +1432,17 @@ class ShardedCountStore:
         stats = np.asarray(stats.addressable_data(0))
         if int(stats[-1]) > 0:
             return False
-        self.total_added += stats[:-2].astype(np.int64)
+        D = self.n_shards
+        self.total_added += stats[:-(D + 1)].astype(np.int64)
         from ..index import count_store as cs
 
         cap = int(r_hi.shape[1])
         if cs._TRIM_RUNS and cs._BITONIC_MERGE:
             # live-prefix trim (see count_store._flush_deferred): slice
             # every shard's run to the pow-2 bucket of the fullest live
-            # prefix — the max-live count rode the stats readback that
-            # already had to happen for the overflow flag
-            new = cs._next_pow2(max(int(stats[-2]), 1 << 6))
+            # prefix — the per-shard live counts rode the stats readback
+            # that already had to happen for the overflow flag
+            new = cs._next_pow2(max(int(stats[-(D + 1):-1].max()), 1 << 6))
             if new < cap:
                 r_hi, r_lo = r_hi[:, :new], r_lo[:, :new]
                 if r_cnt is not None:
