@@ -1462,16 +1462,20 @@ class ShardedCountStore:
         self.capacity *= 2
 
     def _program(self, key, build):
-        """Per-store cache of jitted shard_map programs: the batch entries
-        run once per input batch, and rebuilding jax.jit wrappers there
-        would re-trace every call (expensive on a throttled host)."""
+        """Cache of jitted shard_map programs, shared MODULE-wIDE: the
+        traced structure depends only on (mesh, k, counts_n, keyonly)
+        plus each site's local statics (capacity, shapes, source, tag),
+        all of which join the key — so a fresh store instance on the same
+        mesh reuses every compiled program instead of re-tracing (the
+        sharded_hybrid bench re-traced 16 batch programs per store on a
+        ~50x-throttled host). ``self._programs`` stays for tests that
+        assert zero per-store growth."""
         cache = getattr(self, "_programs", None)
         if cache is None:
             cache = self._programs = {}
-        fn = cache.get(key)
-        if fn is None:
-            fn = cache[key] = build()
-        return fn
+        full = (self.mesh, self.k, self.counts_n,
+                self.keyonly_runs) + tuple(key)
+        return _PROGRAMS.get_or_build(full, build)
 
     def add_batch(self, hi, lo, valid, source: int = 0):
         """hi/lo/valid: [D, n] observations (each device's slice of the
