@@ -954,7 +954,12 @@ class CountStore:
             except AttributeError:  # non-committed/array-like inputs
                 pass
             self._deferred.append((run, live))
-            if len(self._deferred) >= _TRIM_GROUP:
+            if len(self._deferred) >= _TRIM_GROUP or (
+                    self.spill_bytes is not None
+                    and self._device_run_bytes() > self.spill_bytes):
+                # flush early under a spill budget: deferred runs occupy
+                # HBM at full (untrimmed) capacity, and _spill_if_needed
+                # only sees runs that have been tiered in
                 self._flush_deferred()
         else:
             self._runs.append(run)

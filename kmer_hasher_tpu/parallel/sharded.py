@@ -1157,6 +1157,80 @@ def _host_read(x) -> np.ndarray:
     return np.asarray(x)
 
 
+def _route_spec_flat(spec, b_hi, b_lo, b_val):
+    """Traced inside shard_map: rows -> owner devices. Flat: one
+    all_to_all over the single axis. Hierarchical ("dcn","ici"):
+    slice-bucketed all_to_all over DCN first (n_dcn coarse blocks),
+    then per-owner all_to_all over ICI — same total volume, DCN moves
+    it in slice-sized transfers (global shard id = slice * n_ici +
+    intra, matching the mesh's row-major device order)."""
+    axes, mesh_shape, D, k, C, _keyonly = spec
+    zero = jnp.zeros_like(b_hi, I32)
+    if len(axes) == 1:
+        s_hi, s_lo, _sp, s_val, ovf = _bucket_for_send(
+            b_hi, b_lo, zero, b_val, D, C, k
+        )
+        r_hi = jax.lax.all_to_all(s_hi, axes[0], 0, 0).reshape(-1)
+        r_lo = jax.lax.all_to_all(s_lo, axes[0], 0, 0).reshape(-1)
+        r_val = jax.lax.all_to_all(s_val, axes[0], 0, 0).reshape(-1)
+        return r_hi, r_lo, r_val, ovf
+    n_dcn, n_ici = mesh_shape
+    own = owner_hash(b_hi, b_lo, D)
+    s1 = _bucket_for_send(b_hi, b_lo, zero, b_val, n_dcn,
+                          C * n_ici, k, owner=own // n_ici)
+    h1 = jax.lax.all_to_all(s1[0], axes[0], 0, 0).reshape(-1)
+    l1 = jax.lax.all_to_all(s1[1], axes[0], 0, 0).reshape(-1)
+    v1 = jax.lax.all_to_all(s1[3], axes[0], 0, 0).reshape(-1)
+    own2 = owner_hash(h1, l1, D) % n_ici
+    s2 = _bucket_for_send(h1, l1, jnp.zeros_like(h1, I32), v1,
+                          n_ici, C * n_dcn, k, owner=own2)
+    r_hi = jax.lax.all_to_all(s2[0], axes[1], 0, 0).reshape(-1)
+    r_lo = jax.lax.all_to_all(s2[1], axes[1], 0, 0).reshape(-1)
+    r_val = jax.lax.all_to_all(s2[3], axes[1], 0, 0).reshape(-1)
+    return r_hi, r_lo, r_val, s1[4] | s2[4]
+
+
+def _route_build_spec(spec, b_hi, b_lo, b_val, onehot):
+    """Traced inside shard_map: route flat observations to their owner
+    shards and build this shard's sorted run; one replicated stats
+    vector rides the (already required) overflow readback:
+    [per-source observations..., per-shard live rows (D), overflow].
+    The live entries let _append_run slice every shard's run to the
+    pow-2 bucket of the fullest live prefix (dead routing slots +
+    dead-quality windows dominate the run otherwise) at zero extra
+    readbacks. ``spec`` is a store's _route_spec() snapshot — closures
+    capture it instead of the store itself."""
+    from ..index import count_store as cs
+
+    axes, mesh_shape, D, k, _C, keyonly = spec
+    r_hi, r_lo, r_val, ovf = _route_spec_flat(spec, b_hi, b_lo, b_val)
+    if keyonly:
+        rh, rl, n_obs = cs._build_run_keys(r_hi, r_lo, r_val, k)
+        rc = None
+    else:
+        rh, rl, rc, n_obs = cs._build_run_direct(r_hi, r_lo, r_val,
+                                                 onehot, k)
+    # per-shard live counts ride a one-hot psum (the tunnel's AOT
+    # compile helper only lowers SUM all-reduces — lax.pmax fails);
+    # the consumer takes the max host-side. Flat shard id works for
+    # both the 1-axis and the hierarchical ("dcn","ici") mesh.
+    sid = jax.lax.axis_index(axes[0])
+    for i, ax in enumerate(axes[1:]):
+        sid = sid * mesh_shape[i + 1] + jax.lax.axis_index(ax)
+    lives = (jnp.zeros(D, jnp.int64)
+             .at[sid].set(n_obs.astype(jnp.int64)))
+    stats = jax.lax.psum(
+        jnp.concatenate([
+            (onehot.astype(jnp.int64) * n_obs),
+            lives,
+            ovf.astype(jnp.int64)[None],
+        ]), axes,
+    )
+    if rc is None:
+        return rh[None], rl[None], stats
+    return rh[None], rl[None], rc[None], stats
+
+
 class ShardedCountStore:
     """Canonical k-mer counting sharded by key hash: data-parallel read
     batches, all_to_all routing, per-device sorted count shards — the true
@@ -1298,18 +1372,20 @@ class ShardedCountStore:
         keyonly = cnt is None
 
         def build():
+            axes, mesh = self.axes, self.mesh  # no self in the closure
+
             def fn(*args):
                 h = args[0].reshape(-1)
                 l_ = args[1].reshape(-1)
                 c = (args[2].reshape(args[2].shape[1], -1)
                      if not keyonly else None)
                 n = cs._distinct_count_sorted(h, l_, c)
-                return jax.lax.psum(n.astype(jnp.int64), self.axes)
+                return jax.lax.psum(n.astype(jnp.int64), axes)
 
             n_in = 2 if keyonly else 3
             return jax.jit(
                 jax.shard_map(
-                    fn, mesh=self.mesh, in_specs=(P(self.axes),) * n_in,
+                    fn, mesh=mesh, in_specs=(P(axes),) * n_in,
                     out_specs=P(),
                 )
             )
@@ -1339,75 +1415,19 @@ class ShardedCountStore:
             sharding, np.asarray(arr)
         )
 
-    def _route(self, b_hi, b_lo, b_val):
-        """Traced inside shard_map: rows -> owner devices. Flat: one
-        all_to_all over the single axis. Hierarchical ("dcn","ici"):
-        slice-bucketed all_to_all over DCN first (n_dcn coarse blocks),
-        then per-owner all_to_all over ICI — same total volume, DCN moves
-        it in slice-sized transfers (global shard id = slice * n_ici +
-        intra, matching the mesh's row-major device order)."""
-        axes, D, k, C = self.axes, self.n_shards, self.k, self.capacity
-        zero = jnp.zeros_like(b_hi, I32)
-        if len(axes) == 1:
-            s_hi, s_lo, _sp, s_val, ovf = _bucket_for_send(
-                b_hi, b_lo, zero, b_val, D, C, k
-            )
-            r_hi = jax.lax.all_to_all(s_hi, axes[0], 0, 0).reshape(-1)
-            r_lo = jax.lax.all_to_all(s_lo, axes[0], 0, 0).reshape(-1)
-            r_val = jax.lax.all_to_all(s_val, axes[0], 0, 0).reshape(-1)
-            return r_hi, r_lo, r_val, ovf
-        n_dcn, n_ici = self.mesh.devices.shape
-        own = owner_hash(b_hi, b_lo, D)
-        s1 = _bucket_for_send(b_hi, b_lo, zero, b_val, n_dcn,
-                              C * n_ici, k, owner=own // n_ici)
-        h1 = jax.lax.all_to_all(s1[0], axes[0], 0, 0).reshape(-1)
-        l1 = jax.lax.all_to_all(s1[1], axes[0], 0, 0).reshape(-1)
-        v1 = jax.lax.all_to_all(s1[3], axes[0], 0, 0).reshape(-1)
-        own2 = owner_hash(h1, l1, D) % n_ici
-        s2 = _bucket_for_send(h1, l1, jnp.zeros_like(h1, I32), v1,
-                              n_ici, C * n_dcn, k, owner=own2)
-        r_hi = jax.lax.all_to_all(s2[0], axes[1], 0, 0).reshape(-1)
-        r_lo = jax.lax.all_to_all(s2[1], axes[1], 0, 0).reshape(-1)
-        r_val = jax.lax.all_to_all(s2[3], axes[1], 0, 0).reshape(-1)
-        return r_hi, r_lo, r_val, s1[4] | s2[4]
+    def _route_spec(self) -> tuple:
+        """Immutable snapshot of everything the routed-build trace reads:
+        (axes, mesh axis sizes, D, k, capacity, keyonly). The batch-entry
+        closures capture THIS instead of ``self`` so the module-wide
+        program cache never pins a store (and its HBM arrays), and a
+        later ``capacity`` growth can't leak into a retrace of an
+        already-keyed program."""
+        return (self.axes, tuple(self.mesh.devices.shape), self.n_shards,
+                self.k, self.capacity, self.keyonly_runs)
 
     def _route_build(self, b_hi, b_lo, b_val, onehot):
-        """Traced inside shard_map: route flat observations to their owner
-        shards and build this shard's sorted run; one replicated stats
-        vector rides the (already required) overflow readback:
-        [per-source observations..., max live rows of any shard,
-        overflow]. The max-live entry lets _append_run slice every
-        shard's run to the pow-2 bucket of the fullest live prefix (dead
-        routing slots + dead-quality windows dominate the run otherwise)
-        at zero extra readbacks."""
-        from ..index import count_store as cs
-
-        r_hi, r_lo, r_val, ovf = self._route(b_hi, b_lo, b_val)
-        if self.keyonly_runs:
-            rh, rl, n_obs = cs._build_run_keys(r_hi, r_lo, r_val, self.k)
-            rc = None
-        else:
-            rh, rl, rc, n_obs = cs._build_run_direct(r_hi, r_lo, r_val,
-                                                     onehot, self.k)
-        # per-shard live counts ride a one-hot psum (the tunnel's AOT
-        # compile helper only lowers SUM all-reduces — lax.pmax fails);
-        # the consumer takes the max host-side. Flat shard id works for
-        # both the 1-axis and the hierarchical ("dcn","ici") mesh.
-        sid = jax.lax.axis_index(self.axes[0])
-        for ax in self.axes[1:]:
-            sid = sid * dict(self.mesh.shape)[ax] + jax.lax.axis_index(ax)
-        lives = (jnp.zeros(self.n_shards, jnp.int64)
-                 .at[sid].set(n_obs.astype(jnp.int64)))
-        stats = jax.lax.psum(
-            jnp.concatenate([
-                (onehot.astype(jnp.int64) * n_obs),
-                lives,
-                ovf.astype(jnp.int64)[None],
-            ]), self.axes,
-        )
-        if rc is None:
-            return rh[None], rl[None], stats
-        return rh[None], rl[None], rc[None], stats
+        return _route_build_spec(self._route_spec(), b_hi, b_lo, b_val,
+                                 onehot)
 
     def _autosize_capacity(self, flat_per_device: int) -> None:
         """Size the per-destination routing capacity for the observation
@@ -1468,11 +1488,10 @@ class ShardedCountStore:
         all of which join the key — so a fresh store instance on the same
         mesh reuses every compiled program instead of re-tracing (the
         sharded_hybrid bench re-traced 16 batch programs per store on a
-        ~50x-throttled host). ``self._programs`` stays for tests that
-        assert zero per-store growth."""
-        cache = getattr(self, "_programs", None)
-        if cache is None:
-            cache = self._programs = {}
+        ~50x-throttled host). Builders must bind every ``self`` attribute
+        to a local BEFORE the traced fn (see _route_spec): a retained
+        closure over ``self`` would pin the store and its HBM arrays in
+        the module cache for the process lifetime."""
         full = (self.mesh, self.k, self.counts_n,
                 self.keyonly_runs) + tuple(key)
         return _PROGRAMS.get_or_build(full, build)
@@ -1495,25 +1514,28 @@ class ShardedCountStore:
 
         keyonly = self.keyonly_runs
 
-        def build():
-            def fn(b_hi, b_lo, b_val):
-                return self._route_build(b_hi.reshape(-1),
-                                         b_lo.reshape(-1),
-                                         b_val.reshape(-1), onehot)
-
-            out_specs = ((P(axes), P(axes), P()) if keyonly
-                         else (P(axes), P(axes), P(axes), P()))
-            return jax.jit(
-                jax.shard_map(
-                    fn, mesh=self.mesh,
-                    in_specs=(P(axes), P(axes), P(axes)),
-                    out_specs=out_specs,
-                )
-            )
-
         # hi is the GLOBAL [D, n] batch after _globalize: n per device
         self._autosize_capacity(int(hi.shape[-1]))
         while True:
+            spec = self._route_spec()
+            mesh = self.mesh
+
+            def build():
+                def fn(b_hi, b_lo, b_val):
+                    return _route_build_spec(spec, b_hi.reshape(-1),
+                                             b_lo.reshape(-1),
+                                             b_val.reshape(-1), onehot)
+
+                out_specs = ((P(axes), P(axes), P()) if keyonly
+                             else (P(axes), P(axes), P(axes), P()))
+                return jax.jit(
+                    jax.shard_map(
+                        fn, mesh=mesh,
+                        in_specs=(P(axes), P(axes), P(axes)),
+                        out_specs=out_specs,
+                    )
+                )
+
             shard_fn = self._program(
                 ("add_batch", source, keyonly, self.capacity), build)
             out = shard_fn(hi, lo, valid)
@@ -1574,6 +1596,10 @@ class ShardedCountStore:
 
         def build():
             min_ll = jnp.asarray(float(min_ll_f))
+            # immutable snapshots: the cached program must pin neither
+            # the store nor a mutable capacity (see _route_spec)
+            spec = self._route_spec()
+            mesh = self.mesh
 
             def fn(seq, qual, lens, hq):
                 if packed:
@@ -1665,7 +1691,8 @@ class ShardedCountStore:
                         chi = jnp.where(hq[:, None], chi, hi2)
                         clo = jnp.where(hq[:, None], clo, lo2)
                         emit = emit | v2
-                return self._route_build(chi.reshape(-1), clo.reshape(-1),
+                return _route_build_spec(spec, chi.reshape(-1),
+                                         clo.reshape(-1),
                                          emit.reshape(-1), onehot)
 
             seq_spec = ((P(axes),) * packed if packed else P(axes))
@@ -1674,7 +1701,7 @@ class ShardedCountStore:
                          else (P(axes), P(axes), P(axes), P()))
             return jax.jit(
                 jax.shard_map(
-                    fn, mesh=self.mesh,
+                    fn, mesh=mesh,
                     in_specs=(seq_spec, qual_spec, P(axes), P(axes)),
                     out_specs=out_specs,
                 )
@@ -1722,6 +1749,8 @@ class ShardedCountStore:
         counts_n = self.counts_n
 
         def build():
+            axes, mesh = self.axes, self.mesh  # no self in the closure
+
             def fn(hi, lo):
                 if counts_n == 1:
                     c = cs._unit_run_cnt(hi.reshape(-1), lo.reshape(-1))
@@ -1732,8 +1761,8 @@ class ShardedCountStore:
 
             return jax.jit(
                 jax.shard_map(
-                    fn, mesh=self.mesh, in_specs=(P(self.axes),) * 2,
-                    out_specs=P(self.axes),
+                    fn, mesh=mesh, in_specs=(P(axes),) * 2,
+                    out_specs=P(axes),
                 )
             )
 
@@ -1747,17 +1776,19 @@ class ShardedCountStore:
         from ..index import count_store as cs
 
         def build_keys():
+            axes, mesh, k = self.axes, self.mesh, self.k
+
             def fn(a_hi, a_lo, b_hi, b_lo):
                 oh, ol = cs._merge_runs_keyonly(
                     a_hi.reshape(-1), a_lo.reshape(-1),
-                    b_hi.reshape(-1), b_lo.reshape(-1), k=self.k,
+                    b_hi.reshape(-1), b_lo.reshape(-1), k=k,
                 )
                 return oh[None], ol[None]
 
             return jax.jit(
                 jax.shard_map(
-                    fn, mesh=self.mesh, in_specs=(P(self.axes),) * 4,
-                    out_specs=(P(self.axes),) * 2,
+                    fn, mesh=mesh, in_specs=(P(axes),) * 4,
+                    out_specs=(P(axes),) * 2,
                 )
             )
 
@@ -1785,20 +1816,22 @@ class ShardedCountStore:
             b = self._vmaterialize(b)
 
         def build():
+            axes, mesh, k = self.axes, self.mesh, self.k
+
             def fn(a_hi, a_lo, a_cnt, b_hi, b_lo, b_cnt):
                 out = cs._merge_runs(
                     a_hi.reshape(-1), a_lo.reshape(-1),
                     a_cnt.reshape(a_cnt.shape[1], -1),
                     b_hi.reshape(-1), b_lo.reshape(-1),
                     b_cnt.reshape(b_cnt.shape[1], -1),
-                    k=self.k,
+                    k=k,
                 )
                 return out[0][None], out[1][None], out[2][None]
 
             return jax.jit(
                 jax.shard_map(
-                    fn, mesh=self.mesh, in_specs=(P(self.axes),) * 6,
-                    out_specs=(P(self.axes),) * 3,
+                    fn, mesh=mesh, in_specs=(P(axes),) * 6,
+                    out_specs=(P(axes),) * 3,
                 )
             )
 
@@ -1874,6 +1907,8 @@ class ShardedCountStore:
         from ..index import count_store as cs
 
         def build():
+            axes, mesh = self.axes, self.mesh  # no self in the closure
+
             def to_run(u_hi, u_lo, cnt, ns):
                 r = cs._run_from_merge(
                     u_hi.reshape(-1), u_lo.reshape(-1),
@@ -1883,8 +1918,8 @@ class ShardedCountStore:
 
             return jax.jit(
                 jax.shard_map(
-                    to_run, mesh=self.mesh, in_specs=(P(self.axes),) * 4,
-                    out_specs=(P(self.axes),) * 3,
+                    to_run, mesh=mesh, in_specs=(P(axes),) * 4,
+                    out_specs=(P(axes),) * 3,
                 )
             )
 
@@ -1918,18 +1953,20 @@ class ShardedCountStore:
             counts_n = self.counts_n
 
             def build_fin_keys():
+                axes, mesh, k = self.axes, self.mesh, self.k
+
                 def fin_keys(hi, lo):
                     u_hi, u_lo, u_cnt, n_u = cs._finalize_run_keys(
-                        hi.reshape(-1), lo.reshape(-1), k=self.k,
+                        hi.reshape(-1), lo.reshape(-1), k=k,
                         counts_n=counts_n, source=tag,
                     )
                     return u_hi[None], u_lo[None], u_cnt[None], n_u[None]
 
                 return jax.jit(
                     jax.shard_map(
-                        fin_keys, mesh=self.mesh,
-                        in_specs=(P(self.axes),) * 2,
-                        out_specs=(P(self.axes),) * 4,
+                        fin_keys, mesh=mesh,
+                        in_specs=(P(axes),) * 2,
+                        out_specs=(P(axes),) * 4,
                     )
                 )
 
@@ -1939,17 +1976,19 @@ class ShardedCountStore:
             u_hi, u_lo, cnt, n_u = fin_fn(acc[0], acc[1])
         else:
             def build_fin():
+                axes, mesh, k = self.axes, self.mesh, self.k
+
                 def fin(hi, lo, cnt):
                     u_hi, u_lo, u_cnt, n_u = cs._finalize_run(
                         hi.reshape(-1), lo.reshape(-1),
-                        cnt.reshape(cnt.shape[1], -1), k=self.k,
+                        cnt.reshape(cnt.shape[1], -1), k=k,
                     )
                     return u_hi[None], u_lo[None], u_cnt[None], n_u[None]
 
                 return jax.jit(
                     jax.shard_map(
-                        fin, mesh=self.mesh, in_specs=(P(self.axes),) * 3,
-                        out_specs=(P(self.axes),) * 4,
+                        fin, mesh=mesh, in_specs=(P(axes),) * 3,
+                        out_specs=(P(axes),) * 4,
                     )
                 )
 
@@ -1974,6 +2013,8 @@ class ShardedCountStore:
         sort_based = cs._use_sort_spectrum()  # read OUTSIDE the trace
 
         def build():
+            mesh = self.mesh  # no self in the retained closure
+
             def fn(cnt, ns):
                 cnt0 = cnt.reshape(cnt.shape[1], -1)[:, 0]
                 live = jnp.arange(cnt0.shape[0], dtype=I32) < ns[0]
@@ -1996,7 +2037,7 @@ class ShardedCountStore:
                 return jax.lax.psum(spec[: max_count + 1], axes)
 
             return jax.jit(
-                jax.shard_map(fn, mesh=self.mesh,
+                jax.shard_map(fn, mesh=mesh,
                               in_specs=(P(axes), P(axes)), out_specs=P())
             )
 
@@ -2019,6 +2060,8 @@ class ShardedCountStore:
         nv = self._global_put(self.n_unique.astype(np.int32))
 
         def build():
+            mesh = self.mesh  # no self in the retained closure
+
             def fn(cnt, ns):
                 cnt2 = cnt.reshape(cnt.shape[1], -1)
                 live = jnp.arange(cnt2.shape[0], dtype=I32) < ns[0]
@@ -2029,7 +2072,7 @@ class ShardedCountStore:
                 return jax.lax.psum(out, axes)
 
             return jax.jit(
-                jax.shard_map(fn, mesh=self.mesh,
+                jax.shard_map(fn, mesh=mesh,
                               in_specs=(P(axes), P(axes)), out_specs=P())
             )
 
@@ -2048,6 +2091,8 @@ class ShardedCountStore:
         nv = self._global_put(self.n_unique.astype(np.int32))
 
         def build():
+            mesh = self.mesh  # no self in the retained closure
+
             def fn(u_hi, u_lo, cnt, ns, qh, ql):
                 u_hi, u_lo = u_hi.reshape(-1), u_lo.reshape(-1)
                 cnt2 = cnt.reshape(u_hi.shape[0], -1)
@@ -2059,7 +2104,7 @@ class ShardedCountStore:
 
             return jax.jit(
                 jax.shard_map(
-                    fn, mesh=self.mesh,
+                    fn, mesh=mesh,
                     in_specs=(P(axes), P(axes), P(axes), P(axes), P(),
                               P()),
                     out_specs=P(),

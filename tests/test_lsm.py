@@ -573,9 +573,12 @@ def test_trim_runs_bitwise_equals_untrimmed(monkeypatch, dead):
             r = _trim_run_batch(rng, 4096, dead, k)
             st.add_run(r[0], r[1], r[2], r[3], source=0)
         if trim and dead == 0.85:
-            # runs actually shrank: flush the deferred one, then check
+            # runs actually shrank: each 4096-row batch has ~614 live
+            # rows -> trimmed to the 1024 bucket; 9 such runs tier to at
+            # most ~9*1024 rows, far below the untrimmed compaction's
+            # 32768-row top run
             st._flush_deferred()
-            assert max(int(r[0].shape[0]) for r in st._runs) < 9 * 4096
+            assert max(int(r[0].shape[0]) for r in st._runs) <= 9 * 1024
         st.flush()
         stores.append(st)
     a, b = stores
@@ -607,7 +610,9 @@ def test_trim_runs_keyonly_and_reads_flush_deferred():
     assert p == ref.n_unique
     assert st.counts_dict() == ref.counts_dict()
     trimmed = [int(r[0].shape[0]) for r in st._runs]
-    assert trimmed == [] or max(trimmed) < 5 * 2048
+    # ~410 live rows per 2048-row batch -> 512 buckets; the untrimmed
+    # compaction would hold a 8192-row top run
+    assert trimmed == [] or max(trimmed) <= 5 * 512
 
 
 def test_trim_runs_spill_interplay(tmp_path):

@@ -636,10 +636,8 @@ def test_query_programs_cached_across_calls(mesh, test_fa):
 
     run_all()
     n_shared = len(sp._PROGRAMS)
-    n_store = len(store._programs)
     run_all()
-    assert len(sp._PROGRAMS) == n_shared  # zero new shared programs
-    assert len(store._programs) == n_store  # zero new store programs
+    assert len(sp._PROGRAMS) == n_shared  # zero new programs anywhere
 
 
 def test_drop_range_partition(mesh, test_fa):
@@ -715,3 +713,25 @@ def test_sharded_trim_runs_bitwise_and_shrinks(mesh):
     u_lo = np.asarray(single.u_lo)[: single.n_unique]
     np.testing.assert_array_equal(
         shc.lookup(u_hi, u_lo), single.lookup(u_hi, u_lo))
+
+
+def test_program_cache_does_not_pin_stores(mesh):
+    """The module-wide program cache must never keep a dropped store (and
+    its HBM arrays) alive: builders bind statics to locals instead of
+    closing over self."""
+    import gc
+    import weakref
+
+    k = 13
+    shc = ShardedCountStore(k, mesh, counts_n=1)
+    D = mesh.size
+    rng = np.random.default_rng(23)
+    hi = rng.integers(0, 1 << 8, (D, 256)).astype(np.uint32)
+    lo = rng.integers(0, 1 << 16, (D, 256)).astype(np.uint32)
+    shc.add_batch(hi, lo, np.ones((D, 256), bool), source=0)
+    shc.add_batch(hi, lo, np.ones((D, 256), bool), source=0)  # vmerge too
+    assert int(shc.n_unique.sum()) > 0  # fold/peek programs built
+    ref = weakref.ref(shc)
+    del shc
+    gc.collect()
+    assert ref() is None, "a cached program closure still pins the store"
