@@ -632,3 +632,28 @@ def test_trim_runs_spill_interplay(tmp_path):
     assert st._spilled  # the budget actually tripped
     assert st.counts_dict() == ref.counts_dict()
     np.testing.assert_array_equal(st.total_added, ref.total_added)
+
+
+def test_trim_group_flushes_mid_stream(monkeypatch):
+    """With a small KMH_TRIM_GROUP the deferred list must flush on its
+    own mid-stream (not only at reads), trimming each group's runs."""
+    monkeypatch.setattr(cs, "_TRIM_GROUP", 2)
+    k = 21
+    st = CountStore(k, counts_n=1, mode="sh")
+    rng = np.random.default_rng(29)
+    for i in range(5):
+        r = _trim_run_batch(rng, 4096, 0.85, k)
+        st.add_run(r[0], r[1], r[2], r[3], source=0)
+        assert len(st._deferred) < 2  # group of 2 flushed itself
+    assert st._runs  # mid-stream flushes actually tiered runs in
+    assert max(int(r[0].shape[0]) for r in st._runs) <= 4 * 1024
+    # counts still exact vs an independently-built eager store
+    eager = CountStore(k, counts_n=1, mode="sh")
+    rng3 = np.random.default_rng(29)
+    for i in range(5):
+        r = _trim_run_batch(rng3, 4096, 0.85, k)
+        eager._runs.append((r[0], r[1], r[2], None))
+        eager._total_added_dev = eager._total_added_dev + r[3].astype(
+            np.int64)
+        eager._compact_tiers()
+    assert st.counts_dict() == eager.counts_dict()
